@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``flink_stream_spark``: the operator registry
+(flink_stream_spark.operators.registry) holds every implemented query
+from SURVEY.md §2C with its DuckDB oracle twin.
 """
 
 from __future__ import annotations
@@ -13,26 +11,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from flink_stream_spark.operators import REGISTRY
+
+# importing these modules populates REGISTRY
+import flink_stream_spark.operators.relational  # noqa: F401
+
+try:  # optional modules land incrementally; keep the contract importable
+    import flink_stream_spark.operators.dedup  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.text  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.similarity  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.cdc  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.events  # noqa: F401
+except ImportError:
+    pass
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    spec = REGISTRY["q1_pricing_summary"]
+    return spec.build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.build for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted → rows-only check)."""
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
