@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -34,10 +35,39 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't scan
+    them natively; we read them as raw int64 nanos and convert."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    out = []
+    for field in pq.read_schema(path):
+        if pa.types.is_timestamp(field.type) and field.type.unit == "ns":
+            out.append(field.name)
+    return out
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan — Catalyst pushes filters/column pruning
-    into this scan for every downstream query."""
-    return spark.read.parquet(table_path(sf_dir, name))
+    into this scan for every downstream query.
+
+    Parquet TIMESTAMP(NANOS) columns (Spark cannot scan them) are read
+    as int64 nanos via the legacy conf and converted to TimestampType
+    with exact integer µs arithmetic — a projection on top of the scan,
+    so pushdown/pruning on every other column is unaffected.
+    """
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_timestamp_cols(path)
+    if ns_cols:
+        try:  # runtime-settable; the external driver's session needs it too
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -47,7 +77,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         path = table_path(sf_dir, name)
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

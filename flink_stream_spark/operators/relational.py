@@ -81,3 +81,1115 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way joins (TPC-H Q3 / Q5 shapes) — the "query layer" capability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey AS o_key,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_key
+    LIMIT 10
+    """,
+    group="join",
+    doc="3-way join + agg + top-k: the shape of the reference's Trino "
+    "verification queries (reference README.md:177-178) generalized.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy(
+            l.l_orderkey.alias("o_key"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("o_key", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_key")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'AMERICA')
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    group="join",
+    doc="6-way star join; broadcast-able dims (region/nation/supplier) "
+    "stay broadcast under AQE, the fact tables shuffle on join keys.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
+    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(n.n_name.alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join types
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_inner",
+    """
+    SELECT o.o_orderkey, c.c_name, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 100000
+    ORDER BY o.o_orderkey
+    """,
+    group="join",
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c.c_custkey, c.c_name, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY c.c_custkey
+    """,
+    group="join",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(_dec("o_totalprice")), F.lit(0).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_right_outer",
+    """
+    SELECT n.n_nationkey, n.n_name, s.s_name
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY n.n_nationkey, s.s_name NULLS FIRST
+    """,
+    group="join",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .select("n_nationkey", "n_name", "s_name")
+        .orderBy("n_nationkey", F.col("s_name").asc_nulls_first())
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH cn AS (SELECT DISTINCT c_nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey FROM supplier)
+    SELECT cn.c_nationkey, sn.s_nationkey
+    FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+    ORDER BY cn.c_nationkey NULLS FIRST, sn.s_nationkey NULLS FIRST
+    """,
+    group="join",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cn = _t(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    sn = _t(spark, sf_dir, "supplier").select("s_nationkey").distinct()
+    return (
+        cn.join(sn, cn.c_nationkey == sn.s_nationkey, "full")
+        .orderBy(
+            F.col("c_nationkey").asc_nulls_first(), F.col("s_nationkey").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    ORDER BY c_custkey
+    """,
+    group="join",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    ORDER BY c_custkey
+    """,
+    group="join",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    """
+    SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    group="join",
+    doc="Explicit broadcast of the 25-row dim — at 100 TB the fact side "
+    "never shuffles for this join.",
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_balance"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "join_theta_range",
+    """
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    ORDER BY s.s_suppkey, c.c_custkey
+    """,
+    group="join",
+    doc="Equi key + non-equi residual: Catalyst evaluates the range "
+    "predicate as a post-join filter on the hash join.",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        s.join(c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal))
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filters / projection / cast
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_predicates",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_totalprice BETWEEN 50000 AND 150000
+      AND o_orderstatus IN ('O', 'F')
+      AND o_orderpriority LIKE '1-%'
+      AND o_orderdate IS NOT NULL
+      AND (o_orderkey % 2 = 0 OR o_totalprice > 100000)
+    ORDER BY o_orderkey
+    """,
+    group="filter",
+)
+def filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_totalprice").between(50000, 150000)
+            & F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_orderpriority").like("1-%")
+            & F.col("o_orderdate").isNotNull()
+            & ((F.col("o_orderkey") % 2 == 0) | (F.col("o_totalprice") > 100000))
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "project_cast",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey AS INTEGER) AS key_int,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_str,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_trunc,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_ts_str
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    group="project",
+    doc="CAST matrix across int/decimal/string/date/timestamp "
+    "(reference uses CAST str->INT, flink_json_to_iceberg.py:113,140).",
+)
+def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("int").alias("key_int"),
+        _dec("o_totalprice").cast("double").alias("price_dec"),
+        _dec("o_totalprice").cast("string").alias("price_str"),
+        F.expr("CAST(o_totalprice AS BIGINT)").alias("price_trunc"),
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias("order_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts_str"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_basic",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    group="aggregation",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+            (F.sum(_dec("o_totalprice")).cast("double") / F.count(F.lit(1)))
+            .cast("double")
+            .alias("avg_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_part,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    group="aggregation",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    group="aggregation",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    group="aggregation",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@register(
+    "agg_having",
+    """
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY o_custkey
+    """,
+    group="aggregation",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "agg_variance_exact",
+    """
+    SELECT l_returnflag,
+           CAST(
+             (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                * CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+             / (COUNT(*) - 1) AS DOUBLE) AS var_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+    doc="Sample variance via exact decimal moments — deterministic under "
+    "unordered partial aggregation, unlike stddev_samp on doubles.",
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = _dec("l_quantity")
+    n = F.count(F.lit(1))
+    sum_sq = F.sum(q * q).cast("double")
+    s = F.sum(q).cast("double")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(((sum_sq - s * s / n) / (n - 1)).cast("double").alias("var_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_approx_count_distinct",
+    None,  # approximate: rows-only check (relative-error contract, not hash)
+    group="aggregation",
+    doc="HLL++ sketch — at 100 TB this replaces exact COUNT(DISTINCT) "
+    "where a 2% error is acceptable; no shuffle of the full key set.",
+)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_row_number_topk",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) t
+    WHERE rn <= 3
+    ORDER BY c_nationkey, c_custkey
+    """,
+    group="window",
+    doc="Top-k per group: the QUALIFY-style helper from SURVEY §4.3.",
+)
+def window_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+        .orderBy("c_nationkey", "c_custkey")
+    )
+
+
+@register(
+    "window_rank_dense",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    group="window",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w1 = W.partitionBy("o_orderstatus").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    w2 = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.rank().over(w1).alias("rnk"),
+            F.dense_rank().over(w2).alias("drnk"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(LAG(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS prev_price,
+           CAST(LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS next_price,
+           CAST(FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) AS last_price
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    group="window",
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_totalprice").over(w).cast("double").alias("prev_price"),
+            F.lead("o_totalprice").over(w).cast("double").alias("next_price"),
+            F.first("o_totalprice").over(wfull).cast("double").alias("first_price"),
+            F.last("o_totalprice").over(wfull).cast("double").alias("last_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_running_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_3
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+    group="window",
+)
+def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(_dec("o_totalprice"))
+            .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            .alias("running_total"),
+            F.sum(_dec("o_totalprice"))
+            .over(w.rowsBetween(-2, W.currentRow))
+            .cast("double")
+            .alias("moving_3"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "window_ntile_pct",
+    """
+    SELECT c_custkey,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile,
+           CAST(PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS DOUBLE) AS pct_rank,
+           CAST(CUME_DIST() OVER (ORDER BY c_acctbal DESC, c_custkey) AS DOUBLE) AS cume
+    FROM customer
+    ORDER BY c_custkey
+    """,
+    group="window",
+)
+def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return (
+        c.select(
+            "c_custkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).cast("double").alias("pct_rank"),
+            F.cume_dist().over(w).cast("double").alias("cume"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_multi_key_nulls",
+    """
+    SELECT c_custkey, bal, c_mktsegment FROM (
+      SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal,
+             c_mktsegment
+      FROM customer) t
+    ORDER BY bal DESC NULLS FIRST, c_mktsegment ASC, c_custkey
+    LIMIT 50
+    """,
+    group="sort",
+    doc="Multi-key sort with explicit null placement, observable through "
+    "the LIMIT (hash compare is order-insensitive, set membership isn't).",
+)
+def sort_multi_key_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal"),
+            "c_mktsegment",
+        )
+        .orderBy(F.col("bal").desc_nulls_first(), F.col("c_mktsegment").asc(), "c_custkey")
+        .limit(50)
+    )
+
+
+@register(
+    "sort_limit_topk",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    group="sort",
+    doc="TakeOrderedAndProject: Spark never globally sorts for top-k.",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_all",
+    """
+    SELECT nk FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier) t
+    ORDER BY nk
+    """,
+    group="setop",
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionAll(s).orderBy("nk")
+
+
+@register(
+    "setop_union_distinct",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+    group="setop",
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.union(s).distinct().orderBy("nk")
+
+
+@register(
+    "setop_intersect",
+    """
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+    group="setop",
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s).orderBy("nk")
+
+
+@register(
+    "setop_except",
+    """
+    SELECT DISTINCT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nk FROM supplier
+    ORDER BY nk
+    """,
+    group="setop",
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk")).distinct()
+    return c.exceptAll(s).orderBy("nk")
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string",
+    """
+    SELECT p_partkey,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           UPPER(p_name) AS name_upper,
+           LOWER(p_brand) AS brand_lower,
+           SUBSTR(p_name, 1, 8) AS name_prefix,
+           TRIM(CONCAT(' ', p_name, ' ')) AS name_trim,
+           CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           REGEXP_REPLACE(p_type, '[aeiou]', '_', 'g') AS type_novowel,
+           REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word
+    FROM part
+    ORDER BY p_partkey
+    """,
+    group="scalar",
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.regexp_replace("p_type", "[aeiou]", "_").alias("type_novowel"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_math",
+    """
+    SELECT p_partkey,
+           CAST(ROUND(p_retailprice, 1) AS DOUBLE) AS price_round,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+           CAST(ABS(p_retailprice - 1000) AS DOUBLE) AS price_dev,
+           CAST(ROUND(POW(p_size, 2), 6) AS DOUBLE) AS size_sq,
+           CAST(ROUND(LN(p_retailprice), 6) AS DOUBLE) AS price_ln,
+           CAST(ROUND(SQRT(p_retailprice), 6) AS DOUBLE) AS price_sqrt,
+           CAST(p_size % 7 AS INTEGER) AS size_mod
+    FROM part
+    WHERE p_retailprice > 0
+    ORDER BY p_partkey
+    """,
+    group="scalar",
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").filter(F.col("p_retailprice") > 0)
+    return p.select(
+        "p_partkey",
+        F.round("p_retailprice", 1).cast("double").alias("price_round"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.abs(F.col("p_retailprice") - 1000).cast("double").alias("price_dev"),
+        F.round(F.pow("p_size", F.lit(2)), 6).cast("double").alias("size_sq"),
+        F.round(F.log(F.col("p_retailprice")), 6).cast("double").alias("price_ln"),
+        F.round(F.sqrt("p_retailprice"), 6).cast("double").alias("price_sqrt"),
+        (F.col("p_size") % 7).cast("int").alias("size_mod"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT o_orderkey,
+           CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS mo,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS dy,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-12-01') AS INTEGER) AS days_to_eoy,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(FLOOR(epoch(o_orderdate)) AS BIGINT) AS epoch_s
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    group="scalar",
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("int").alias("dy"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+        F.datediff(F.lit("1998-12-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("days_to_eoy"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_json",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           CASE WHEN json_extract_string(props, '$.missing') IS NULL THEN 1 ELSE 0 END AS missing_is_null
+    FROM events
+    ORDER BY event_id
+    """,
+    group="scalar",
+    doc="JSON path extraction — the reference's core transform "
+    "(JSON_VALUE, flink_json_to_iceberg.py:113-114,140-141).",
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.when(F.get_json_object("props", "$.missing").isNull(), 1)
+        .otherwise(0)
+        .alias("missing_is_null"),
+    ).orderBy("event_id")
+
+
+@register(
+    "scalar_array",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           string_split(text, ' ')[1:3] AS first3,
+           list_sort(string_split(substr(text, 1, 40), ' ')) AS sorted_head,
+           CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 1 ELSE 0 END AS has_spark
+    FROM documents
+    ORDER BY doc_id
+    """,
+    group="scalar",
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("int").alias("n_tokens"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.sort_array(F.split(F.substring("text", 1, 40), " ")).alias("sorted_head"),
+        F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("has_spark"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "scalar_array_explode",
+    """
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+    group="scalar",
+    doc="explode → agg: token frequency (word-count over the corpus).",
+)
+def scalar_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "scalar_map",
+    """
+    SELECT o_orderkey,
+           o_orderstatus AS status_val,
+           2 AS n_keys
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    group="scalar",
+    doc="Map construction + element_at + map_keys; oracle mirrors the "
+    "values directly (DuckDB map semantics differ, values are identical).",
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"), F.lit("priority"), F.col("o_orderpriority")
+    )
+    return o.select(
+        "o_orderkey",
+        F.element_at(m, "status").alias("status_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_conditional",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'high'
+                WHEN o_totalprice > 75000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_norm,
+           CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS is_urgent
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    group="scalar",
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 150000, "high")
+        .when(F.col("o_totalprice") > 75000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_norm"
+        ),
+        F.when(F.col("o_orderpriority").like("1-%"), 1).otherwise(0).alias("is_urgent"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / introspection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "subquery_scalar_agg",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM orders)
+    ORDER BY o_orderkey
+    """,
+    group="subquery",
+)
+def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_sq_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM _sq_orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 1.5 FROM _sq_orders)
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    ORDER BY o_orderkey
+    """,
+    group="subquery",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_sqin_orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_sqin_customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM _sqin_orders
+        WHERE o_custkey IN (SELECT c_custkey FROM _sqin_customer
+                            WHERE c_mktsegment = 'MACHINERY')
+        ORDER BY o_orderkey
+        """
+    )

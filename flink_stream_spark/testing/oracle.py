@@ -44,8 +44,15 @@ def run_duckdb(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_cell(v) -> str:
+    import datetime
+    import decimal
+
     if v is None:
         return "∅"
+    if isinstance(v, decimal.Decimal):
+        return _canon_cell(float(v))
+    if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+        return v.isoformat()
     if isinstance(v, float):
         if math.isnan(v):
             return "∅"
