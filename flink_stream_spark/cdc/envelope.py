@@ -1,0 +1,115 @@
+"""Debezium CDC envelope handling.
+
+The reference consumes Debezium-over-Kafka change events —
+``{schema:{...}, payload:{before, after, source, op, ts_ms}}`` with
+``op ∈ {c,u,d,r}`` (reference kafka/config/connect-postgres-source.json:4-13,
+connect-standalone.properties:21-26) — and lets the Iceberg sink's
+``DebeziumTransform`` SMT flatten and route them
+(connect-iceberg-sink.json:8-12). Here the same semantics are a
+``from_json`` parse + projection, and the flatten/route/upsert steps
+are explicit DataFrame plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+OP_COL = "_op"
+
+_SOURCE_SCHEMA = T.StructType(
+    [
+        T.StructField("table", T.StringType()),
+        T.StructField("schema", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ]
+)
+
+
+def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
+    """Envelope StructType for a given row schema (before/after are
+    nullable structs — exactly Spark's nested-type representation of
+    the Debezium JSON payload, SURVEY §1.3)."""
+    payload = T.StructType(
+        [
+            T.StructField("before", row_schema, True),
+            T.StructField("after", row_schema, True),
+            T.StructField("source", _SOURCE_SCHEMA, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+        ]
+    )
+    return T.StructType([T.StructField("payload", payload, True)])
+
+
+def parse_envelopes(raw: DataFrame, row_schema: T.StructType, value_col: str = "value") -> DataFrame:
+    """raw JSON envelope strings → flattened change rows.
+
+    Output: row columns (from after, falling back to before for
+    deletes so the key survives), plus ``_op``, ``_table``, ``_lsn``,
+    ``_ts_ms`` metadata — the engine's equivalent of the
+    ``DebeziumTransform`` SMT's ``_cdc.*`` fields.
+    Malformed JSON or envelopes without an op are dropped (the
+    reference's null-filter discipline, flink_json_to_iceberg.py:117,144).
+    """
+    env = raw.select(
+        F.from_json(F.col(value_col), debezium_envelope_schema(row_schema)).alias("e")
+    )
+    p = F.col("e.payload")
+    row_cols = [
+        F.coalesce(p["after"][f.name], p["before"][f.name]).alias(f.name)
+        for f in row_schema.fields
+    ]
+    return (
+        env.select(
+            *row_cols,
+            p["op"].alias(OP_COL),
+            p["source"]["table"].alias("_table"),
+            p["source"]["lsn"].alias("_lsn"),
+            p["ts_ms"].alias("_ts_ms"),
+        )
+        .filter(F.col(OP_COL).isNotNull())
+    )
+
+
+def last_per_key(changes: DataFrame, keys: list[str], order_cols: list[str]) -> DataFrame:
+    """Reduce a CDC batch to the LAST event per key.
+
+    Debezium guarantees per-key order within a partition; a micro-batch
+    MERGE must apply only the final state per key or u-then-d within
+    one batch corrupts the table (SURVEY §7 'What's hard'). One
+    window shuffle on the key — skew-safe under AQE.
+    """
+    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    return (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_cdc_batch(
+    table,
+    batch: DataFrame,
+    keys: list[str],
+    order_cols: list[str] | None = None,
+) -> int:
+    """Apply one envelope batch to a ManagedTable: reduce to last-per-key,
+    then MERGE with op='d' rows deleting (Iceberg v2 equality-delete
+    equivalent; reference exercises I/U/D via
+    postgres/scripts/manual/001-003*.sql)."""
+    order_cols = order_cols or ["_ts_ms", "_lsn"]
+    reduced = last_per_key(batch, keys, order_cols)
+    data_cols = [c for c in reduced.columns if not c.startswith("_")]
+    upserts = reduced.filter(F.col(OP_COL) != "d").select(*data_cols)
+    deletes = reduced.filter(F.col(OP_COL) == "d").select(*keys)
+    return table.merge(upserts, keys=keys, deletes=deletes)
+
+
+def route_tables(changes: DataFrame) -> list[str]:
+    """Distinct routing targets in a batch (dynamic multi-table routing,
+    reference connect-iceberg-sink.json:10-12). One small distinct on
+    the metadata column — never collects row data."""
+    return [r["_table"] for r in changes.select("_table").distinct().collect()]

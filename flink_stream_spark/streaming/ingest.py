@@ -1,0 +1,102 @@
+"""Raw-JSON event ingest — the reference's primary dataflow program.
+
+Reference pipeline (flink/jobs/flink_json_to_iceberg.py:95-147):
+Kafka raw-format topic → 1-column STRING table → JSON_VALUE path
+extraction → CAST → WHERE key IS NOT NULL → CURRENT_TIMESTAMP stamp →
+continuous INSERT INTO an Iceberg upsert table, committing on the 10 s
+checkpoint.
+
+Spark-first equivalent: any unbounded string source (file stream of
+JSONL here; kafka source is the same one-line swap) →
+``get_json_object`` / cast / null-filter projection →
+``foreachBatch`` keyed MERGE into a ManagedTable with a processing-
+time trigger and checkpointLocation providing the same exactly-once-
+per-epoch commit contract (A14).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_stream_spark.cdc.envelope import last_per_key
+from flink_stream_spark.tables.managed import ManagedTable
+
+
+@dataclass
+class JsonField:
+    """One extracted field: JSON path → typed column."""
+
+    name: str
+    json_path: str  # e.g. "$.user_id"
+    cast_to: str  # Spark type name, e.g. "int"
+
+
+def raw_json_transform(
+    raw: DataFrame,
+    fields: list[JsonField],
+    key: str,
+    value_col: str = "raw_data",
+    stamp_ts: bool = True,
+) -> DataFrame:
+    """The reference's SELECT shape (flink_json_to_iceberg.py:110-120):
+    JSON_VALUE extraction + CAST per field, drop rows whose key is
+    NULL (malformed events), stamp ingest time.
+
+    Works identically on a batch or streaming DataFrame — the batch
+    path is what the DuckDB oracle checks.
+    """
+    # try_cast: NULL on malformed values (Flink's JSON_VALUE+CAST
+    # semantics; Spark's ANSI-mode cast would throw instead)
+    cols = [
+        F.get_json_object(F.col(value_col), f.json_path).try_cast(f.cast_to).alias(f.name)
+        for f in fields
+    ]
+    out = raw.select(*cols).filter(F.col(key).isNotNull())
+    if stamp_ts:
+        # CURRENT_TIMESTAMP per micro-batch — the reference stores the
+        # same, its declared proctime column is never referenced
+        # (flink_json_to_iceberg.py:98,115)
+        out = out.withColumn("ts", F.current_timestamp())
+    return out
+
+
+def start_raw_json_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    table: ManagedTable,
+    fields: list[JsonField],
+    key: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 10,
+):
+    """Continuous INSERT INTO (upsert table) — reference A8/A9.
+
+    File-stream of JSONL batches (the test stand-in for the Kafka
+    topic; earliest-offset semantics = read every existing file).
+    Each micro-batch reduces to last-event-per-key and MERGEs, giving
+    the Iceberg `write.upsert.enabled` same-key-replaces semantics.
+    """
+    raw = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 16)
+        .load(source_dir)
+        .withColumnRenamed("value", "raw_data")
+    )
+    typed = raw_json_transform(raw, fields, key)
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if not batch.columns:
+            return
+        batch = batch.withColumn("__seq", F.monotonically_increasing_id())
+        reduced = last_per_key(batch, [key], ["__seq"]).drop("__seq")
+        table.merge(reduced, keys=[key])
+
+    return (
+        typed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )

@@ -1,0 +1,255 @@
+"""ManagedTable + CDC apply: the reference's pipeline semantics.
+
+Scenario coverage mirrors FIXTURES A3/A4 (which mirror the reference's
+test_cdc.py and postgres/scripts/manual/00{1,2,3}_*.sql): snapshot
+reads, inserts, non-key updates, full-table delete, multiple ops on
+one key in a single batch (last wins), interleaved tables (dynamic
+routing), schema evolution, malformed raw-JSON filtering, bulk churn,
+and snapshot expiry.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_stream_spark.cdc.envelope import apply_cdc_batch, parse_envelopes, last_per_key
+from flink_stream_spark.streaming.cdc_pipeline import replay_cdc_batch, start_cdc_pipeline
+from flink_stream_spark.streaming.ingest import JsonField, raw_json_transform, start_raw_json_ingest
+from flink_stream_spark.tables.managed import ManagedTable, Warehouse
+
+ACCOUNT = T.StructType(
+    [
+        T.StructField("user_id", T.IntegerType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("created_at", T.LongType()),
+    ]
+)
+PRODUCT = T.StructType(
+    [
+        T.StructField("product_id", T.IntegerType()),
+        T.StructField("product_name", T.StringType()),
+    ]
+)
+
+
+def env(table, op, after=None, before=None, lsn=0, ts_ms=0):
+    return json.dumps(
+        {
+            "payload": {
+                "before": before,
+                "after": after,
+                "source": {"table": table, "schema": "commerce", "lsn": lsn},
+                "op": op,
+                "ts_ms": ts_ms,
+            }
+        }
+    )
+
+
+def rows(table, spark):
+    return {
+        r["user_id"]: r.asDict() for r in table.read(spark).collect()
+    }
+
+
+def test_merge_insert_update_delete(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "account", ["user_id"])
+    df = spark.createDataFrame(
+        [(1, "alice@example.com", 10), (2, "bob@example.com", 20)], ACCOUNT
+    )
+    t.merge(df)
+    assert rows(t, spark)[1]["email"] == "alice@example.com"
+
+    # update non-key column (manual/002_update.sql flow)
+    upd = spark.createDataFrame([(1, "alice2@example.com", 10)], ACCOUNT)
+    t.merge(upd)
+    got = rows(t, spark)
+    assert got[1]["email"] == "alice2@example.com" and len(got) == 2
+
+    # delete one key
+    t.merge(
+        upserts=spark.createDataFrame([], ACCOUNT),
+        deletes=spark.createDataFrame([(2,)], "user_id int"),
+    )
+    assert set(rows(t, spark)) == {1}
+
+
+def test_cdc_envelope_apply_last_per_key_wins(spark, tmp_path):
+    """u-then-d on one key inside ONE batch must leave the key deleted;
+    d-then-c must leave it present (SURVEY §7 CDC ordering)."""
+    t = ManagedTable(str(tmp_path), "account", ["user_id"])
+    lines = [
+        env("account", "r", {"user_id": 1, "email": "a@x", "created_at": 1}, lsn=1, ts_ms=1),
+        env("account", "c", {"user_id": 2, "email": "b@x", "created_at": 2}, lsn=2, ts_ms=2),
+        env("account", "u", {"user_id": 2, "email": "b2@x", "created_at": 2}, lsn=3, ts_ms=3),
+        env("account", "d", None, before={"user_id": 2, "email": "b2@x", "created_at": 2}, lsn=4, ts_ms=4),
+        env("account", "d", None, before={"user_id": 1, "email": "a@x", "created_at": 1}, lsn=5, ts_ms=5),
+        env("account", "c", {"user_id": 1, "email": "a2@x", "created_at": 9}, lsn=6, ts_ms=6),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "raw string")
+    changes = parse_envelopes(raw, ACCOUNT, value_col="raw")
+    apply_cdc_batch(t, changes, ["user_id"])
+    got = rows(t, spark)
+    assert set(got) == {1}, got  # key 2 deleted, key 1 re-created
+    assert got[1]["email"] == "a2@x"
+
+
+def test_cdc_full_table_delete(spark, tmp_path):
+    """manual/003_delete.sql deletes ALL rows."""
+    t = ManagedTable(str(tmp_path), "account", ["user_id"])
+    t.merge(spark.createDataFrame([(i, f"u{i}@x", i) for i in range(5)], ACCOUNT))
+    dels = [
+        env("account", "d", None, before={"user_id": i, "email": f"u{i}@x", "created_at": i}, lsn=10 + i, ts_ms=10 + i)
+        for i in range(5)
+    ]
+    raw = spark.createDataFrame([(l,) for l in dels], "raw string")
+    apply_cdc_batch(t, parse_envelopes(raw, ACCOUNT, value_col="raw"), ["user_id"])
+    assert t.read(spark).count() == 0
+
+
+def test_dynamic_routing_interleaved_tables(spark, tmp_path):
+    """Interleaved account/product envelopes route to separate tables
+    with per-table keys (connect-iceberg-sink.json:10-12,28-29)."""
+    wh = Warehouse(str(tmp_path / "wh"))
+    lines = [
+        env("account", "c", {"user_id": 1, "email": "a@x", "created_at": 1}, lsn=1),
+        env("product", "c", {"product_id": 7, "product_name": "Chair"}, lsn=2),
+        env("account", "u", {"user_id": 1, "email": "a2@x", "created_at": 1}, lsn=3),
+        env("product", "c", {"product_id": 8, "product_name": "Table"}, lsn=4),
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "raw string")
+    replay_cdc_batch(
+        spark,
+        raw,
+        wh,
+        {"account": ACCOUNT, "product": PRODUCT},
+        {"account": ["user_id"], "product": ["product_id"]},
+    )
+    assert sorted(wh.list_tables()) == ["account_postgres", "product_postgres"]
+    acc = wh.table("account_postgres").read(spark).collect()
+    assert len(acc) == 1 and acc[0]["email"] == "a2@x"
+    assert wh.table("product_postgres").read(spark).count() == 2
+
+
+def test_schema_evolution_on_merge(spark, tmp_path):
+    """A later envelope adds a new field; table evolves, old rows NULL
+    (connect-iceberg-sink.json:14)."""
+    t = ManagedTable(str(tmp_path), "account", ["user_id"])
+    t.merge(spark.createDataFrame([(1, "a@x", 1)], ACCOUNT))
+    evolved = spark.createDataFrame(
+        [(2, "b@x", 2, "gold")],
+        "user_id int, email string, created_at bigint, tier string",
+    )
+    t.merge(evolved)
+    got = {r["user_id"]: r.asDict() for r in t.read(spark).collect()}
+    assert got[2]["tier"] == "gold" and got[1]["tier"] is None
+
+
+def test_versions_time_travel_and_expiry(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "account", ["user_id"])
+    t.merge(spark.createDataFrame([(1, "a@x", 1)], ACCOUNT))
+    t.merge(spark.createDataFrame([(1, "a2@x", 1)], ACCOUNT))
+    t.merge(spark.createDataFrame([(2, "b@x", 2)], ACCOUNT))
+    assert t.current_version() == 3
+    # time travel
+    assert t.read(spark, version=1).collect()[0]["email"] == "a@x"
+    # expiry keeps newest N (snapshot_mgmt.py:17-19 equivalent)
+    removed = t.expire_snapshots(retain_last=1)
+    assert removed == 2
+    assert t.read(spark).count() == 2
+    with pytest.raises(Exception):
+        t.read(spark, version=1).collect()
+
+
+def test_raw_json_malformed_filtering(spark):
+    """FIXTURES A3: missing key field, non-numeric id, empty object,
+    non-JSON line — all dropped; duplicates upsert last-wins."""
+    lines = [
+        '{"user_id": 4821, "email": "t1@example.com"}',
+        '{"email": "missing-key@example.com"}',
+        '{"user_id": "abc", "email": "bad-type@example.com"}',
+        "{}",
+        "not json at all",
+        '{"user_id": 4821, "email": "t2@example.com"}',
+    ]
+    raw = spark.createDataFrame([(l,) for l in lines], "raw_data string")
+    typed = raw_json_transform(
+        raw,
+        [JsonField("user_id", "$.user_id", "int"), JsonField("email", "$.email", "string")],
+        key="user_id",
+        stamp_ts=False,
+    ).withColumn("__seq", F.monotonically_increasing_id())
+    final = last_per_key(typed, ["user_id"], ["__seq"]).drop("__seq")
+    got = final.collect()
+    assert len(got) == 1
+    assert got[0]["user_id"] == 4821 and got[0]["email"] == "t2@example.com"
+
+
+def test_streaming_raw_json_ingest_e2e(spark, tmp_path):
+    """File-stream of JSONL batches → foreachBatch MERGE; the streaming
+    twin of test_cdc.py's producer flow, incl. --bulk churn."""
+    src = tmp_path / "topic"
+    src.mkdir()
+    t = ManagedTable(str(tmp_path / "wh"), "account_json", ["user_id"])
+    # batch 1: 100 inserts (bulk), batch 2: 50 updates + malformed noise
+    with open(src / "b1.jsonl", "w") as f:
+        for i in range(100):
+            f.write(json.dumps({"user_id": i, "email": f"u{i}@example.com"}) + "\n")
+    q = start_raw_json_ingest(
+        spark,
+        str(src),
+        t,
+        [JsonField("user_id", "$.user_id", "int"), JsonField("email", "$.email", "string")],
+        key="user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert t.read(spark).count() == 100
+        with open(src / "b2.jsonl", "w") as f:
+            for i in range(50):
+                f.write(json.dumps({"user_id": i, "email": f"u{i}@new.com"}) + "\n")
+            f.write("garbage\n")
+            f.write(json.dumps({"email": "nokey@example.com"}) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["user_id"]: r["email"] for r in t.read(spark).collect()}
+    assert len(got) == 100
+    assert got[0] == "u0@new.com" and got[99] == "u99@example.com"
+    # ingest-time stamp exists (A7) — excluded from content assertions
+    assert "ts" in t.read(spark).columns
+
+
+def test_streaming_cdc_pipeline_e2e(spark, tmp_path):
+    """Envelope stream → routed MERGE across two tables, two epochs."""
+    src = tmp_path / "cdc_topic"
+    src.mkdir()
+    wh = Warehouse(str(tmp_path / "wh"))
+    with open(src / "e1.jsonl", "w") as f:
+        f.write(env("account", "c", {"user_id": 1, "email": "a@x", "created_at": 1}, lsn=1, ts_ms=1) + "\n")
+        f.write(env("product", "c", {"product_id": 5, "product_name": "Desk"}, lsn=2, ts_ms=2) + "\n")
+    q = start_cdc_pipeline(
+        spark,
+        str(src),
+        wh,
+        {"account": ACCOUNT, "product": PRODUCT},
+        {"account": ["user_id"], "product": ["product_id"]},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert wh.table("account_postgres").read(spark).count() == 1
+        with open(src / "e2.jsonl", "w") as f:
+            f.write(env("account", "d", None, before={"user_id": 1, "email": "a@x", "created_at": 1}, lsn=3, ts_ms=3) + "\n")
+            f.write(env("product", "u", {"product_id": 5, "product_name": "Standing Desk"}, lsn=4, ts_ms=4) + "\n")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert wh.table("account_postgres").read(spark).count() == 0
+    prod = wh.table("product_postgres").read(spark).collect()
+    assert prod[0]["product_name"] == "Standing Desk"
