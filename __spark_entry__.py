@@ -36,6 +36,10 @@ try:
     import flink_stream_spark.operators.events  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.multimodal  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,405 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2C NS).
+
+Five dedup strategies over `documents` / `embeddings`:
+
+- exact (content hash groupBy) — O(n), one shuffle on the hash;
+- MinHash + LSH banding — the 100 TB-scale near-dup path: shingle →
+  K minhashes → B bands → bucket join; candidate pairs are verified
+  with exact Jaccard. No O(n²) stage: the only join is on band
+  buckets.
+- SimHash — 32-bit locality-sensitive signature per doc; identical
+  signatures are near-dup candidates;
+- n-gram Jaccard — shared-shingle blocking + exact Jaccard (the
+  verify-stage semantics as a standalone operator);
+- embedding cosine — label-blocked near-dup pairs over the vector
+  column.
+
+All hashes derive from md5 prefixes (identical in Spark and DuckDB),
+so every operator has an exact SQL oracle with fixed "permutation"
+parameters — deterministic across engines and runs (FIXTURES
+determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.registry import register
+from flink_stream_spark.operators.text import tok_hash_duck, _tok_hash_spark
+
+# MinHash parameters (fixed-seed permutations j=1..K over a Mersenne
+# prime field; a_j/b_j are deterministic functions of j)
+K_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = K_PERM // BANDS
+P31 = 2147483647  # 2^31 - 1
+
+
+def _shingles_spark(text_col):
+    """Distinct 3-word shingles of a document (0-based array indexing)."""
+    toks = F.split(text_col, " ")
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1))),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+            ),
+        )
+    )
+
+
+_SHINGLES_DUCK = """
+    list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        i -> string_split(text, ' ')[i] || ' ' ||
+             string_split(text, ' ')[i+1] || ' ' ||
+             string_split(text, ' ')[i+2]))
+"""
+
+
+@register(
+    "dedup_exact_hash",
+    """
+    WITH hashed AS (
+      SELECT doc_id, sha256(text) AS content_hash FROM documents)
+    SELECT content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM hashed
+    GROUP BY content_hash
+    ORDER BY keep_doc_id
+    """,
+    group="dedup",
+    doc="Exact dedup by SHA-256 content hash: keep min doc_id per hash. "
+    "One hash-groupBy shuffle; at 100 TB the hash (32 B) shuffles, "
+    "never the document bodies.",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2("text", 256).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, j, minhash) — K_PERM minhash values per document.
+
+    Plan shape: explode shingles → md5-derived 31-bit hash → cross
+    join the K permutation params (tiny, broadcast) → min per (doc, j).
+    Partial aggregation (map-side min) keeps the shuffle at
+    |docs|×K rows regardless of document length.
+    """
+    spark = docs.sparkSession
+    perms = spark.range(1, K_PERM + 1).select(
+        F.col("id").alias("j"),
+        (F.col("id") * 2 + 1).alias("a"),
+        (F.col("id") * 40503 % P31).alias("b"),
+    )
+    sh = docs.select("doc_id", F.explode(_shingles_spark(F.col(text_col))).alias("shingle"))
+    h = sh.select("doc_id", (_tok_hash_spark(F.col("shingle")) % P31).alias("h"))
+    return (
+        h.crossJoin(F.broadcast(perms))
+        .groupBy("doc_id", "j")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % P31).alias("minhash"))
+    )
+
+
+_MINHASH_DUCK = f"""
+    WITH perms AS (
+      SELECT j, 2*j + 1 AS a, (j * 40503) % {P31} AS b
+      FROM (SELECT unnest(generate_series(1, {K_PERM})) AS j)),
+    shingled AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    hashed AS (
+      SELECT DISTINCT doc_id, {tok_hash_duck('shingle')} % {P31} AS h FROM shingled),
+    sigs AS (
+      SELECT doc_id, j, MIN((a * h + b) % {P31}) AS minhash
+      FROM hashed CROSS JOIN perms
+      GROUP BY doc_id, j)
+"""
+
+
+@register(
+    "dedup_minhash_signature",
+    _MINHASH_DUCK
+    + """
+    SELECT doc_id, CAST(j AS BIGINT) AS j, CAST(minhash AS BIGINT) AS minhash
+    FROM sigs
+    ORDER BY doc_id, j
+    """,
+    group="dedup",
+    doc="MinHash signature matrix (K=32, fixed permutation params) — "
+    "bit-identical across engines via the md5-prefix shingle hash.",
+)
+def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_signatures(d)
+        .select("doc_id", F.col("j").cast("bigint").alias("j"), F.col("minhash").cast("bigint"))
+        .orderBy("doc_id", "j")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signature matrix and self-join buckets → candidate pairs.
+
+    Band signature = ordered concat of the band's minhash values.
+    The join key is (band, signature): only same-bucket docs pair up,
+    so the cost is Σ bucket² — LSH's point — not n².
+    """
+    banded = (
+        sigs.withColumn("band", ((F.col("j") - 1) / ROWS_PER_BAND).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
+                    lambda s: s["minhash"].cast("string"),
+                ),
+                ",",
+            ).alias("sig")
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    _MINHASH_DUCK
+    + f"""
+    , banded AS (
+      SELECT doc_id, CAST(FLOOR((j - 1) / {ROWS_PER_BAND}) AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM sigs GROUP BY doc_id, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    doc_shingles AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    pair_overlap AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+        JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+        JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(ROUND(CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared), 6) AS DOUBLE) AS jaccard
+    FROM pair_overlap p JOIN sizes za ON za.doc_id = p.doc_a
+                        JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared) >= 0.5
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    group="dedup",
+    doc="Full MinHash-LSH near-dup pipeline: shingle → K=32 minhashes → "
+    "8 bands × 4 rows → bucket self-join → exact-Jaccard verify ≥ 0.5. "
+    "The scale path for near-dedup at 100 TB (no O(n²) stage).",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d)
+    cand = lsh_candidate_pairs(sigs)
+    sh = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    overlap = (
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("shared").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("shared")
+    )
+    return (
+        overlap.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT doc_id, {tok_hash_duck('tok')} % {P31} AS h FROM toks),
+    bits AS (
+      SELECT doc_id, b.b AS bit,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 30)) AS b) b
+      GROUP BY doc_id, b.b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    group="dedup",
+    doc="SimHash (31-bit) over distinct tokens: per-bit vote of "
+    "md5-derived token hashes. Equal signatures → near-dup candidates.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    h = toks.select("doc_id", (_tok_hash_spark(F.col("tok")) % P31).alias("h"))
+    bits = (
+        h.crossJoin(F.broadcast(spark.range(0, 31).select(F.col("id").alias("bit"))))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("(h >> CAST(bit AS INT)) & 1") == 1, 1).otherwise(-1)
+            ).alias("s")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << CAST(bit AS INT)"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH doc_shingles AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    pair_overlap AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS shared
+      FROM doc_shingles sa JOIN doc_shingles sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(ROUND(CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared), 6) AS DOUBLE) AS jaccard
+    FROM pair_overlap p JOIN sizes za ON za.doc_id = p.doc_a
+                        JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared) >= 0.6
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    group="dedup",
+    doc="n-gram Jaccard near-dup: shared-shingle blocking (never n²) + "
+    "exact Jaccard ≥ 0.6 over distinct 3-gram shingle sets.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    overlap = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jac = F.col("shared").cast("double") / (
+        F.col("za.n") + F.col("zb.n") - F.col("shared")
+    )
+    return (
+        overlap.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.6)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_cosine_similarity(a.embedding, b.embedding) AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine
+    FROM pairs
+    WHERE cos >= 0.4
+    ORDER BY vec_a, vec_b
+    """,
+    group="dedup",
+    doc="Embedding-cosine near-dup with label blocking (cluster-local "
+    "pairs only — the blocked variant of O(n²) similarity).",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = _cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.4)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def _cosine_expr(va, vb):
+    """Cosine similarity of two float arrays, computed in float64 with
+    left-to-right accumulation (matches DuckDB's list_cosine_similarity
+    evaluation order)."""
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(va, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(vb, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)

@@ -1,0 +1,133 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``
+— the Spark-side plumbing (schema, partitioning, UDF signature, batch
+shape) is real and tested; actual codec decoding is stubbed behind
+``NotImplementedError`` (image/audio libraries are not in this
+container) with a deterministic fake used by default so every stage
+downstream of decode is exercised end-to-end.
+
+The fixture corpus has no binary table, so the queries synthesize the
+payload column deterministically from `documents.text` (UTF-8 bytes
+stand in for an encoded image) — byte lengths, checksums and derived
+"dimensions" are then oracle-checkable in SQL.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.registry import register
+
+META_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, fake_width int, fake_height int, checksum string"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real codec decode — NOT IMPLEMENTED in this environment.
+
+    On a cluster with codec libraries installed this returns a decoded
+    ndarray; the deterministic fake below keeps the pipeline testable.
+    """
+    raise NotImplementedError(
+        "image/audio codecs are not available in this container; "
+        "use fake_decode_meta (deterministic) or install codecs"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for decode: derive a (width, height)
+    from the payload length, mimicking a header parse."""
+    n = len(payload)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def extract_media_metadata(media: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction stage: binary in → typed metadata
+    out, Arrow-batched. Partitioning is preserved (narrow op — no
+    shuffle), so a 100 TB corpus decodes embarrassingly parallel."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads = pdf["payload"]
+            meta = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len),
+                    "fake_width": payloads.map(lambda b: fake_decode_meta(b)[0]),
+                    "fake_height": payloads.map(lambda b: fake_decode_meta(b)[1]),
+                    "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+            yield meta
+
+    return media.mapInPandas(_extract, schema=META_SCHEMA)
+
+
+@register(
+    "multimodal_metadata_extract",
+    """
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           CAST((octet_length(CAST(text AS BLOB)) % 640) + 1 AS INTEGER) AS fake_width,
+           CAST((octet_length(CAST(text AS BLOB)) % 480) + 1 AS INTEGER) AS fake_height,
+           md5(text) AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="Binary payload → typed metadata via Arrow-batched mapInPandas "
+    "(decode stubbed deterministically; plumbing real).",
+)
+def multimodal_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return extract_media_metadata(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH frames AS (
+      SELECT doc_id, unnest(generate_series(0, ((octet_length(CAST(text AS BLOB)) // 64) - 1))) AS frame_no,
+             octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) >= 128)
+    SELECT doc_id, CAST(frame_no AS INTEGER) AS frame_no,
+           CAST(n_bytes AS BIGINT) AS n_bytes
+    FROM frames
+    WHERE frame_no % 4 = 0
+    ORDER BY doc_id, frame_no
+    """,
+    group="multimodal",
+    doc="Frame sampling plumbing: payload → frame index expansion → "
+    "every-4th-frame sample; at scale the expansion is a generator "
+    "expression, never materialized on the driver.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload")).filter(
+        F.length("payload") >= 128
+    )
+    frames = media.select(
+        "doc_id",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.explode(
+            F.sequence(F.lit(0), (F.length("payload") / F.lit(64)).cast("int") - 1)
+        ).alias("frame_no"),
+    )
+    return (
+        frames.filter(F.col("frame_no") % 4 == 0)
+        .select("doc_id", F.col("frame_no").cast("int").alias("frame_no"), "n_bytes")
+        .orderBy("doc_id", "frame_no")
+    )

@@ -1,0 +1,198 @@
+"""Similarity search over the embedding column (SURVEY §2C NS).
+
+- brute-force cosine top-k: broadcast the query set, scan the corpus
+  once, window top-k — the exact baseline. At 100 TB scale this is
+  one corpus scan per query batch with no shuffle of the corpus
+  (queries broadcast; the only shuffle is |queries|×k result rows).
+- hyperplane-LSH bucketed ANN: 12 fixed md5-derived hyperplanes →
+  sign-bit bucket per vector; candidates = same-bucket pairs → exact
+  cosine re-rank. The scale path: bucket join instead of cross join.
+
+Both are exact-arithmetic reproducible: cosine is computed in float64
+with left-to-right accumulation in both engines, and hyperplane
+components are md5-derived integers (no RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.dedup import _cosine_expr
+from flink_stream_spark.operators.registry import register
+
+N_QUERIES = 5  # query set: vec_id < 5
+TOP_K = 10
+N_PLANES = 12
+DIM = 64
+
+
+@register(
+    "simsearch_bruteforce_topk",
+    f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, match_id) AS rn
+      FROM scored)
+    SELECT query_id, match_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {TOP_K}
+    ORDER BY query_id, rank
+    """,
+    group="similarity",
+    doc="Exact ANN baseline: broadcast query set × corpus scan × "
+    "window top-k per query.",
+)
+def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("match_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "match_id",
+            _cosine_expr(F.col("q_emb"), F.col("c_emb")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "match_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "match_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _plane_component_spark(j, d):
+    """Deterministic pseudo-random hyperplane component in [-1000, 1000]:
+    md5 of 'plane:j:d' → int — the fixed-seed replacement for RNG."""
+    s = F.concat_ws(":", F.lit("plane"), j.cast("string"), d.cast("string"))
+    return (F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("bigint") % 2001) - 1000
+
+
+_PLANE_DUCK = (
+    "((CAST('0x' || substr(md5('plane:' || CAST(j AS VARCHAR) || ':' || "
+    "CAST(d AS VARCHAR)), 1, 12) AS BIGINT) % 2001) - 1000)"
+)
+
+
+def lsh_bucket(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """(id, bucket): sign-bit signature over N_PLANES fixed hyperplanes.
+
+    The projection is an exact integer dot product (embedding values
+    scaled ×1e6 and truncated) so bucket assignment is bit-identical
+    across engines — no float threshold flakiness at the sign boundary.
+    """
+    spark = vectors.sparkSession
+    planes = (
+        spark.range(0, N_PLANES)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(0, DIM).select(F.col("id").alias("d")))
+        .select("j", "d", _plane_component_spark(F.col("j"), F.col("d")).alias("w"))
+    )
+    comp = vectors.select(
+        F.col(id_col),
+        F.posexplode(F.col("embedding")).alias("d", "x"),
+    ).select(
+        id_col, "d", F.expr("CAST(x * 1000000 AS BIGINT)").alias("xi")
+    )
+    dots = (
+        comp.join(F.broadcast(planes), "d")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("xi") * F.col("w")).alias("dot"))
+    )
+    return dots.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("CAST(1 AS BIGINT) << CAST(j AS INT)")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bucket")
+    )
+
+
+@register(
+    "simsearch_lsh_buckets",
+    f"""
+    WITH planes AS (
+      SELECT j, d, {_PLANE_DUCK} AS w
+      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
+      CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS d)),
+    comp AS (
+      SELECT vec_id, u.d, CAST(u.x * 1000000 AS BIGINT) AS xi
+      FROM (SELECT vec_id,
+                   unnest(embedding) AS x,
+                   unnest(generate_series(0, {DIM - 1})) AS d
+            FROM embeddings) u(vec_id, x, d)),
+    dots AS (
+      SELECT vec_id, j, SUM(xi * w) AS dot
+      FROM comp JOIN planes ON comp.d = planes.d
+      GROUP BY vec_id, j)
+    SELECT vec_id,
+           CAST(SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+    FROM dots
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """,
+    group="similarity",
+    doc="Random-hyperplane LSH bucket assignment (12 fixed md5-derived "
+    "planes, integer dot products) — the blocking key for ANN at scale.",
+)
+def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucket(e).orderBy("vec_id")
+
+
+@register(
+    "simsearch_lsh_ann_topk",
+    None,  # pipeline composition; bucket+cosine stages oracle-checked above
+    group="similarity",
+    doc="Bucketed ANN: same-bucket candidates re-ranked by exact cosine, "
+    "top-3 per query vector. Join is on the 12-bit bucket — Σ bucket² "
+    "work instead of n²; recall traded for the missing cross-bucket "
+    "neighbors, the standard IVF/LSH trade.",
+)
+def simsearch_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    b = lsh_bucket(e)
+    eb = e.join(b, "vec_id")
+    a = eb.alias("a")
+    c = eb.alias("c")
+    scored = (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("match_id"),
+            _cosine_expr(F.col("a.embedding"), F.col("c.embedding")).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "match_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "query_id",
+            "match_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
