@@ -40,6 +40,10 @@ try:
     import flink_stream_spark.operators.multimodal  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.misc  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

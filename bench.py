@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Queries are timed on a warm session (one untimed warmup of the
+flagship query absorbs JVM/codegen startup). Each timing drives the
+full plan to completion via a count on the result (results are
+small aggregates; the scan/join/shuffle work dominates).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_stream_spark import get_spark  # noqa: E402
+from flink_stream_spark.operators import REGISTRY  # noqa: E402
+import flink_stream_spark.operators.relational  # noqa: F401,E402
+import flink_stream_spark.operators.events  # noqa: F401,E402
+import flink_stream_spark.operators.cdc  # noqa: F401,E402
+import flink_stream_spark.operators.text  # noqa: F401,E402
+import flink_stream_spark.operators.dedup  # noqa: F401,E402
+import flink_stream_spark.operators.similarity  # noqa: F401,E402
+import flink_stream_spark.operators.multimodal  # noqa: F401,E402
+import flink_stream_spark.operators.misc  # noqa: F401,E402
+
+# the headline set: one representative per operator family, all
+# scale-path variants (no O(n^2) members)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "agg_rollup",
+    "window_row_number_topk",
+    "events_window_tumbling",
+    "events_sessionize",
+    "cdc_apply_final_state",
+    "ingest_raw_json_upsert",
+    "text_fingerprint",
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "simsearch_bruteforce_topk",
+    "multimodal_metadata_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("flink_stream_spark-bench")
+
+    # warmup (untimed): absorb session/codegen startup
+    REGISTRY["q1_pricing_summary"].build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        spec.build(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

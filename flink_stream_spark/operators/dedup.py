@@ -51,6 +51,36 @@ def _shingles_spark(text_col):
     )
 
 
+def shingled_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles) with the token array materialized ONCE.
+
+    Two deliberate plan choices for CPU-heavy text derivation:
+    - repartition after the scan: a small compressed parquet file
+      arrives as one input split, which would serialize all the
+      shingling work onto one core (at 100 TB inputs arrive
+      many-splits, but per-file parallelism still caps per-row CPU
+      work — an explicit spread is the standard fix either way);
+    - tokenize into a materialized column first, then index it —
+      otherwise split(text) re-evaluates per shingle inside the
+      lambda (no common-subexpression elimination inside HOFs).
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    toked = docs.repartition(par, "doc_id").withColumn("__toks", F.split(F.col(text_col), " "))
+    n = F.size(F.col("__toks"))
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1))),
+            lambda i: F.concat_ws(
+                " ",
+                F.get(F.col("__toks"), i),
+                F.get(F.col("__toks"), i + 1),
+                F.get(F.col("__toks"), i + 2),
+            ),
+        )
+    )
+    return toked.select("doc_id", shingles.alias("shingles"))
+
+
 _SHINGLES_DUCK = """
     list_distinct(list_transform(
         generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
@@ -90,27 +120,50 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, j, minhash) — K_PERM minhash values per document.
+def _perm_params(j: int) -> tuple[int, int]:
+    return 2 * j + 1, (j * 40503) % P31
 
-    Plan shape: explode shingles → md5-derived 31-bit hash → cross
-    join the K permutation params (tiny, broadcast) → min per (doc, j).
-    Partial aggregation (map-side min) keeps the shuffle at
-    |docs|×K rows regardless of document length.
+
+def minhash_signature_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sig: array<bigint>[K_PERM]) — MinHash signatures.
+
+    Plan shape: explode distinct shingles → one md5-derived hash per
+    shingle row → groupBy(doc_id) with K codegen'd MIN aggregates.
+    Each permutation is a plain arithmetic expression inside the
+    hash-aggregate, so all K×|shingles| evaluations run in
+    whole-stage codegen (higher-order array lambdas are interpreted
+    per element and measured ~5× slower). Map-side partial
+    aggregation means the shuffle carries |docs|×K integers no
+    matter how long the documents are — the 100 TB posture.
     """
-    spark = docs.sparkSession
-    perms = spark.range(1, K_PERM + 1).select(
-        F.col("id").alias("j"),
-        (F.col("id") * 2 + 1).alias("a"),
-        (F.col("id") * 40503 % P31).alias("b"),
+    # explode_outer: plain explode lets Catalyst infer a
+    # size(shingles)>0 filter whose full shingle expression is pushed
+    # below the repartition exchange — serializing all shingling into
+    # the single-split scan task AND computing it twice. explode_outer
+    # carries no such constraint; the null row is dropped after.
+    sh = (
+        shingled_docs(docs, text_col)
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
-    sh = docs.select("doc_id", F.explode(_shingles_spark(F.col(text_col))).alias("shingle"))
     h = sh.select("doc_id", (_tok_hash_spark(F.col("shingle")) % P31).alias("h"))
-    return (
-        h.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % P31).alias("minhash"))
-    )
+
+    def _perm_min(j: int):
+        a, b = _perm_params(j)
+        return F.min((F.col("h") * a + b) % P31).alias(f"mh_{j}")
+
+    wide = h.groupBy("doc_id").agg(*[_perm_min(j) for j in range(1, K_PERM + 1)])
+    sig = F.array(*[F.col(f"mh_{j}") for j in range(1, K_PERM + 1)])
+    return wide.select("doc_id", sig.alias("sig"))
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, j, minhash) long format — explode of the array form."""
+    arr = minhash_signature_arrays(docs, text_col)
+    return arr.select(
+        "doc_id",
+        F.posexplode("sig").alias("j0", "minhash"),
+    ).select("doc_id", (F.col("j0") + 1).alias("j"), "minhash")
 
 
 _MINHASH_DUCK = f"""
@@ -149,36 +202,53 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signature matrix and self-join buckets → candidate pairs.
+def lsh_candidate_pairs(sig_arrays: DataFrame) -> DataFrame:
+    """Band the signature arrays and self-join buckets → candidate pairs.
 
-    Band signature = ordered concat of the band's minhash values.
-    The join key is (band, signature): only same-bucket docs pair up,
-    so the cost is Σ bucket² — LSH's point — not n².
+    Band signature = comma-joined slice of the signature array (a
+    map-only projection + one explode to BANDS rows per doc). The join
+    key is (band, signature): only same-bucket docs pair up, so the
+    cost is Σ bucket² — LSH's point — not n².
     """
-    banded = (
-        sigs.withColumn("band", ((F.col("j") - 1) / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "minhash"))),
-                    lambda s: s["minhash"].cast("string"),
-                ),
-                ",",
-            ).alias("sig")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("sig"), b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ).alias("sig_str"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    banded = sig_arrays.select("doc_id", F.explode(bands).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig_str").alias("sig")
+    )
+    # bucket-group instead of self-join: the signature pipeline is
+    # evaluated ONCE, and pairs are expanded inside each bucket's
+    # sorted doc_id array (buckets are small by construction — that is
+    # LSH's contract; a hot bucket means the band config is wrong)
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -219,32 +289,23 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(d)
-    cand = lsh_candidate_pairs(sigs)
-    sh = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    overlap = (
-        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    jac = F.col("shared").cast("double") / (
-        F.col("za.n") + F.col("zb.n") - F.col("shared")
+    shingled = shingled_docs(d)
+    cand = lsh_candidate_pairs(minhash_signature_arrays(d))
+    sa = shingled.alias("sa")
+    sb = shingled.alias("sb")
+    # verify: exact Jaccard via array_intersect on the two shingle sets —
+    # two doc_id joins (broadcast-able doc→shingles side at any scale
+    # where candidates << corpus), no shingle-level explode
+    shared = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
+    jac = shared.cast("double") / (
+        F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - shared
     )
     return (
-        overlap.join(za, F.col("za.doc_id") == F.col("doc_a"))
-        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.5)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -274,8 +335,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.explode_outer(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
     )
     h = toks.select("doc_id", (_tok_hash_spark(F.col("tok")) % P31).alias("h"))
     bits = (
@@ -325,7 +389,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(_shingles_spark(F.col("text"))).alias("shingle"))
+    sh = (
+        shingled_docs(d)
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.alias("sa")
     sb = sh.alias("sb")

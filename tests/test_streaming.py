@@ -1,0 +1,135 @@
+"""Streaming-vs-batch parity + watermark semantics.
+
+Every streaming operator must produce the same result as its batch
+twin over a full replay (SURVEY §7), and late data beyond the
+watermark must be dropped (tested by construction: ordered replay
+with controlled lateness).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from flink_stream_spark.operators.events import (
+    events_sessionize,
+    events_window_tumbling,
+)
+from flink_stream_spark.streaming.windows import (
+    session_counts,
+    stream_events,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+def _run_to_memory(stream_df, name, mode):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def test_tumbling_window_parity(spark, sf_small):
+    s = stream_events(spark, sf_small)
+    _run_to_memory(tumbling_counts(s), "t_tumble", "complete")
+    got = {
+        (r["window_start_ms"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_tumble").collect()
+    }
+    want = {
+        (r["window_start_ms"], r["event_type"]): (r["n"], r["total_value"])
+        for r in events_window_tumbling(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_session_window_parity(spark, sf_small):
+    s = stream_events(spark, sf_small)
+    _run_to_memory(session_counts(s), "t_sess", "complete")
+    got = sorted(
+        (r["user_id"], r["session_start_ms"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_sess").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start_ms"], r["n_events"])
+        for r in events_sessionize(spark, sf_small).collect()
+    )
+    assert got == want
+
+
+def test_streaming_dedup_counts(spark, sf_small):
+    s = stream_events(spark, sf_small)
+    _run_to_memory(streaming_dedup(s), "t_dedup", "append")
+    n = spark.sql("SELECT COUNT(*) AS n FROM t_dedup").collect()[0]["n"]
+    distinct_keys = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert n == distinct_keys
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two ordered JSONL batches: batch 2 contains an event far older
+    than watermark(10m) after batch 1 advanced event time — the late
+    row must not create/extend any window in append output."""
+    src = tmp_path / "stream"
+    src.mkdir()
+
+    def write_batch(fname, rows):
+        with open(src / fname, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch(
+        "b1.jsonl",
+        [
+            {"event_id": 1, "ts": "2024-01-01 10:05:00", "v": 1.0},
+            {"event_id": 2, "ts": "2024-01-01 12:00:00", "v": 1.0},  # advances WM to 11:50
+        ],
+    )
+    stream = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+        .select(
+            F.get_json_object("value", "$.event_id").try_cast("long").alias("event_id"),
+            F.get_json_object("value", "$.ts").try_cast("timestamp").alias("ts"),
+            F.get_json_object("value", "$.v").try_cast("double").alias("v"),
+        )
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = agg.writeStream.format("memory").queryName("t_late").outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: one in-time event + one very late event (08:10 < WM)
+        write_batch(
+            "b2.jsonl",
+            [
+                {"event_id": 3, "ts": "2024-01-01 08:10:00", "v": 1.0},  # LATE → dropped
+                {"event_id": 4, "ts": "2024-01-01 14:00:00", "v": 1.0},  # advances WM further
+            ],
+        )
+        q.processAllAvailable()
+        # push watermark far ahead so all surviving windows close
+        write_batch("b3.jsonl", [{"event_id": 5, "ts": "2024-01-01 23:00:00", "v": 1.0}])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["ws"].hour: r["n"] for r in spark.sql("SELECT * FROM t_late").collect()}
+    assert rows.get(10) == 1  # 10:00 window has only event 1
+    assert 8 not in rows  # late 08:10 event was dropped, no 08:00 window
+    assert rows.get(12) == 1 and rows.get(14) == 1
