@@ -58,6 +58,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     so pushdown/pruning on every other column is unaffected.
     """
     path = table_path(sf_dir, name)
+    # determinism-critical session confs, set defensively because the
+    # external driver constructs its own SparkSession: timestamps must
+    # be UTC to line up with DuckDB's naive-UTC parquet reads
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         try:  # runtime-settable; the external driver's session needs it too
