@@ -425,7 +425,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH pairs AS (
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-             list_cosine_similarity(a.embedding, b.embedding) AS cos
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id)
     SELECT vec_a, vec_b, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine

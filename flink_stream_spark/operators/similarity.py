@@ -35,7 +35,8 @@ DIM = 64
     WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS match_id,
-             list_cosine_similarity(q.embedding, c.embedding) AS cos
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos
       FROM q JOIN embeddings c ON c.vec_id <> q.vec_id),
     ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -110,7 +111,7 @@ def lsh_bucket(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
         F.col(id_col),
         F.posexplode(F.col("embedding")).alias("d", "x"),
     ).select(
-        id_col, "d", F.expr("CAST(x * 1000000 AS BIGINT)").alias("xi")
+        id_col, "d", F.expr("CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT)").alias("xi")
     )
     dots = (
         comp.join(F.broadcast(planes), "d")
@@ -134,7 +135,7 @@ def lsh_bucket(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
       FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
       CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS d)),
     comp AS (
-      SELECT vec_id, u.d, CAST(u.x * 1000000 AS BIGINT) AS xi
+      SELECT vec_id, u.d, CAST(CAST(u.x AS DOUBLE) * 1000000 AS BIGINT) AS xi
       FROM (SELECT vec_id,
                    unnest(embedding) AS x,
                    unnest(generate_series(0, {DIM - 1})) AS d
