@@ -91,6 +91,10 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
 )
 def multimodal_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # no repartition here: at this fixture scale the Python-worker
+    # spin-up for extra partitions costs more than the decode work;
+    # a real 100 TB corpus arrives many-splits and parallelizes at
+    # the scan (extract_media_metadata is a narrow op either way)
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return extract_media_metadata(media).orderBy("doc_id")
 

@@ -56,7 +56,11 @@ def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    c = e.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb"))
+    # spread the corpus (single-split scan) before the per-row cosine work
+    par = spark.sparkContext.defaultParallelism
+    c = e.repartition(par, "vec_id").select(
+        F.col("vec_id").alias("match_id"), F.col("embedding").alias("c_emb")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("match_id") != F.col("query_id"))
