@@ -75,6 +75,151 @@ def events_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_interval_join",
+    """
+    SELECT a.event_id AS purchase_id, b.event_id AS click_id,
+           CAST(epoch_ms(a.ts) - epoch_ms(b.ts) AS BIGINT) AS lag_ms
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND b.ts <= a.ts
+     AND b.ts > a.ts - INTERVAL 10 MINUTE
+    ORDER BY purchase_id, click_id
+    """,
+    group="streaming",
+    doc="Interval join (purchase ⋈ clicks within a 10-minute lookback, "
+    "per user): the batch twin of a stream-stream join with a time "
+    "bound — equi key on user plus a range residual, so the plan is a "
+    "hash join with a post-filter, never a cartesian.",
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase").alias("a")
+    b = e.filter(F.col("event_type") == "click").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") <= F.col("a.ts"))
+            & (F.col("b.ts") > F.col("a.ts") - F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            F.col("a.event_id").alias("purchase_id"),
+            F.col("b.event_id").alias("click_id"),
+            (F.unix_millis("a.ts") - F.unix_millis("b.ts")).alias("lag_ms"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS click_ms
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    filled AS (
+      SELECT *, MAX(click_ms) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS last_click_ms
+      FROM tagged)
+    SELECT event_id AS purchase_id,
+           CAST(last_click_ms AS BIGINT) AS asof_click_ms,
+           CAST(epoch_ms(ts) - last_click_ms AS BIGINT) AS since_click_ms
+    FROM filled
+    WHERE event_type = 'purchase' AND last_click_ms IS NOT NULL
+    ORDER BY purchase_id
+    """,
+    group="streaming",
+    doc="As-of (backward) join: each purchase matched to the latest "
+    "click at-or-before it, per user — expressed as a running MAX "
+    "over the merged event stream (one window shuffle; no per-group "
+    "merge_asof UDF needed).",
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.unix_millis("ts")).alias("click_ms"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    filled = tagged.withColumn("last_click_ms", F.max("click_ms").over(w))
+    return (
+        filled.filter(
+            (F.col("event_type") == "purchase") & F.col("last_click_ms").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("last_click_ms").cast("bigint").alias("asof_click_ms"),
+            (F.unix_millis("ts") - F.col("last_click_ms"))
+            .cast("bigint")
+            .alias("since_click_ms"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@register(
+    "scalar_unpivot",
+    """
+    SELECT s_suppkey, metric, CAST(val AS DOUBLE) AS val
+    FROM (
+      SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+      UNION ALL
+      SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS val FROM supplier)
+    ORDER BY s_suppkey, metric
+    """,
+    group="scalar",
+    doc="Unpivot via stack(): wide → long without N scans.",
+)
+def scalar_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.selectExpr(
+            "s_suppkey",
+            "stack(2, 'acctbal', CAST(s_acctbal AS DOUBLE), "
+            "'nationkey', CAST(s_nationkey AS DOUBLE)) AS (metric, val)",
+        )
+        .orderBy("s_suppkey", "metric")
+    )
+
+
+@register(
+    "subquery_correlated",
+    """
+    SELECT p.p_partkey, p.p_brand, CAST(p.p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part p
+    WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+    ORDER BY p.p_partkey
+    """,
+    group="subquery",
+    doc="Correlated scalar subquery (cheapest part per brand) — "
+    "Catalyst decorrelates it into an aggregate + join.",
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("_sc_part")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand, CAST(p.p_retailprice AS DOUBLE) AS p_retailprice
+        FROM _sc_part p
+        WHERE p.p_retailprice = (SELECT MIN(p2.p_retailprice) FROM _sc_part p2
+                                 WHERE p2.p_brand = p.p_brand)
+        ORDER BY p.p_partkey
+        """
+    )
+
+
+@register(
     "agg_percentile_approx",
     None,  # sketch-based: rows-only (error contract, not hash equality)
     group="aggregation",

@@ -77,6 +77,48 @@ def test_streaming_dedup_counts(spark, sf_small):
     assert n == distinct_keys
 
 
+def test_stream_stream_interval_join_parity(spark, sf_small):
+    """Watermarked stream-stream join (purchase ⋈ clicks, 10 min
+    lookback) produces the same pairs as the batch interval join."""
+    from flink_stream_spark.operators.misc import events_interval_join
+
+    s = stream_events(spark, sf_small)
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+    ).select("purchase_id", "click_id")
+    _run_to_memory(joined, "t_ssjoin", "append")
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_ssjoin").collect()
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in events_interval_join(spark, sf_small).collect()
+    )
+    assert got == want
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Two ordered JSONL batches: batch 2 contains an event far older
     than watermark(10m) after batch 1 advanced event time — the late
