@@ -1,0 +1,7 @@
+from flink_stream_spark.sources.connectors import (
+    read_batch,
+    open_stream,
+    kafka_available,
+)
+
+__all__ = ["read_batch", "open_stream", "kafka_available"]

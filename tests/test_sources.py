@@ -1,0 +1,53 @@
+"""Source connector layer: file formats batch+stream, graceful
+degradation for connectors whose jars aren't in this image."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_stream_spark.sources import kafka_available, open_stream, read_batch
+
+
+@pytest.fixture(scope="module")
+def sample(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("src")
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"), F.lit("x").alias("tag")
+    )
+    df.write.mode("overwrite").parquet(str(root / "p"))
+    df.write.mode("overwrite").option("header", "true").csv(str(root / "c"))
+    df.write.mode("overwrite").json(str(root / "j"))
+    df.write.mode("overwrite").orc(str(root / "o"))
+    return root
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json", "orc"])
+def test_read_batch_formats(spark, sample, fmt):
+    sub = {"parquet": "p", "csv": "c", "json": "j", "orc": "o"}[fmt]
+    df = read_batch(spark, f"{fmt}:{sample}/{sub}", schema="id long, v long, tag string"
+                    if fmt in ("csv", "json") else None)
+    assert df.count() == 100
+    assert {f.name for f in df.schema.fields} == {"id", "v", "tag"}
+
+
+def test_stream_json_source(spark, sample):
+    s = open_stream(spark, f"json:{sample}/j", schema="id long, v long, tag string")
+    q = s.groupBy().count().writeStream.format("memory").queryName("t_src").outputMode(
+        "complete"
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT * FROM t_src").collect()[0]["count"] == 100
+
+
+def test_kafka_unavailable_is_clear(spark):
+    if kafka_available(spark):
+        pytest.skip("kafka connector present")
+    with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+        open_stream(spark, "kafka:localhost:9092/topic")
+
+
+def test_bad_scheme(spark):
+    with pytest.raises(ValueError, match="unsupported"):
+        read_batch(spark, "avro:/tmp/x")
