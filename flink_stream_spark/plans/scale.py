@@ -1,0 +1,70 @@
+"""Scale utilities: bucketed co-located joins, skew salting, plan text.
+
+The two levers SURVEY §7 calls out for the 100 TB posture beyond what
+AQE does automatically:
+
+- **bucketing**: persist both join sides bucketed on the join key so
+  repeated joins co-locate with NO shuffle exchange (verified by plan
+  assertion in tests/test_scale_plans.py);
+- **salting**: explode a hot build-side key into S salt replicas and
+  scatter the probe side, for skew AQE can't fix (e.g. a single key
+  holding >1 partition of data in a non-join aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The plan text (what .explain prints), as a string for asserts."""
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+def bucketize_table(
+    df: DataFrame,
+    name: str,
+    key: str,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Persist ``df`` as a bucketed+sorted managed table and return it.
+
+    Joins/aggregations between tables bucketed identically on the join
+    key skip the shuffle entirely — the physical plan has no Exchange
+    on either side. This is how a 100 TB fact table joins a 10 TB fact
+    table repeatedly without re-shuffling either.
+    """
+    spark = df.sparkSession
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return spark.table(name)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join resilient to a pathologically hot key.
+
+    The (small-ish) right side is replicated ``salt`` times with a salt
+    column; the left side scatters each row to one replica. The hot
+    key's rows spread over ``salt`` tasks instead of one. Output
+    columns match a plain ``left.join(right, key, how)``.
+    """
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
+    right_rep = right.select("*", salts)
+    left_salted = left.withColumn(
+        "__salt", (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)))
+    )
+    joined = left_salted.join(right_rep, on=[key, "__salt"], how=how)
+    return joined.drop("__salt")

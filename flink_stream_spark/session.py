@@ -42,6 +42,7 @@ def get_spark(app_name: str = "flink_stream_spark", cpus: int | None = None) -> 
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.warehouse.dir", "/tmp/flink_stream_spark/warehouse")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

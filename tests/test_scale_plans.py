@@ -1,0 +1,52 @@
+"""Bucketing removes the join shuffle; salting spreads a hot key.
+
+Plan-level and result-level checks for the scale utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.plans import bucketize_table, explain_str, salted_join
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o = load_table(spark, sf_small, "orders")
+    l = load_table(spark, sf_small, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    bo = bucketize_table(o, "b_orders", "o_orderkey", 8)
+    bl = bucketize_table(l, "b_lineitem", "o_orderkey", 8)
+    joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
+    plan = explain_str(joined)
+    join_section = plan.split("SortMergeJoin")[0] if "SortMergeJoin" in plan else plan
+    # no shuffle exchange feeding the join (bucketed co-location)
+    assert "Exchange hashpartitioning(o_orderkey" not in join_section
+    # result parity with the plain join
+    want = (
+        o.join(l, "o_orderkey").groupBy("o_orderstatus").count().collect()
+    )
+    got = joined.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_salted_join_matches_plain_join(spark, sf_small):
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = (
+        o.join(c, "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    salted = (
+        salted_join(o, c, "o_custkey", salt=8)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
