@@ -11,8 +11,13 @@ from flink_stream_spark.plans import bucketize_table, explain_str, salted_join
 
 
 def test_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
-    spark.sql("DROP TABLE IF EXISTS b_orders")
-    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    import shutil
+
+    for t in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # the in-memory catalog forgets tables between sessions but the
+        # warehouse directory persists — clear it or CREATE fails
+        shutil.rmtree(f"/tmp/flink_stream_spark/warehouse/{t}", ignore_errors=True)
     o = load_table(spark, sf_small, "orders")
     l = load_table(spark, sf_small, "lineitem").withColumnRenamed(
         "l_orderkey", "o_orderkey"

@@ -119,6 +119,48 @@ def test_stream_stream_interval_join_parity(spark, sf_small):
     assert got == want
 
 
+def test_stateful_user_profiles(spark, sf_small):
+    """applyInPandasWithState running profile: final per-user state
+    equals the batch aggregate over the full replay."""
+    from flink_stream_spark.streaming.stateful import user_profiles
+
+    s = stream_events(spark, sf_small)
+    q = (
+        user_profiles(s)
+        .writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    # update mode may emit several rows per key (one per batch); the
+    # last emitted row per key is the final state
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"], r["last_event_id"])
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY n_events DESC) rn FROM t_state) WHERE rn = 1"
+        ).collect()
+    }
+    batch = spark.read.parquet(f"{sf_small}/events.parquet")
+    want = {
+        r["user_id"]: (r["n"], r["tv"], r["last"])
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+            F.max("event_id").alias("last"),
+        )
+        .collect()
+    }
+    assert set(final) == set(want)
+    for k in want:
+        assert final[k][0] == want[k][0], k
+        assert abs(final[k][1] - want[k][1]) < 0.05, k
+        assert final[k][2] == want[k][2], k
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Two ordered JSONL batches: batch 2 contains an event far older
     than watermark(10m) after batch 1 advanced event time — the late
