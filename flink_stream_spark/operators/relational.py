@@ -692,8 +692,9 @@ def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_orderkey",
             "o_orderstatus",
-            F.rank().over(w1).alias("rnk"),
-            F.dense_rank().over(w2).alias("drnk"),
+            # bigint to match DuckDB's window-function result type
+            F.rank().over(w1).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w2).cast("bigint").alias("drnk"),
         )
         .orderBy("o_orderkey")
     )
@@ -784,7 +785,7 @@ def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.select(
             "c_custkey",
-            F.ntile(4).over(w).alias("quartile"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
             F.percent_rank().over(w).cast("double").alias("pct_rank"),
             F.cume_dist().over(w).cast("double").alias("cume"),
         )
@@ -1050,13 +1051,15 @@ def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-           string_split(text, ' ')[1:3] AS first3,
-           list_sort(string_split(substr(text, 1, 40), ' ')) AS sorted_head,
+           array_to_string(string_split(text, ' ')[1:3], '|') AS first3,
+           array_to_string(list_sort(string_split(substr(text, 1, 40), ' ')), '|') AS sorted_head,
            CASE WHEN list_contains(string_split(text, ' '), 'spark') THEN 1 ELSE 0 END AS has_spark
     FROM documents
     ORDER BY doc_id
     """,
     group="scalar",
+    doc="Array fns (split/slice/sort/contains/join); array outputs are "
+    "string-joined so the cross-engine hash sees one scalar encoding.",
 )
 def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
@@ -1064,8 +1067,10 @@ def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(toks).cast("int").alias("n_tokens"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.sort_array(F.split(F.substring("text", 1, 40), " ")).alias("sorted_head"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+        F.array_join(
+            F.sort_array(F.split(F.substring("text", 1, 40), " ")), "|"
+        ).alias("sorted_head"),
         F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("has_spark"),
     ).orderBy("doc_id")
 
