@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from flink_stream_spark.catalog import load_table
+from flink_stream_spark.catalog import TABLES, load_table, load_tables
 from flink_stream_spark.operators.registry import register
 
 
@@ -72,6 +72,28 @@ def events_enrich_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "catalog_list_tables",
+    f"""
+    SELECT table_name AS name FROM information_schema.tables
+    WHERE table_name IN ({", ".join(repr(t) for t in TABLES)})
+    ORDER BY name
+    """,
+    group="maintenance",
+    doc="Catalog introspection (SHOW TABLES): the reference's "
+    "information_schema scan (snapshot_mgmt.py:13-14) over the bound "
+    "fixture tables.",
+)
+def catalog_list_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    names = sorted(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name in TABLES and t.isTemporary
+    )
+    return spark.createDataFrame([(n,) for n in names], "name string")
 
 
 @register(
