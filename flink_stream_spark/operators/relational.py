@@ -643,6 +643,105 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_collect_sorted",
+    """
+    SELECT n_regionkey,
+           array_to_string(list(n_name ORDER BY n_name), ',') AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    group="aggregation",
+    doc="List aggregation with deterministic order: collect_list is "
+    "partition-order-dependent, so results sort before joining.",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.groupBy("n_regionkey")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"))
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_quantity, 0.5), 6) AS DOUBLE) AS median_qty,
+           CAST(quantile_disc(l_extendedprice, 0.95) AS DOUBLE) AS p95_price_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+    doc="Exact quantiles: continuous (interpolated) median + discrete "
+    "p95 (an actual data value, so bit-exact across engines).",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6)
+            .cast("double")
+            .alias("median_qty"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .cast("double")
+            .alias("p95_price_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "agg_corr_exact",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(ROUND(
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+           AS DOUBLE) AS corr_qty_price
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+    doc="Pearson correlation via exact decimal moments — deterministic "
+    "under unordered partial aggregation, unlike corr() on doubles.",
+)
+def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x = _dec("l_quantity")
+    y = _dec("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "l_returnflag", F.round(corr, 6).cast("double").alias("corr_qty_price")
+    ).orderBy("l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
