@@ -48,6 +48,10 @@ try:
     import flink_stream_spark.operators.udfs  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.tpch_extra  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
