@@ -440,11 +440,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.alias("a")
+    # spread the probe side (single-split scan), broadcast the build
+    # side: pair generation AND the per-pair cosine run fully parallel
+    # with no pair-level shuffle (a label-keyed shuffle would collapse
+    # to ≤|labels| partitions and serialize the cosine work)
+    par = spark.sparkContext.defaultParallelism
+    a = e.repartition(par, "vec_id").alias("a")
     b = e.alias("b")
     cos = _cosine_expr(F.col("a.embedding"), F.col("b.embedding"))
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.join(
+            F.broadcast(b),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),

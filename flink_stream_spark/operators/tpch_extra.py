@@ -34,8 +34,8 @@ def _dec(c):
         JOIN customer c ON c.c_custkey = o.o_custkey
         JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
         JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-         OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+      WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_11')
+         OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_9')
     ) l
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
@@ -53,8 +53,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = load_table(spark, sf_dir, "nation").alias("n2")
     rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
     pair = (
-        (F.col("n1.n_name") == "FRANCE") & (F.col("n2.n_name") == "GERMANY")
-    ) | ((F.col("n1.n_name") == "GERMANY") & (F.col("n2.n_name") == "FRANCE"))
+        (F.col("n1.n_name") == "NATION_9") & (F.col("n2.n_name") == "NATION_11")
+    ) | ((F.col("n1.n_name") == "NATION_11") & (F.col("n2.n_name") == "NATION_9"))
     return (
         s.join(l, s.s_suppkey == l.l_suppkey)
         .join(o, o.o_orderkey == l.l_orderkey)

@@ -48,6 +48,32 @@ def test_kafka_unavailable_is_clear(spark):
         open_stream(spark, "kafka:localhost:9092/topic")
 
 
+def test_rate_stream_source(spark):
+    """Built-in rate source: the Kafka stand-in for throughput tests
+    (§2C 'Rate/replayed stream source')."""
+    s = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 100)
+        .load()
+        .select("timestamp", "value")
+    )
+    q = s.writeStream.format("memory").queryName("t_rate").outputMode("append").start()
+    try:
+        import time
+
+        deadline = time.time() + 15
+        n = 0
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) AS n FROM t_rate").collect()[0]["n"]
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+
+
 def test_bad_scheme(spark):
     with pytest.raises(ValueError, match="unsupported"):
         read_batch(spark, "avro:/tmp/x")
