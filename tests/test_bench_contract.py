@@ -1,0 +1,34 @@
+"""bench.py must print exactly one valid JSON line with the driver's
+expected keys — run at sf0.001 so the check is fast."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_json_contract():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+        cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    doc = json.loads(line)
+    assert doc["metric"] == "headline_total"
+    assert doc["unit"] == "sec"
+    assert isinstance(doc["value"], (int, float)) and doc["value"] > 0
+    assert doc["sf"] == 0.001
+    assert isinstance(doc["queries"], dict) and len(doc["queries"]) >= 10
+    assert all(isinstance(v, (int, float)) for v in doc["queries"].values())
