@@ -225,6 +225,48 @@ def test_streaming_raw_json_ingest_e2e(spark, tmp_path):
     assert "ts" in t.read(spark).columns
 
 
+def test_streaming_restart_from_checkpoint(spark, tmp_path):
+    """Stop the ingest query, append more data, restart with the SAME
+    checkpoint: already-processed files are not re-read, new files are,
+    and the final table state is exactly once per key (A14 semantics —
+    the reference gets this from Flink checkpoint + Iceberg commits)."""
+    src = tmp_path / "topic"
+    src.mkdir()
+    t = ManagedTable(str(tmp_path / "wh"), "acct", ["user_id"])
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        return start_raw_json_ingest(
+            spark,
+            str(src),
+            t,
+            [JsonField("user_id", "$.user_id", "int"), JsonField("email", "$.email", "string")],
+            key="user_id",
+            checkpoint_dir=ckpt,
+        )
+
+    with open(src / "b1.jsonl", "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"user_id": i, "email": f"a{i}@x"}) + "\n")
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    v_after_first = t.current_version()
+    assert t.read(spark).count() == 10
+
+    with open(src / "b2.jsonl", "w") as f:
+        for i in range(5, 15):  # 5 updates + 5 new keys
+            f.write(json.dumps({"user_id": i, "email": f"b{i}@x"}) + "\n")
+    q = start()  # fresh query object, same checkpoint
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user_id"]: r["email"] for r in t.read(spark).collect()}
+    assert len(got) == 15
+    assert got[4] == "a4@x" and got[5] == "b5@x" and got[14] == "b14@x"
+    # restart did not replay batch 1 (would show as an extra version)
+    assert t.current_version() == v_after_first + 1
+
+
 def test_streaming_cdc_pipeline_e2e(spark, tmp_path):
     """Envelope stream → routed MERGE across two tables, two epochs."""
     src = tmp_path / "cdc_topic"
