@@ -37,10 +37,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark can't scan
-    them natively; we read them as raw int64 nanos and convert."""
-    import pyarrow.parquet as pq
-    import pyarrow as pa
+    them natively; we read them as raw int64 nanos and convert.
 
+    Handles both single-file parquet (the fixtures) and directory
+    layout (anything Spark wrote)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            return []
+        path = parts[0]
     out = []
     for field in pq.read_schema(path):
         if pa.types.is_timestamp(field.type) and field.type.unit == "ns":

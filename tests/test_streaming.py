@@ -64,6 +64,31 @@ def test_session_window_parity(spark, sf_small):
     assert got == want
 
 
+def test_sliding_window_parity(spark, sf_small):
+    from flink_stream_spark.operators.events import events_window_sliding
+
+    s = stream_events(spark, sf_small)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), "n", "total_value")
+    )
+    _run_to_memory(agg, "t_slide", "complete")
+    got = {
+        r["window_start_ms"]: (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_slide").collect()
+    }
+    want = {
+        r["window_start_ms"]: (r["n"], r["total_value"])
+        for r in events_window_sliding(spark, sf_small).collect()
+    }
+    assert got == want
+
+
 def test_streaming_dedup_counts(spark, sf_small):
     s = stream_events(spark, sf_small)
     _run_to_memory(streaming_dedup(s), "t_dedup", "append")
