@@ -30,6 +30,8 @@ import flink_stream_spark.operators.dedup  # noqa: F401,E402
 import flink_stream_spark.operators.similarity  # noqa: F401,E402
 import flink_stream_spark.operators.multimodal  # noqa: F401,E402
 import flink_stream_spark.operators.misc  # noqa: F401,E402
+import flink_stream_spark.operators.udfs  # noqa: F401,E402
+import flink_stream_spark.operators.tpch_extra  # noqa: F401,E402
 
 # the headline set: one representative per operator family, all
 # scale-path variants (no O(n^2) members)
@@ -37,10 +39,13 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q7_nation_volume",
+    "q18_large_volume_customer",
     "agg_rollup",
     "window_row_number_topk",
     "events_window_tumbling",
     "events_sessionize",
+    "events_interval_join",
     "cdc_apply_final_state",
     "ingest_raw_json_upsert",
     "text_fingerprint",
