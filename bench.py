@@ -6,9 +6,12 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Queries are timed on a warm session (one untimed warmup of the
-flagship query absorbs JVM/codegen startup). Each timing drives the
-full plan to completion via a count on the result (results are
-small aggregates; the scan/join/shuffle work dominates).
+flagship query absorbs JVM/codegen startup). Each timing writes the
+result to Spark's noop sink: every output row and column is fully
+computed and serialized, but nothing hits disk or the driver. (A
+bare .count() would let Catalyst prune the very expressions being
+measured — e.g. q1's SUM aggregates and text_fingerprint's hash
+collapse to a parquet row-count under count().)
 """
 
 from __future__ import annotations
@@ -61,14 +64,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("flink_stream_spark-bench")
 
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # warmup (untimed): absorb session/codegen startup
-    REGISTRY["q1_pricing_summary"].build(spark, sf_dir).count()
+    materialize(REGISTRY["q1_pricing_summary"].build(spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = REGISTRY[name]
         t0 = time.perf_counter()
-        spec.build(spark, sf_dir).count()
+        materialize(spec.build(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
     print(

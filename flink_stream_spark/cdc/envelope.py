@@ -81,8 +81,18 @@ def last_per_key(changes: DataFrame, keys: list[str], order_cols: list[str]) -> 
     MERGE must apply only the final state per key or u-then-d within
     one batch corrupts the table (SURVEY §7 'What's hard'). One
     window shuffle on the key — skew-safe under AQE.
+
+    Ties on ``order_cols`` (two envelopes with equal ts_ms AND lsn for
+    one key) are broken by a content-derived hash of the full row, so
+    the winner is a pure function of the batch's data — identical
+    across runs, retries, and partial-stage recomputes. (Truly
+    identical duplicate envelopes tie harmlessly: every copy IS the
+    same row.)
     """
-    w = W.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_cols])
+    tie = F.xxhash64(*[F.col(c) for c in changes.columns])
+    w = W.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_cols], tie.desc()
+    )
     return (
         changes.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -105,7 +115,9 @@ def apply_cdc_batch(
     data_cols = [c for c in reduced.columns if not c.startswith("_")]
     upserts = reduced.filter(F.col(OP_COL) != "d").select(*data_cols)
     deletes = reduced.filter(F.col(OP_COL) == "d").select(*keys)
-    return table.merge(upserts, keys=keys, deletes=deletes)
+    # last_per_key already guarantees ≤1 row per key — skip merge's
+    # duplicate-key aggregate (one Spark job per micro-batch saved)
+    return table.merge(upserts, keys=keys, deletes=deletes, validate_unique_keys=False)
 
 
 def route_tables(changes: DataFrame) -> list[str]:

@@ -37,13 +37,24 @@ ROWS_PER_BAND = K_PERM // BANDS
 P31 = 2147483647  # 2^31 - 1
 
 
+def _shingle_index_range(n):
+    """[0 .. n-3] for n >= 3 else empty — matching the oracle's
+    generate_series(1, greatest(n-2, 0)). Spark's sequence(0, -1)
+    yields [0, -1] (descending step), so the n<3 case must be gated
+    explicitly or short docs produce degenerate shingles the oracle
+    doesn't have."""
+    return F.when(n >= 3, F.sequence(F.lit(0), (n - 3).cast("int"))).otherwise(
+        F.expr("CAST(array() AS ARRAY<INT>)")
+    )
+
+
 def _shingles_spark(text_col):
     """Distinct 3-word shingles of a document (0-based array indexing)."""
     toks = F.split(text_col, " ")
     n = F.size(toks)
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1))),
+            _shingle_index_range(n),
             lambda i: F.concat_ws(
                 " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
             ),
@@ -69,7 +80,7 @@ def shingled_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n = F.size(F.col("__toks"))
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(n - 3, F.lit(-1))),
+            _shingle_index_range(n),
             lambda i: F.concat_ws(
                 " ",
                 F.get(F.col("__toks"), i),

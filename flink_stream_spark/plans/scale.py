@@ -60,11 +60,27 @@ def salted_join(
     column; the left side scatters each row to one replica. The hot
     key's rows spread over ``salt`` tasks instead of one. Output
     columns match a plain ``left.join(right, key, how)``.
+
+    Only ``inner`` and ``left`` joins are supported: under right/full,
+    an unmatched right row would surface once per salt replica. The
+    salt is derived deterministically from the left row's content
+    (xxhash64 of all columns) — a nondeterministic salt (e.g. from
+    monotonically_increasing_id) re-salts rows when a lost executor's
+    partition is recomputed mid-shuffle, dropping/duplicating output.
+    Content-identical left duplicates land on one replica: correct
+    (each still joins), merely not spread — acceptable unless the hot
+    key's rows are ALSO all byte-identical.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "unmatched right rows would appear once per salt replica"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     right_rep = right.select("*", salts)
     left_salted = left.withColumn(
-        "__salt", (F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt)))
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int"),
     )
     joined = left_salted.join(right_rep, on=[key, "__salt"], how=how)
     return joined.drop("__salt")

@@ -121,6 +121,7 @@ class ManagedTable:
         upserts: DataFrame,
         keys: list[str] | None = None,
         deletes: DataFrame | None = None,
+        validate_unique_keys: bool = True,
     ) -> int:
         """Keyed upsert + optional delete — one MERGE commit.
 
@@ -131,11 +132,34 @@ class ManagedTable:
         The plan is LEFT ANTI on the touched-key set + union: one
         shuffle on the key (or broadcast of a small change-set under
         AQE); nothing is collected to the driver.
+
+        The at-most-one-row-per-key contract is ENFORCED (a duplicate
+        key would otherwise anti-join away every old row for the key
+        and then union in every incoming copy, silently breaking the
+        primary-key invariant). The check is one extra aggregate over
+        the change batch — small next to the table rewrite; pass
+        ``validate_unique_keys=False`` only for inputs already reduced
+        by ``last_per_key``.
         """
         keys = keys or self.key_columns
         if not keys:
             raise ValueError(f"merge into {self.name} requires key columns")
         spark = upserts.sparkSession
+
+        if validate_unique_keys:
+            dup = (
+                upserts.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                kv = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"merge into {self.name}: upserts contain >1 row for key "
+                    f"{kv}; reduce with cdc.last_per_key first"
+                )
 
         if not self.exists():
             return self._commit(self._stage(upserts), "merge")

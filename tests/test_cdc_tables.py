@@ -295,3 +295,55 @@ def test_streaming_cdc_pipeline_e2e(spark, tmp_path):
     assert wh.table("account_postgres").read(spark).count() == 0
     prod = wh.table("product_postgres").read(spark).collect()
     assert prod[0]["product_name"] == "Standing Desk"
+
+
+def test_merge_rejects_duplicate_keys(spark, tmp_path):
+    from flink_stream_spark.tables.managed import ManagedTable
+
+    t = ManagedTable(str(tmp_path / "dupe"), "dupe", key_columns=["id"])
+    base = spark.createDataFrame([(1, "a")], "id int, v string")
+    t.merge(base)
+    dup = spark.createDataFrame([(2, "x"), (2, "y")], "id int, v string")
+    with pytest.raises(ValueError, match="upserts contain >1 row"):
+        t.merge(dup)
+    # table unchanged
+    assert t.read(spark).count() == 1
+
+
+def test_last_per_key_deterministic_on_order_ties(spark):
+    from flink_stream_spark.cdc.envelope import last_per_key
+
+    rows = [
+        (1, "u", "new", 100, 5),
+        (1, "d", None, 100, 5),  # same ts_ms AND lsn: tie
+        (2, "u", "b", 50, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, _op string, v string, _ts_ms long, _lsn long"
+    )
+    winners = set()
+    for _ in range(3):
+        got = {
+            r["id"]: r["_op"]
+            for r in last_per_key(df, ["id"], ["_ts_ms", "_lsn"]).collect()
+        }
+        winners.add(got[1])
+        assert got[2] == "u"
+    assert len(winners) == 1  # same winner every evaluation
+
+
+def test_short_doc_shingles_empty(spark):
+    """Docs with <3 tokens must shingle to [] (matching the DuckDB
+    oracle's generate_series(1, greatest(n-2, 0)) emptiness), not the
+    degenerate sequence(0,-1) artifact."""
+    from flink_stream_spark.operators.dedup import shingled_docs
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "only two"), (3, "exactly three tokens"), (4, "now four whole tokens")],
+        "doc_id int, text string",
+    )
+    got = {r["doc_id"]: r["shingles"] for r in shingled_docs(docs).collect()}
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["exactly three tokens"]
+    assert sorted(got[4]) == ["four whole tokens", "now four whole"]

@@ -55,3 +55,32 @@ def test_salted_join_matches_plain_join(spark, sf_small):
         .collect()
     )
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_salted_join_rejects_outer_sides(spark, sf_small):
+    import pytest as _pytest
+    from flink_stream_spark.plans.scale import salted_join
+
+    n = spark.read.parquet(f"{sf_small}/nation.parquet")
+    r = spark.read.parquet(f"{sf_small}/region.parquet")
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(n, r, "n_regionkey", how=how)
+
+
+def test_salted_join_salt_is_deterministic(spark, sf_small):
+    """Same input → identical salt assignment across evaluations (the
+    recompute-after-executor-loss safety property: salt derives from
+    row content, never from a nondeterministic id)."""
+    from flink_stream_spark.plans.scale import salted_join
+
+    c = spark.read.parquet(f"{sf_small}/customer.parquet")
+    n = spark.read.parquet(f"{sf_small}/nation.parquet").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    j = salted_join(c, n, "c_nationkey", how="left", salt=8)
+    a = sorted(map(tuple, j.collect()))
+    b = sorted(map(tuple, j.collect()))
+    assert a == b
+    plain = sorted(map(tuple, c.join(n, "c_nationkey", "left").collect()))
+    assert a == plain
