@@ -11,6 +11,7 @@ from flink_stream_spark.operators.dedup import (
     _cosine_expr as cosine,
     _shingles_spark as shingles,
     shingled_docs,
+    minhash_wide,
     minhash_signature_arrays,
     lsh_candidate_pairs,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "cosine",
     "shingles",
     "shingled_docs",
+    "minhash_wide",
     "minhash_signature_arrays",
     "lsh_candidate_pairs",
     "lsh_bucket",
