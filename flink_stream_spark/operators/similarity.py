@@ -27,6 +27,9 @@ N_QUERIES = 5  # query set: vec_id < 5
 TOP_K = 10
 N_PLANES = 12
 DIM = 64
+NLIST = 16  # IVF inverted lists (deterministic centroids: vec_id < NLIST)
+NPROBE = 2  # IVF lists probed per query
+IVF_K = 5
 
 
 @register(
@@ -88,6 +91,134 @@ def simsearch_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "match_id",
             F.round("cos", 6).alias("cosine"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _scaled_expr(v):
+    """Embedding scaled ×1e6 and truncated to integers, carried as
+    float64. Every pairwise product (≤1e12) and 64-term sum (≤6.4e13)
+    stays under 2^53, so dot products and norms over these arrays are
+    EXACT in float64 — bit-identical across engines regardless of
+    accumulation order. This is what makes IVF assignment (an argmax
+    over cosines, where a 1-ulp divergence flips the winner)
+    reproducible against the DuckDB oracle."""
+    return F.transform(
+        v, lambda x: (x.cast("double") * 1e6).cast("bigint").cast("double")
+    )
+
+
+def _sdot(va, vb):
+    """Exact dot product of two scaled arrays (see _scaled_expr)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+# trunc() before the BIGINT cast: DuckDB's double->bigint cast rounds,
+# Spark's truncates — trunc on both sides makes the scaled arrays equal
+_SCALED_DUCK = "list_transform({c}, x -> CAST(CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))"
+
+
+@register(
+    "simsearch_ivf_topk",
+    f"""
+    WITH se AS (
+      SELECT vec_id, {_SCALED_DUCK.format(c='embedding')} AS s FROM embeddings),
+    n AS (SELECT vec_id, s, sqrt(list_dot_product(s, s)) AS nrm FROM se),
+    cent AS (SELECT vec_id AS cent_id, s AS cs, nrm AS cnrm FROM n WHERE vec_id < {NLIST}),
+    ass AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_dot_product(s, cs) / (nrm * cnrm) DESC,
+                                         cent_id) AS rn
+      FROM n CROSS JOIN cent),
+    assign AS (SELECT vec_id, cent_id FROM ass WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cent_id FROM ass
+               WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS match_id,
+             list_dot_product(q.s, m.s) / (q.nrm * m.nrm) AS cos
+      FROM probes p
+        JOIN assign a ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+        JOIN n q ON q.vec_id = p.query_id
+        JOIN n m ON m.vec_id = a.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, match_id) AS rn
+      FROM scored)
+    SELECT query_id, match_id,
+           CAST(CAST(trunc(cos * 1000000) AS BIGINT) / 1000000 AS DOUBLE) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {IVF_K}
+    ORDER BY query_id, rank
+    """,
+    group="similarity",
+    doc=f"IVF ANN: {NLIST} deterministic centroids, every vector "
+    f"assigned to its argmax-cosine list (one broadcast pass over the "
+    f"corpus), queries probe their {NPROBE} nearest lists, candidates "
+    f"re-ranked by exact cosine. At scale the corpus shuffles once on "
+    f"cent_id and each query touches NPROBE/NLIST of the data — the "
+    f"partition-pruned ANN path, vs the LSH variant's bit-bucket join.",
+)
+def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    n = (
+        e.repartition(par, "vec_id")
+        .select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
+        .withColumn("nrm", F.sqrt(_sdot(F.col("s"), F.col("s"))))
+    )
+    cent = n.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("s").alias("cs"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # one broadcast pass: every vector scored against all NLIST centroids
+    ass = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    (_sdot(F.col("s"), F.col("cs")) / (F.col("nrm") * F.col("cnrm"))).desc(),
+                    "cent_id",
+                )
+            ),
+        )
+        .select("vec_id", "cent_id", "rn", "s", "nrm")
+    )
+    assign = ass.filter(F.col("rn") == 1).select("vec_id", "cent_id", "s", "nrm")
+    probes = ass.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("p_cent"),
+        F.col("s").alias("qs"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        assign.join(
+            F.broadcast(probes),
+            (F.col("cent_id") == F.col("p_cent")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (_sdot(F.col("qs"), F.col("s")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), "match_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= IVF_K)
+        .select(
+            "query_id",
+            "match_id",
+            # trunc-to-micros, not ROUND: ROUND's decimal expansion
+            # diverges between engines on .xx5 boundaries; truncating
+            # the identical double is deterministic
+            ((F.col("cos") * 1e6).cast("bigint") / F.lit(1e6)).cast("double").alias("cosine"),
             F.col("rn").cast("bigint").alias("rank"),
         )
         .orderBy("query_id", "rank")
