@@ -56,6 +56,10 @@ try:
     import flink_stream_spark.operators.tpch_more  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.pipeline  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -99,6 +99,76 @@ def multimodal_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_metadata(media).orderBy("doc_id")
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real codec resize — NOT IMPLEMENTED in this environment.
+
+    On a cluster with codec libraries this decodes, resamples to
+    (width, height) and re-encodes; the deterministic byte-decimation
+    fake below keeps the stage testable end-to-end."""
+    raise NotImplementedError(
+        "image codecs are not available in this container; "
+        "use the deterministic decimation fake or install codecs"
+    )
+
+
+RESIZE_SCHEMA = "doc_id bigint, n_bytes bigint, resized_bytes bigint, resized_checksum string"
+
+
+def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
+    """mapInPandas resize stage: payload in → decimated payload stats
+    out. The fake "resample" keeps every ``factor``-th byte (a header
+    parse + nearest-neighbor downsample stand-in) so output size and
+    checksum are deterministic and oracle-checkable. Narrow op — no
+    shuffle; a 100 TB corpus resizes embarrassingly parallel."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b)[::factor])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len),
+                    "resized_bytes": resized.map(len),
+                    "resized_checksum": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_resize",
+    """
+    WITH resized AS (
+      SELECT doc_id,
+             octet_length(CAST(text AS BLOB)) AS n_bytes,
+             list_aggregate(
+               list_transform(
+                 generate_series(1, ((LENGTH(text) - 1) // 4) + 1),
+                 i -> substr(text, (i - 1) * 4 + 1, 1)),
+               'string_agg', '') AS r
+      FROM documents)
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(LENGTH(r) AS BIGINT) AS resized_bytes,
+           md5(r) AS resized_checksum
+    FROM resized
+    ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="Resize plumbing: payload → every-4th-byte decimation "
+    "(deterministic resample fake) via Arrow-batched mapInPandas; "
+    "size + checksum oracle-checked.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return resize_media(media).orderBy("doc_id")
+
+
 @register(
     "multimodal_frame_sample",
     """

@@ -7,6 +7,8 @@ source is addressed by URI and returns a DataFrame (batch) or
 streaming DataFrame:
 
 - ``parquet|csv|json|orc|text:<path>``  — file formats, batch + stream
+- ``avro:<path>``                       — needs the spark-avro module
+  (external to core Spark; a clear error is raised if absent)
 - ``kafka:<bootstrap>/<topic>``         — needs the spark-sql-kafka jar
   (not in this image; the builder raises a clear error if absent)
 - ``jdbc:<url>#<table>``                — needs a JDBC driver jar
@@ -36,6 +38,23 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro module (external to core) is present.
+
+    Probes the DataSource registration class (DefaultSource): some
+    avro classes (AvroFileFormat, SchemaConverters) ship in core Spark
+    jars, but format("avro") resolves only when the spark-avro module
+    jar contributes its DefaultSource registration.
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.DefaultSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
 def _split(uri: str) -> tuple[str, str]:
     scheme, _, rest = uri.partition(":")
     if not rest:
@@ -51,7 +70,12 @@ def read_batch(
 ) -> DataFrame:
     """Batch read of any supported source URI."""
     scheme, rest = _split(uri)
-    if scheme in _FILE_FORMATS:
+    if scheme == "avro" and not avro_available(spark):
+        raise RuntimeError(
+            "avro source needs the spark-avro module on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        )
+    if scheme in _FILE_FORMATS or scheme == "avro":
         reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
@@ -85,7 +109,12 @@ def open_stream(
     (flink_json_to_iceberg.py:95-107).
     """
     scheme, rest = _split(uri)
-    if scheme in _FILE_FORMATS:
+    if scheme == "avro" and not avro_available(spark):
+        raise RuntimeError(
+            "avro source needs the spark-avro module on the classpath "
+            "(--packages org.apache.spark:spark-avro_2.13:<spark-version>)"
+        )
+    if scheme in _FILE_FORMATS or scheme == "avro":
         reader = spark.readStream
         if schema is not None:
             reader = reader.schema(schema)

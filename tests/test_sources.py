@@ -76,4 +76,15 @@ def test_rate_stream_source(spark):
 
 def test_bad_scheme(spark):
     with pytest.raises(ValueError, match="unsupported"):
-        read_batch(spark, "avro:/tmp/x")
+        read_batch(spark, "ftp:/tmp/x")
+
+
+def test_avro_unavailable_is_clear(spark):
+    from flink_stream_spark.sources import avro_available
+
+    if avro_available(spark):
+        df = read_batch(spark, "avro:/nonexistent-path-ok-to-fail")
+        assert df is not None
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            read_batch(spark, "avro:/tmp/x.avro")

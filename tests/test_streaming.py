@@ -242,3 +242,56 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows.get(10) == 1  # 10:00 window has only event 1
     assert 8 not in rows  # late 08:10 event was dropped, no 08:00 window
     assert rows.get(12) == 1 and rows.get(14) == 1
+
+
+def test_stateful_v2_user_type_profiles(spark, sf_small):
+    """transformWithStateInPandas (ValueState + MapState): final
+    per-(user, type) counts equal the batch aggregate over the replay.
+
+    Skipped where google.protobuf is unavailable: Spark's
+    TransformWithStateInPySpark driver worker serializes state schemas
+    over protobuf, so the query cannot start without it (the
+    applyInPandasWithState path in stateful.py has no such dependency
+    and stays the tested fallback).
+    """
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    from flink_stream_spark.streaming.stateful_v2 import user_type_profiles
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        s = stream_events(spark, sf_small)
+        q = (
+            user_type_profiles(s)
+            .writeStream.format("memory")
+            .queryName("t_state_v2")
+            .outputMode("update")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = {
+        (r["user_id"], r["event_type"]): r["type_n"]
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY type_n DESC) rn FROM t_state_v2) WHERE rn = 1"
+        ).collect()
+    }
+    batch = spark.read.parquet(f"{sf_small}/events.parquet")
+    want = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in batch.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert final == want
