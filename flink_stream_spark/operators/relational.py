@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.money import _cents, _rev4, _sum_scaled
 from flink_stream_spark.operators.registry import register
 
 
@@ -58,26 +59,25 @@ def _dec(c, p=18, s=2):
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
-    charge = disc_price * (1 + F.col("l_tax")).cast("decimal(18,2)")
+    disc_price4 = _rev4()
+    charge6 = disc_price4 * (F.lit(100) + _cents("l_tax"))
+    cnt = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
-            .cast("double")
-            .alias("avg_qty"),
-            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)))
+            _sum_scaled(_cents("l_quantity"), 2).alias("sum_qty"),
+            _sum_scaled(_cents("l_extendedprice"), 2).alias("sum_base_price"),
+            _sum_scaled(disc_price4, 4).alias("sum_disc_price"),
+            _sum_scaled(charge6, 6).alias("sum_charge"),
+            (_sum_scaled(_cents("l_quantity"), 2) / cnt).cast("double").alias("avg_qty"),
+            (_sum_scaled(_cents("l_extendedprice"), 2) / cnt)
             .cast("double")
             .alias("avg_price"),
-            (F.sum(_dec("l_discount", 18, 4)).cast("double") / F.count(F.lit(1)))
+            (_sum_scaled(_cents("l_discount", 10000), 4) / cnt)
             .cast("double")
             .alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            cnt.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -116,7 +116,6 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
-    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
@@ -125,7 +124,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.col("o_orderpriority").alias("orderpriority"),
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_scaled(_rev4(), 4).alias("revenue"))
         .select("o_key", "revenue", "orderdate", "orderpriority")
         .orderBy(F.col("revenue").desc(), "o_key")
         .limit(10)
@@ -158,7 +157,6 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "AMERICA"))
-    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
@@ -169,7 +167,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(n.n_name.alias("nation"))
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_scaled(_rev4(), 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "nation")
     )
 

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.money import _rev4, _sum_scaled
 from flink_stream_spark.operators.registry import register
 
 
@@ -51,7 +52,6 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n1 = load_table(spark, sf_dir, "nation").alias("n1")
     n2 = load_table(spark, sf_dir, "nation").alias("n2")
-    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
     pair = (
         (F.col("n1.n_name") == "NATION_9") & (F.col("n2.n_name") == "NATION_11")
     ) | ((F.col("n1.n_name") == "NATION_11") & (F.col("n2.n_name") == "NATION_9"))
@@ -67,7 +67,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n2.n_name").alias("cust_nation"),
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_scaled(_rev4(), 4).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -245,13 +245,12 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
-    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(_sum_scaled(_rev4(), 4).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "nation")
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
@@ -280,10 +279,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp"))
     )
     p = load_table(spark, sf_dir, "part")
-    rev = _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
+    promo4 = F.when(F.col("p_type") == "PROMO", _rev4()).otherwise(F.lit(0).cast("long"))
     return l.join(F.broadcast(p), l.l_partkey == p.p_partkey).agg(
-        (100.0 * F.sum(promo).cast("double") / F.sum(rev).cast("double"))
+        (100.0 * _sum_scaled(promo4, 4) / _sum_scaled(_rev4(), 4))
         .cast("double")
         .alias("promo_revenue_pct")
     )

@@ -12,10 +12,10 @@ Together with relational.py / tpch_extra.py this completes the 22
 TPC-H shapes standing in for the Trino/Flink-SQL layer the reference
 defers to (reference README.md:175-179).
 
-Determinism: money math on DECIMAL(18,2), one cast to DOUBLE at the
-end; every result totally ordered; scalar thresholds computed from
-exact decimal sums then compared in float64 identically on both
-engines.
+Determinism: money math in exact scaled-long arithmetic (see
+operators/money.py) summed as DECIMAL, one cast to DOUBLE at the end;
+every result totally ordered; scalar thresholds computed from exact
+decimal sums then compared in float64 identically on both engines.
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.money import _cents, _rev4, _sum_scaled
 from flink_stream_spark.operators.registry import register
 
 
@@ -36,8 +37,11 @@ def _dec(c, p=18, s=2):
     return F.col(c).cast(f"decimal({p},{s})")
 
 
-def _rev():
-    return _dec("l_extendedprice") * (1 - F.col("l_discount")).cast("decimal(18,2)")
+def _sum_rev4_dec():
+    """Exact SUM of the scale-4 revenue term as DECIMAL(28,0) — for
+    queries that compare or max whole sums exactly before the final
+    cast to double (Q11 threshold, Q15 arg-max equality)."""
+    return F.sum(_rev4().cast("decimal(18,0)"))
 
 
 @register(
@@ -127,8 +131,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_discount", 18, 4))
-            .cast("double")
+            _sum_scaled(_cents("l_extendedprice") * _cents("l_discount", 10000), 6)
             .alias("revenue")
         )
     )
@@ -175,7 +178,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = _t(spark, sf_dir, "nation").alias("n1")
     n2 = _t(spark, sf_dir, "nation").alias("n2")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    volume = _rev()
+    volume = _rev4()
     base = (
         F.broadcast(p)
         .join(l, F.col("p_partkey") == F.col("l_partkey"))
@@ -196,12 +199,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.coalesce(
-                    F.sum(F.when(F.col("nation") == "NATION_7", F.col("volume"))).cast(
-                        "double"
+                    _sum_scaled(
+                        F.when(F.col("nation") == "NATION_7", F.col("volume")), 4
                     ),
                     F.lit(0.0),
                 )
-                / F.sum("volume").cast("double")
+                / _sum_scaled(F.col("volume"), 4)
             )
             .cast("double")
             .alias("mkt_share")
@@ -237,7 +240,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     n = _t(spark, sf_dir, "nation")
-    amount = _rev() - _dec("p_retailprice") * _dec("l_quantity")
+    amount = _rev4() - _cents("p_retailprice") * _cents("l_quantity")
     return (
         F.broadcast(p)
         .join(l, F.col("p_partkey") == F.col("l_partkey"))
@@ -250,7 +253,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .agg(_sum_scaled(F.col("amount"), 4).alias("sum_profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -285,13 +288,17 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .groupBy(F.col("l_partkey").alias("p_key"))
-        .agg(F.sum(_rev()).alias("value"))
+        .agg(_sum_rev4_dec().alias("value4"))
     )
-    thresh = val.agg((F.sum("value").cast("double") * 0.001).alias("__thresh"))
+    div4 = F.lit(10000).cast("decimal(5,0)")
+    thresh = val.agg(
+        ((F.sum("value4") / div4).cast("double") * 0.001).alias("__thresh")
+    )
+    value_dbl = (F.col("value4") / div4).cast("double")
     return (
         val.crossJoin(F.broadcast(thresh))
-        .filter(F.col("value").cast("double") > F.col("__thresh"))
-        .select("p_key", F.col("value").cast("double").alias("value"))
+        .filter(value_dbl > F.col("__thresh"))
+        .select("p_key", value_dbl.alias("value"))
         .orderBy(F.col("value").desc(), "p_key")
     )
 
@@ -388,16 +395,20 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
     )
     revenue = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(_rev()).alias("total_revenue")
+        _sum_rev4_dec().alias("total_revenue4")
     )
-    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    top = revenue.agg(F.max("total_revenue4").alias("__max_rev"))
     s = _t(spark, sf_dir, "supplier")
     return (
         s.join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
         .crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .filter(F.col("total_revenue4") == F.col("__max_rev"))
         .select(
-            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+            "s_suppkey",
+            "s_name",
+            (F.col("total_revenue4") / F.lit(10000).cast("decimal(5,0)"))
+            .cast("double")
+            .alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -472,7 +483,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(_sum_scaled(_rev4(), 4).alias("revenue"))
     )
 
 
