@@ -499,7 +499,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            _sum_scaled(_cents("l_quantity"), 2).alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy(
@@ -523,7 +523,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"))
+        .agg(_sum_scaled(_cents("l_extendedprice"), 2).alias("sum_price"))
         .orderBy(
             F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
         )
@@ -592,10 +592,10 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    q = _dec("l_quantity")
+    qc = _cents("l_quantity")
     n = F.count(F.lit(1))
-    sum_sq = F.sum(q * q).cast("double")
-    s = F.sum(q).cast("double")
+    sum_sq = _sum_scaled(qc * qc, 4)
+    s = _sum_scaled(qc, 2)
     return (
         li.groupBy("l_returnflag")
         .agg(((sum_sq - s * s / n) / (n - 1)).cast("double").alias("var_qty"))
@@ -636,7 +636,7 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .agg(_sum_scaled(_cents("l_quantity"), 2))
         .orderBy("l_returnflag")
     )
 
@@ -720,15 +720,15 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    x = _dec("l_quantity")
-    y = _dec("l_extendedprice")
+    xc = _cents("l_quantity")
+    yc = _cents("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"),
+        _sum_scaled(xc, 2).alias("sx"),
+        _sum_scaled(yc, 2).alias("sy"),
+        _sum_scaled(xc * xc, 4).alias("sxx"),
+        _sum_scaled(yc * yc, 4).alias("syy"),
+        _sum_scaled(xc * yc, 4).alias("sxy"),
     )
     n = F.col("n")
     corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_stream_spark.catalog import load_table
-from flink_stream_spark.operators.money import _rev4, _sum_scaled
+from flink_stream_spark.operators.money import _cents, _rev4, _sum_scaled
 from flink_stream_spark.operators.registry import register
 
 
@@ -140,7 +140,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
             F.col("o_totalprice").cast("double").alias("totalprice"),
         )
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .agg(_sum_scaled(_cents("l_quantity"), 2).alias("total_qty"))
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(20)
     )
