@@ -60,6 +60,14 @@ try:
     import flink_stream_spark.operators.pipeline  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.sampling  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.text_rank  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

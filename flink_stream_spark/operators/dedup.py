@@ -492,6 +492,127 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Undirected connected components by iterative min-label
+    propagation: every node starts labeled with itself; each round
+    takes the min of its own and its neighbors' labels; fixpoint in
+    ≤ diameter rounds (near-dup clusters are shallow by construction).
+
+    ``edges`` is (doc_a, doc_b); returns (doc_id, label) for every
+    node appearing in an edge, label = min doc_id of its component.
+
+    Scale posture: each round is one shuffle-join + one min-aggregate
+    (both on the node key, so AQE reuses the partitioning); labels are
+    localCheckpoint-ed per round to truncate lineage — on a cluster
+    use `spark.sparkContext.setCheckpointDir` + `.checkpoint()` for
+    fault-tolerant truncation instead. Convergence is detected by the
+    strictly-decreasing label sum (min-propagation is monotone), one
+    scalar per round — no full-frame comparison.
+    """
+    bidir = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = (
+        bidir.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr = (
+            bidir.join(labels, bidir.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+_VERIFIED_PAIRS_DUCK = (
+    _MINHASH_DUCK
+    + f"""
+    , banded AS (
+      SELECT doc_id, CAST(FLOOR((j - 1) / {ROWS_PER_BAND}) AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM sigs GROUP BY doc_id, 2),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    doc_shingles AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    pair_overlap AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+        JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+        JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sa.shingle = sb.shingle
+      GROUP BY c.doc_a, c.doc_b),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id),
+    verified AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pair_overlap p JOIN sizes za ON za.doc_id = p.doc_a
+                          JOIN sizes zb ON zb.doc_id = p.doc_b
+      WHERE CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared) >= 0.5)
+"""
+)
+
+
+@register(
+    "dedup_cluster_assign",
+    _VERIFIED_PAIRS_DUCK.replace("WITH perms", "WITH RECURSIVE perms", 1)
+    + """
+    , cluster_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified),
+    reach AS (
+      SELECT DISTINCT a AS doc, a AS other FROM cluster_edges
+      UNION
+      SELECT e.b, r.other FROM reach r JOIN cluster_edges e ON e.a = r.doc),
+    clustered AS (
+      SELECT doc, MIN(other) AS cluster_id FROM reach GROUP BY doc)
+    SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN clustered c ON c.doc = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    group="dedup",
+    doc="Near-dup cluster assignment: connected components over the "
+    "Jaccard-verified MinHash-LSH pair graph (iterative min-label "
+    "propagation; DuckDB oracle via recursive transitive closure). "
+    "Every doc gets a cluster_id = min doc_id of its component; "
+    "singletons keep their own id — the keep-one-per-cluster step of "
+    "a corpus dedup pipeline follows as a trivial groupBy.",
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).cast("bigint").alias("cluster_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _norm_expr(v):
     """L2 norm of a float array in float64, left-to-right accumulation
     (matches DuckDB's evaluation order)."""

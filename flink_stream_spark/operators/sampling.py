@@ -1,0 +1,126 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+A 100 TB corpus is never consumed whole: pipelines carve reproducible
+subsets (smoke-test slices, eval holdouts, train/val/test splits,
+per-language quotas). Random sampling (``df.sample``) is
+seed-and-partitioning dependent — a repartition or executor loss
+changes the sample. These operators derive membership from a
+content-stable hash (md5 of the key, the same construction as
+operators/text.py's token hash), so the sample is a pure function of
+the data: identical across engines, runs, partitionings and retries,
+and cheap — membership is a narrow per-row predicate the scan
+evaluates (no shuffle at all for the bernoulli form).
+
+Reference parity: the reference has no sampling surface at all (its
+largest exercised workload is 100 rows/table, test_cdc.py:79-88);
+these are north-star extensions per SURVEY §2C NS.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.registry import register
+from flink_stream_spark.operators.text import _tok_hash_spark, tok_hash_duck
+
+
+def hash_bucket(col, buckets: int = 100):
+    """Stable [0, buckets) bucket of any key column — md5-derived, so
+    identical in Spark and DuckDB and independent of partitioning."""
+    return _tok_hash_spark(col.cast("string")) % buckets
+
+
+def _bucket_duck(expr: str, buckets: int = 100) -> str:
+    return f"{tok_hash_duck(f'CAST({expr} AS VARCHAR)')} % {buckets}"
+
+
+@register(
+    "sample_hash_bernoulli",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_bucket_duck('doc_id')} < 10
+    ORDER BY doc_id
+    """,
+    group="sampling",
+    doc="Deterministic 10% bernoulli sample by md5 hash-bucket of the "
+    "key: membership is a per-row scan predicate — no shuffle, no "
+    "seed, stable under repartition/retry at any scale.",
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.filter(hash_bucket(F.col("doc_id")) < 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_stratified_quota",
+    f"""
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_bucket_duck('doc_id', 1000000007)}, doc_id) AS rn
+      FROM documents) t
+    WHERE rn <= 20
+    ORDER BY lang, doc_id
+    """,
+    group="sampling",
+    doc="Stratified fixed-quota sample: 20 docs per language, chosen "
+    "by hash order (a deterministic shuffle) with doc_id tie-break. "
+    "One shuffle on the stratum key; per-stratum top-k never "
+    "materializes the full stratum on one node beyond the heap-k "
+    "window buffer.",
+)
+def sample_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(
+        hash_bucket(F.col("doc_id"), 1000000007).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
+@register(
+    "sample_train_split",
+    f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {_bucket_duck('doc_id')} < 80 THEN 'train'
+                  WHEN {_bucket_duck('doc_id')} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    group="sampling",
+    doc="Hash-based train/val/test assignment (80/10/10) with "
+    "per-(split, lang) counts: the split is a pure function of "
+    "doc_id, so train/test never leak into each other across "
+    "pipeline runs or engine versions.",
+)
+def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"))
+    split = (
+        F.when(b < 80, F.lit("train")).when(b < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        d.select("lang", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("split", "lang")
+    )

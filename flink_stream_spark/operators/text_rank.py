@@ -1,0 +1,143 @@
+"""Corpus-statistics text ranking: tf-idf terms and n-gram counts.
+
+Classic corpus-curation signals over the `documents` table (SURVEY
+§2C NS — the reference has no text-analysis surface; its query layer
+is delegated per README.md:175-179):
+
+- per-document top-k tf-idf terms — the two-level aggregation shape
+  (doc-term frequencies, then document frequencies) plus a join of
+  the derived vocabulary statistics back onto the term table;
+- corpus-wide top-k bigrams — the canonical map-side-combine
+  aggregation: partial counts collapse per partition before the
+  single shuffle, so the shuffle volume is |vocab|, not |tokens|.
+
+Scale posture: token explode is narrow (no shuffle); tf shuffles on
+(doc_id, term); the df/vocab table is |vocab| rows (AQE picks
+broadcast when it fits, shuffle-hash otherwise); per-doc top-k is a
+bounded-heap window. Nothing materializes the token stream twice.
+
+Determinism: scores are tf * ln(N/df) with integer tf/df/N — distinct
+score values differ by ≥ 1/N² (far above double ulp), so ordering and
+6-dp rounding agree across engines; ties break on the term string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.registry import register
+
+
+@register(
+    "text_tfidf_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(d.df AS DOUBLE)) AS s
+      FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n)
+    SELECT doc_id, term,
+           CAST(ROUND(s, 6) AS DOUBLE) AS tfidf,
+           CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY s DESC, term) AS rn
+          FROM scored) t
+    WHERE rn <= 3
+    ORDER BY doc_id, rank
+    """,
+    group="text",
+    doc="Top-3 tf-idf terms per document: doc-term counts -> document "
+    "frequencies -> score join -> bounded per-doc top-k window.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.explode_outer(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("s"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("term").asc())
+    return (
+        scored.select(
+            "doc_id", "term", "s", F.row_number().over(w).alias("rank")
+        )
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            F.round("s", 6).cast("double").alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+@register(
+    "text_ngram_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(ts) - 1, 0)),
+               i -> ts[i] || ' ' || ts[i+1])) AS bigram
+      FROM toks)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    group="text",
+    doc="Corpus top-20 bigrams: narrow explode then one count shuffle "
+    "with map-side partial aggregation — shuffle volume is |vocab|, "
+    "not |tokens|; top-k via sort-limit (AQE takes the partial top-k "
+    "per partition).",
+)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toked = d.repartition(par, "doc_id").withColumn("__toks", F.split("text", " "))
+    nt = F.size(F.col("__toks"))
+    grams = F.when(
+        nt >= 2,
+        F.transform(
+            F.sequence(F.lit(0), (nt - 2).cast("int")),
+            lambda i: F.concat_ws(
+                " ", F.get(F.col("__toks"), i), F.get(F.col("__toks"), i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return (
+        toked.select(F.explode_outer(grams).alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
