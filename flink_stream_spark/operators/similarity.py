@@ -345,3 +345,64 @@ def simsearch_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "embedding_label_centroids",
+    """
+    WITH comps0 AS (
+      SELECT label,
+             unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings),
+    comps AS (
+      SELECT label, dim,
+             CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS xi
+      FROM comps0),
+    agg AS (
+      SELECT label, dim, SUM(xi) AS sx, COUNT(*) AS n
+      FROM comps GROUP BY label, dim)
+    SELECT CAST(label AS INTEGER) AS label, CAST(dim AS INTEGER) AS dim,
+           CAST(ROUND(CAST(sx AS DOUBLE) / (n * 1000000.0), 6) AS DOUBLE) AS centroid
+    FROM agg
+    ORDER BY label, dim
+    """,
+    group="similarity",
+    doc="Per-label centroid vectors, emitted as (label, dim, value) "
+    "rows: posexplode of the embedding column then one (label, dim) "
+    "aggregate with map-side partial sums — at corpus scale the "
+    "shuffle carries |labels|x|dims| partial sums, never vectors. "
+    "Components are x1e6-truncated integers (the IVF oracle "
+    "construction) so the unordered sum is exact and "
+    "order-independent; the centroid table is the k-means/IVF "
+    "coarse-quantizer update step.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    par = e.sparkSession.sparkContext.defaultParallelism
+    comps = (
+        e.repartition(par, "vec_id")
+        .select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .select(
+            "label",
+            (F.col("dim0") + 1).alias("dim"),
+            (F.col("x").cast("double") * 1e6).cast("bigint").alias("xi"),
+        )
+    )
+    return (
+        comps.groupBy("label", "dim")
+        .agg(
+            F.sum(F.col("xi").cast("decimal(18,0)")).alias("sx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("dim").cast("int").alias("dim"),
+            F.round(
+                F.col("sx").cast("double") / (F.col("n") * F.lit(1000000.0)), 6
+            )
+            .cast("double")
+            .alias("centroid"),
+        )
+        .orderBy("label", "dim")
+    )
