@@ -41,6 +41,8 @@ import flink_stream_spark.operators.multimodal  # noqa: F401,E402
 import flink_stream_spark.operators.misc  # noqa: F401,E402
 import flink_stream_spark.operators.udfs  # noqa: F401,E402
 import flink_stream_spark.operators.tpch_extra  # noqa: F401,E402
+import flink_stream_spark.operators.text_rank  # noqa: F401,E402
+import flink_stream_spark.operators.sampling  # noqa: F401,E402
 
 # the headline set: one representative per operator family, all
 # scale-path variants (no O(n^2) members)
@@ -58,9 +60,12 @@ HEADLINE = [
     "cdc_apply_final_state",
     "ingest_raw_json_upsert",
     "text_fingerprint",
+    "text_tfidf_topk",
     "dedup_exact_hash",
     "dedup_minhash_lsh_pairs",
     "simsearch_bruteforce_topk",
+    "embedding_label_centroids",
+    "sample_train_split",
     "multimodal_metadata_extract",
 ]
 
