@@ -890,6 +890,43 @@ def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_range_interval",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+           CAST(CAST(SUM(CAST(trunc(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100 AS DOUBLE) AS val_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                 RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    group="window",
+    doc="Sliding event-time aggregate as a RANGE frame (last hour per "
+    "user): RANGE includes all peers of the current order value, so "
+    "the frame is a pure set — tie-order inside the hour cannot "
+    "change the result. Values sum as exact cents (the money.py "
+    "construction) so the windowed float sum is order-independent.",
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"))
+        .rangeBetween(-3600000, W.currentRow)
+    )
+    cents = (F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        e.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            (F.sum(cents).over(w).cast("double") / 100).cast("double").alias("val_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit
 # ---------------------------------------------------------------------------

@@ -93,3 +93,60 @@ def udf_grouped_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+try:
+    from pyspark.sql.functions import udtf as _udtf_deco
+
+    @_udtf_deco(returnType="idx int, sentence string, n_chars bigint")
+    class _SentenceSplit:
+        """Python UDTF (Spark 4 table function): one input row ->
+        many output rows. Row-at-a-time Python — deliberately NOT a
+        hot-path operator; it exists to prove the lateral table-
+        function API surface with an oracle-checkable computation
+        (sentence segmentation with per-sentence stats)."""
+
+        def eval(self, text: str):
+            for i, s in enumerate(text.split(". ")):
+                yield i + 1, s, len(s)
+
+    _HAVE_UDTF = True
+except ImportError:  # pragma: no cover - pyspark < 4
+    _HAVE_UDTF = False
+
+
+@register(
+    "udtf_sentence_split",
+    """
+    WITH s AS (
+      SELECT doc_id, string_split(text, '. ') AS ss
+      FROM documents WHERE doc_id < 50),
+    ex AS (
+      SELECT doc_id, unnest(ss) AS sentence,
+             generate_subscripts(ss, 1) AS idx
+      FROM s)
+    SELECT doc_id, CAST(idx AS INTEGER) AS idx, sentence,
+           CAST(LENGTH(sentence) AS BIGINT) AS n_chars
+    FROM ex
+    ORDER BY doc_id, idx
+    """,
+    group="udf",
+    doc="Python UDTF via LATERAL join: sentence segmentation of each "
+    "document (1 row -> N rows) with per-sentence stats. The lateral "
+    "apply is narrow — each input partition expands locally, no "
+    "shuffle before the presentation sort.",
+)
+def udtf_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if not _HAVE_UDTF:  # pragma: no cover
+        raise RuntimeError("Python UDTFs need pyspark >= 4")
+    spark.udtf.register("sentence_split", _SentenceSplit)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 50
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, f.idx, f.sentence, f.n_chars
+        FROM _udtf_docs d, LATERAL sentence_split(d.text) f
+        ORDER BY d.doc_id, f.idx
+        """
+    )
