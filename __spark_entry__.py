@@ -68,6 +68,10 @@ try:
     import flink_stream_spark.operators.text_rank  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.quality  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

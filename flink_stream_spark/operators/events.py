@@ -204,3 +204,111 @@ def events_stateful_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_gap_fill_ffill",
+    """
+    WITH sel AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS hr,
+             CAST(trunc(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE user_id % 10 = 0),
+    hourly AS (
+      SELECT user_id, hr, SUM(cents) AS cents, COUNT(*) AS n
+      FROM sel GROUP BY user_id, hr),
+    bounds AS (
+      SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM sel GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM bounds),
+    j AS (
+      SELECT g.user_id, g.hr, h.cents, h.n
+      FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hr = h.hr)
+    SELECT user_id,
+           CAST(hr * 3600000 AS BIGINT) AS hour_ms,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CAST(CAST(last_value(cents IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY hr) AS DOUBLE) / 100
+                AS DOUBLE) AS value_ffill,
+           CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM j
+    ORDER BY user_id, hour_ms
+    """,
+    group="streaming",
+    doc="Time-series gap fill with forward fill (the time-series "
+    "engine staple the reference's stream tables would need for "
+    "dashboarding): per-user hourly grid from first to last "
+    "observation via sequence+explode, left join of the hourly "
+    "rollup, then last(value, ignorenulls) carries the previous "
+    "reading across empty hours. Grid generation is per-key and "
+    "shuffle-aligned with the rollup (both hash on user_id), so at "
+    "scale each key materializes its own grid locally — no global "
+    "calendar table, no skew beyond the span of a single key. Hourly "
+    "sums are exact cents, so the forward-filled value is "
+    "order-independent.",
+)
+def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
+    hr = F.floor(F.unix_millis("ts") / 3600000).cast("bigint")
+    cents = (F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    sel = e.select("user_id", hr.alias("hr"), cents.alias("cents"))
+    hourly = sel.groupBy("user_id", "hr").agg(
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        sel.groupBy("user_id")
+        .agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("hr"),
+        )
+    )
+    j = grid.join(hourly, ["user_id", "hr"], "left")
+    w = W.partitionBy("user_id").orderBy("hr")
+    return (
+        j.select(
+            "user_id",
+            (F.col("hr") * 3600000).cast("bigint").alias("hour_ms"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            (F.last("cents", ignorenulls=True).over(w).cast("double") / 100)
+            .cast("double")
+            .alias("value_ffill"),
+            F.when(F.col("cents").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("user_id", "hour_ms")
+    )
+
+
+@register(
+    "events_value_histogram",
+    """
+    SELECT event_type,
+           CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(trunc(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 100 AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type, bin
+    ORDER BY event_type, bin
+    """,
+    group="streaming",
+    doc="Equi-width histogram / binning of the value stream per event "
+    "type (bin width 10): a single map-side-combining aggregate whose "
+    "key count is bounded by types x bins, so the shuffle is a few KB "
+    "regardless of input scale. Bin totals sum as exact cents. Both "
+    "engines floor the identical float64, so bin assignment at "
+    "boundary values cannot diverge.",
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cents = (F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        e.groupBy(
+            "event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents).cast("double") / 100).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type", "bin")
+    )

@@ -1,0 +1,127 @@
+"""Repetition-based quality signals for training-data curation.
+
+The Gopher/MassiveText-style repetition filters (Rae et al. 2021,
+"Scaling Language Models", table A1 — public paper): documents whose
+content is dominated by repeated n-grams are boilerplate/spam and get
+dropped before pre-training. Reference parity: the reference engine's
+curation surface is row-level SQL over ingested tables
+(flink/jobs/flink_json_to_iceberg.py:100-150); these signals extend it
+with the corpus-curation operators a 100 TB text pipeline needs.
+
+Plan shape (the part that must survive 1000 executors): tokenization
+and bigram construction are per-row projections (no shuffle); the
+bigram histogram is a two-level groupBy on (doc_id, bigram) → doc_id —
+both keys start with doc_id, so AQE coalesces the second shuffle over
+the first's partitioning, and partial aggregation combines map-side.
+No driver-side state, no broadcast of anything corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.registry import register
+
+
+@register(
+    "text_repetition_signals",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tok AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_distinct(t)) AS n_distinct
+      FROM toks),
+    idx AS (
+      SELECT doc_id, t,
+             unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+      FROM toks),
+    big AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bg FROM idx),
+    bgc AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM big GROUP BY doc_id, bg),
+    rep AS (
+      SELECT doc_id,
+             SUM(c) AS total_bg,
+             SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_bg,
+             MAX(c) AS top_bg
+      FROM bgc GROUP BY doc_id)
+    SELECT tok.doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+             AS distinct_token_ratio,
+           CAST(ROUND(CAST(dup_bg AS DOUBLE) / total_bg, 6) AS DOUBLE)
+             AS dup_bigram_frac,
+           CAST(ROUND(CAST(top_bg AS DOUBLE) / total_bg, 6) AS DOUBLE)
+             AS top_bigram_frac,
+           CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+                 AND CAST(dup_bg AS DOUBLE) / total_bg <= 0.2
+                THEN 1 ELSE 0 END AS repetition_pass
+    FROM tok JOIN rep ON tok.doc_id = rep.doc_id
+    ORDER BY tok.doc_id
+    """,
+    group="text",
+    doc="Gopher-style repetition filters: distinct-token ratio, "
+    "duplicate-bigram instance fraction, and top-bigram dominance per "
+    "document, with the composite pass flag (ratio >= 0.3, dup frac "
+    "<= 0.2). Ratios are integer-count quotients, so both engines "
+    "divide the same exact integers. Bigram list is gated on "
+    "n_tokens >= 2: Spark sequence(0, -1) would yield [0, -1], not "
+    "empty (the short-doc trap from the shingle oracle).",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    base = d.repartition(par, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    n = F.size("t")
+    tok = base.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # explode_outer + filter, not explode: plain explode makes Catalyst
+    # infer size(bigrams)>0 and recompute the whole expression below the
+    # exchange (InferFiltersFromGenerate).
+    big = base.select("doc_id", F.explode_outer(bigrams).alias("bg")).filter(
+        F.col("bg").isNotNull()
+    )
+    rep = (
+        big.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_bg"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup_bg"),
+            F.max("c").alias("top_bg"),
+        )
+    )
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    dup_frac = F.col("dup_bg").cast("double") / F.col("total_bg")
+    return (
+        tok.join(rep, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(distinct_ratio, 6).alias("distinct_token_ratio"),
+            F.round(dup_frac, 6).alias("dup_bigram_frac"),
+            F.round(F.col("top_bg").cast("double") / F.col("total_bg"), 6).alias(
+                "top_bigram_frac"
+            ),
+            F.when((distinct_ratio >= 0.3) & (dup_frac <= 0.2), 1)
+            .otherwise(0)
+            .alias("repetition_pass"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1332,3 +1332,92 @@ def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderkey
         """
     )
+
+
+@register(
+    "agg_mode_tiebreak",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                   ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM c)
+    SELECT o_orderstatus, o_orderpriority AS modal_priority,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rn = 1
+    ORDER BY o_orderstatus
+    """,
+    group="aggregation",
+    doc="Statistical mode with a deterministic tie-break: native "
+    "mode()/any_value() pick an arbitrary winner on equal counts, so "
+    "both engines compute it as count-per-value + row_number ordered "
+    "by (cnt DESC, value ASC) — reproducible across runs, retries, "
+    "and engines. Two map-combining aggregates; the window runs over "
+    "the tiny (status x priority) count table, not the fact table.",
+)
+def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("o_orderstatus").orderBy(
+        F.col("cnt").desc(), F.col("o_orderpriority")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("modal_priority"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_argminmax_countif",
+    """
+    SELECT o_orderstatus,
+           arg_max(o_orderpriority, o_orderkey) AS last_priority,
+           arg_min(o_orderpriority, o_orderkey) AS first_priority,
+           CAST(count_if(o_totalprice > 100000) AS BIGINT) AS n_big,
+           CAST(CASE WHEN bool_or(o_totalprice > 400000) THEN 1 ELSE 0 END
+                AS INT) AS any_jumbo,
+           CAST(CASE WHEN bool_and(o_totalprice > 1000) THEN 1 ELSE 0 END
+                AS INT) AS all_over_1k
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    group="aggregation",
+    doc="Argument-extrema and predicate aggregates: max_by/min_by "
+    "(DuckDB arg_max/arg_min) keyed on the UNIQUE o_orderkey so the "
+    "winner is well-defined — arg extrema on non-unique keys are "
+    "engine-dependent on ties; count_if / bool_or / bool_and round "
+    "out the predicate-aggregate family (booleans emitted as INT for "
+    "cross-engine hashing). All partial-aggregatable: max_by combines "
+    "as max-of-pairs map-side.",
+)
+def agg_argminmax_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 100000
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+            F.min_by("o_orderpriority", "o_orderkey").alias("first_priority"),
+            F.count_if(big).cast("bigint").alias("n_big"),
+            F.when(F.bool_or(F.col("o_totalprice") > 400000), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("any_jumbo"),
+            F.when(F.bool_and(F.col("o_totalprice") > 1000), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("all_over_1k"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -406,3 +406,100 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_min(e) AS vmin,
+             (list_max(e) - list_min(e)) / 255 AS scale
+      FROM v),
+    q AS (
+      SELECT vec_id, e, vmin, scale,
+             list_transform(e, x -> CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((x - vmin) / scale + 0.5) AS BIGINT) END) AS qv
+      FROM s),
+    err AS (
+      SELECT vec_id, e, vmin, scale, qv,
+             list_transform(generate_series(1, len(e)),
+                            i -> abs(e[i] - (qv[i] * scale + vmin))) AS ae
+      FROM q)
+    SELECT vec_id,
+           CAST(len(e) AS BIGINT) AS dim,
+           CAST(vmin AS DOUBLE) AS vmin,
+           CAST(vmin + scale * 255 AS DOUBLE) AS vmax,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+                            (a, b) -> a + b) AS BIGINT) AS q_sum,
+           CAST('0x' || substr(md5(array_to_string(qv, ',')), 1, 15) AS BIGINT)
+             AS q_hash,
+           CAST(list_reduce(list_prepend(CAST(0 AS DOUBLE), ae),
+                            (a, b) -> a + b) / len(e) AS DOUBLE) AS mean_abs_err
+    FROM err
+    ORDER BY vec_id
+    """,
+    group="similarity",
+    doc="Per-vector affine int8 quantization (the standard 4x memory "
+    "reduction for ANN indexes at corpus scale): q_i = "
+    "round((x_i - min) / scale) with scale = (max - min)/255, plus the "
+    "reconstruction error audit. Purely per-row projection work — zero "
+    "shuffles; at 100 TB this is a map-only pass. Cross-engine "
+    "exactness: both engines widen the same float32 to the same "
+    "double, apply the same fixed-order ops, and round via "
+    "floor(x + 0.5) (explicit half-up; values are >= 0), so the "
+    "quantized codes are bit-identical; the md5 code-hash proves it "
+    "per row. Error sums fold sequentially (F.aggregate / "
+    "list_reduce), keeping the accumulation order fixed.",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", v.alias("e"))
+    vmin = F.array_min("e")
+    scale = (F.array_max("e") - vmin) / 255
+    with_s = base.select("vec_id", "e", vmin.alias("vmin"), scale.alias("scale"))
+    qv = F.transform(
+        "e",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("bigint")).otherwise(
+            F.floor((x - F.col("vmin")) / F.col("scale") + 0.5).cast("bigint")
+        ),
+    )
+    with_q = with_s.select("vec_id", "e", "vmin", "scale", qv.alias("qv"))
+    abs_err = F.zip_with(
+        "e",
+        "qv",
+        lambda x, qi: F.abs(x - (qi * F.col("scale") + F.col("vmin"))),
+    )
+    with_err = with_q.select(
+        "vec_id", "e", "vmin", "scale", "qv", abs_err.alias("ae")
+    )
+    fold_long = F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, b: a + b)
+    fold_err = F.aggregate("ae", F.lit(0.0), lambda a, b: a + b)
+    return with_err.select(
+        "vec_id",
+        F.size("e").cast("bigint").alias("dim"),
+        F.col("vmin").alias("vmin"),
+        (F.col("vmin") + F.col("scale") * 255).alias("vmax"),
+        fold_long.alias("q_sum"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.array_join(
+                        F.transform("qv", lambda q: q.cast("string")), ","
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("q_hash"),
+        (fold_err / F.size("e")).alias("mean_abs_err"),
+    ).orderBy("vec_id")
