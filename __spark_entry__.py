@@ -72,6 +72,14 @@ try:
     import flink_stream_spark.operators.quality  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.events_analytics  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.corpus_ops  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

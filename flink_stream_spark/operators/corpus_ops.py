@@ -1,0 +1,402 @@
+"""Corpus-curation operators a training-data pipeline runs at 100 TB.
+
+The reference delegates all querying to Flink SQL / Trino
+(reference: README.md:175-179); these are the LLM-corpus operations
+(SURVEY §2C NS) beyond the dedup/similarity/text families already in
+operators/{dedup,similarity,text}.py:
+
+- benchmark decontamination (n-gram overlap against an eval set) —
+  the Dolma/FineWeb-style step that removes test-set leakage;
+- sliding-window document chunking (token windows with overlap) —
+  the tokenizer-feeding step;
+- canonical-document selection per near-dup cluster — the
+  "keep best, drop rest" half of fuzzy dedup;
+- temperature-balanced resampling across sources — the mixture
+  re-weighting step (alpha = 0.5), made exactly deterministic with
+  integer milli-weights;
+- vocabulary coverage — token frequency with cumulative corpus
+  share, the vocab-size sizing curve.
+
+Everything is hash-deterministic (md5-derived, engine-identical) or
+exact-integer arithmetic; every query has a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.dedup import (
+    _VERIFIED_PAIRS_DUCK,
+    connected_components,
+    dedup_minhash_lsh_pairs,
+)
+from flink_stream_spark.operators.registry import register
+from flink_stream_spark.operators.sampling import hash_bucket, _bucket_duck
+
+BENCH_SOURCE = "src0"  # stands in for the held-out eval set
+NGRAM = 5  # decontamination n-gram size
+
+
+def _ngrams_spark(toks, n_toks, n: int):
+    """Distinct word n-grams of a token array (empty for short docs,
+    matching the oracle's greatest(len-n+1, 0) bound)."""
+    return F.array_distinct(
+        F.when(
+            n_toks >= n,
+            F.transform(
+                F.sequence(F.lit(0), (n_toks - n).cast("int")),
+                lambda i: F.concat_ws(
+                    " ", *[F.get(toks, i + k) for k in range(n)]
+                ),
+            ),
+        ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    )
+
+
+def _ngrams_duck(n: int) -> str:
+    parts = " || ' ' || ".join(
+        f"string_split(text, ' ')[i+{k}]" for k in range(n)
+    )
+    return f"""
+    list_distinct(list_transform(
+        generate_series(1, greatest(len(string_split(text, ' ')) - {n - 1}, 0)),
+        i -> {parts}))
+    """
+
+
+@register(
+    "text_decontaminate_overlap",
+    f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_ngrams_duck(NGRAM)}) AS shingle
+      FROM documents WHERE source = '{BENCH_SOURCE}'),
+    train AS (
+      SELECT doc_id, unnest({_ngrams_duck(NGRAM)}) AS shingle
+      FROM documents WHERE source <> '{BENCH_SOURCE}'),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS shared
+      FROM train t JOIN bench b USING (shingle)
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.shared, 0) AS BIGINT) AS shared_ngrams,
+           CAST(CASE WHEN COALESCE(h.shared, 0) >= 1 THEN 1 ELSE 0 END
+                AS INTEGER) AS is_contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.source <> '{BENCH_SOURCE}'
+    ORDER BY d.doc_id
+    """,
+    group="pipeline",
+    doc="Benchmark decontamination: count distinct 5-gram overlaps "
+    "between each training document and the eval corpus (source = "
+    "src0 stands in). Plan: both sides explode distinct n-grams and "
+    "hash-join on the n-gram — the eval side is tiny relative to the "
+    "corpus, so at 100 TB it broadcasts (or bloom-filters the scan); "
+    "the train side never self-joins. Left join restores zero-overlap "
+    "docs without a second scan of the text.",
+)
+def text_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toked = d.repartition(par, "doc_id").withColumn("__toks", F.split("text", " "))
+    grams = _ngrams_spark(F.col("__toks"), F.size("__toks"), NGRAM)
+    bench = (
+        toked.filter(F.col("source") == BENCH_SOURCE)
+        .select(F.explode_outer(grams).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+        .distinct()
+    )
+    train = (
+        toked.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id", F.explode_outer(grams).alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    hits = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        d.filter(F.col("source") != BENCH_SOURCE)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("shared"), F.lit(0)).cast("bigint").alias("shared_ngrams"),
+            F.when(F.coalesce(F.col("shared"), F.lit(0)) >= 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CHUNK = 32  # tokens per chunk
+STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    c AS (
+      SELECT doc_id, unnest(generate_series(0, n - 1, {STRIDE})) AS o, toks, n
+      FROM t)
+    SELECT doc_id,
+           CAST(o // {STRIDE} AS INTEGER) AS chunk_idx,
+           CAST(least({CHUNK}, n - o) AS INTEGER) AS n_tokens,
+           array_to_string(list_slice(toks, o + 1, least(o + {CHUNK}, n)), ' ')
+             AS chunk_text
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+    group="pipeline",
+    doc=f"Sliding-window document chunking: {CHUNK}-token windows every "
+    f"{STRIDE} tokens ({CHUNK - STRIDE}-token overlap), the "
+    "tokenizer-feeding step of a pretraining pipeline. One narrow "
+    "per-row transform (tokenize once, then sequence+explode window "
+    "offsets) — no shuffle at all; output rows inherit the scan's "
+    "partitioning, so a 100 TB corpus chunks embarrassingly parallel.",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toked = (
+        d.repartition(par, "doc_id")
+        .withColumn("__toks", F.split("text", " "))
+        .withColumn("__n", F.size("__toks"))
+    )
+    c = toked.select(
+        "doc_id",
+        "__toks",
+        "__n",
+        F.explode(F.sequence(F.lit(0), F.col("__n") - 1, F.lit(STRIDE))).alias("o"),
+    )
+    return c.select(
+        "doc_id",
+        (F.col("o") / STRIDE).cast("int").alias("chunk_idx"),
+        F.least(F.lit(CHUNK), F.col("__n") - F.col("o")).cast("int").alias("n_tokens"),
+        F.concat_ws(" ", F.slice("__toks", F.col("o") + 1, F.lit(CHUNK))).alias(
+            "chunk_text"
+        ),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "dedup_canonical_doc",
+    _VERIFIED_PAIRS_DUCK.replace("WITH perms", "WITH RECURSIVE perms", 1)
+    + """
+    , cluster_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified),
+    reach AS (
+      SELECT DISTINCT a AS doc, a AS other FROM cluster_edges
+      UNION
+      SELECT e.b, r.other FROM reach r JOIN cluster_edges e ON e.a = r.doc),
+    clustered AS (
+      SELECT doc, MIN(other) AS cluster_id FROM reach GROUP BY doc),
+    member AS (
+      SELECT d.doc_id, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clustered c ON c.doc = d.doc_id),
+    ranked AS (
+      SELECT cluster_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM member)
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS canonical_doc_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    ORDER BY cluster_id
+    """,
+    group="dedup",
+    doc="Canonical-document selection: for every near-dup cluster "
+    "(connected components over the Jaccard-verified MinHash-LSH pair "
+    "graph) keep the longest member (n_chars DESC, doc_id tie-break) "
+    "— the keep-one half of fuzzy dedup. Spark side reuses the "
+    "min-label-propagation components; the winner per cluster is one "
+    "row_number window over the cluster key, so the extra cost over "
+    "cluster assignment is a single bounded shuffle.",
+)
+def dedup_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    member = (
+        d.select("doc_id", "n_chars")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        member.select(
+            "cluster_id",
+            "doc_id",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy("cluster_id")).alias("n_members"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("cluster_id").cast("bigint").alias("cluster_id"),
+            F.col("doc_id").cast("bigint").alias("canonical_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+TEMP_TARGET_HALF = 2  # resample to 1/2 of the corpus
+
+
+@register(
+    "sample_temperature_resample",
+    f"""
+    WITH src AS (
+      SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+    weighted AS (
+      SELECT source, cnt,
+             CAST(round(sqrt(CAST(cnt AS DOUBLE)) * 1000, 0) AS BIGINT) AS w
+      FROM src),
+    tot AS (
+      SELECT SUM(cnt) AS n_total, SUM(w) AS w_total FROM weighted),
+    rated AS (
+      SELECT source, cnt, w,
+             least(1000000,
+                   (1000000 * (t.n_total // {TEMP_TARGET_HALF}) * w)
+                     // (t.w_total * cnt)) AS rate_ppm
+      FROM weighted CROSS JOIN tot t),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN rated r USING (source)
+      WHERE {_bucket_duck('d.doc_id', 1000000)} < r.rate_ppm
+      GROUP BY d.source)
+    SELECT r.source,
+           CAST(r.cnt AS BIGINT) AS n_docs,
+           CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rated r LEFT JOIN kept k ON k.source = r.source
+    ORDER BY r.source
+    """,
+    group="sampling",
+    doc="Temperature-balanced resampling across sources (alpha = 0.5): "
+    "per-source keep rate proportional to sqrt(count)/count, scaled to "
+    "a half-corpus target — the mixture re-weighting step that "
+    "up-samples rare sources. Weights are integer milli-units and the "
+    "rate is exact integer ppm arithmetic, so the plan is bit-"
+    "deterministic under any aggregation order; membership is the "
+    "md5 hash-bucket predicate (partitioning/retry stable). The "
+    "per-source rate table is tiny and broadcasts; the corpus is "
+    "touched by exactly one scan + one map-side filter.",
+)
+def sample_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    weighted = src.withColumn(
+        "w", F.round(F.sqrt(F.col("cnt").cast("double")) * 1000, 0).cast("bigint")
+    )
+    tot = weighted.agg(
+        F.sum("cnt").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    rated = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "cnt",
+        F.least(
+            F.lit(1000000),
+            (F.lit(1000000) * F.floor(F.col("n_total") / TEMP_TARGET_HALF) * F.col("w"))
+            .cast("bigint")
+            / (F.col("w_total") * F.col("cnt")),
+        )
+        .cast("bigint")
+        .alias("rate_ppm"),
+    )
+    kept = (
+        d.join(F.broadcast(rated), "source")
+        .filter(hash_bucket(F.col("doc_id"), 1000000) < F.col("rate_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("cnt").cast("bigint").alias("n_docs"),
+            F.col("rate_ppm").cast("bigint"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+VOCAB_TOPK = 100
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    ranked AS (
+      SELECT token, cnt,
+             SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+             SUM(cnt) OVER () AS total
+      FROM counts)
+    SELECT token, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROUND(CAST(cum AS DOUBLE) / total, 6) AS DOUBLE) AS cum_share
+    FROM ranked
+    ORDER BY cnt DESC, token ASC
+    LIMIT {VOCAB_TOPK}
+    """,
+    group="text",
+    doc=f"Vocabulary coverage curve: top-{VOCAB_TOPK} tokens by corpus "
+    "frequency with the cumulative share of all token occurrences "
+    "they cover — the vocab-size sizing query. Token counting is one "
+    "map-side-combined groupBy; the running-total window runs over "
+    "the *vocabulary* (bounded, orders of magnitude smaller than the "
+    "corpus), and the share stays exact integer until one final "
+    "division.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    counts = (
+        d.repartition(par, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = W.orderBy(F.col("cnt").desc(), F.col("token").asc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy()
+    return (
+        counts.select(
+            "token",
+            "cnt",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_all).alias("total"),
+        )
+        .select(
+            "token",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("cum_share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(VOCAB_TOPK)
+    )

@@ -1,0 +1,323 @@
+"""Product-analytics operators over the `events` stream table.
+
+The reference's query layer is delegated to Flink SQL / Trino
+(reference: README.md:175-179); these are the event-stream analytics
+a user of that layer runs daily — funnels, retention cohorts,
+time-weighted rollups, exponential smoothing — re-expressed as
+Catalyst-optimizable DataFrame plans.
+
+Scale posture shared by every query here: all shuffles hash on
+`user_id` (or the small `event_type` domain), aggregates combine
+map-side, and chained groupBy/join stages reuse the same hash
+partitioning so AQE collapses adjacent exchanges. Nothing collects
+to the driver; per-key state (the EWMA fold list) is bounded by
+single-key cardinality, the same bound a streaming stateful operator
+would hold in its state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.registry import register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS ts_v FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_c
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.ts_v
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS ts_p
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.ts_c
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS users_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS users_click_after_view,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS users_purchase_after_click
+    """,
+    group="events-analytics",
+    doc="Ordered conversion funnel (view -> click -> purchase): each "
+    "stage keeps users whose stage event strictly follows their first "
+    "event of the previous stage. Three user_id-hashed min-aggregates "
+    "chained by key-aligned joins — AQE reuses one partitioning across "
+    "all stages; stage outputs are one row per user, so the final "
+    "counts are tiny global aggregates.",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_v"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("ts_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_c"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ts_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_p"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("users_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("users_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("users_purchase_after_click")))
+    )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT CAST(epoch_ms(cohort) AS BIGINT) AS cohort_week_ms,
+           CAST((epoch_ms(wk) - epoch_ms(cohort)) // 604800000 AS BIGINT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM active JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week_ms, week_offset
+    """,
+    group="events-analytics",
+    doc="Retention cohort matrix: users grouped by the ISO week of "
+    "their first event, counted in each subsequent active week. "
+    "first-seen and distinct-activity both hash on user_id (one "
+    "shuffle partitioning reused); the cohort matrix itself is "
+    "weeks x weeks — tiny at any corpus size. Week offsets are exact "
+    "epoch-millisecond integer arithmetic on Monday-truncated weeks "
+    "(Spark and DuckDB both truncate to Monday).",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    active = e.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    cohort_ms = F.unix_millis("cohort")
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            cohort_ms.alias("cohort_week_ms"),
+            F.floor((F.unix_millis("wk") - cohort_ms) / 604800000)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week_ms", "week_offset")
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    """
+    WITH o AS (
+      SELECT user_id,
+             CAST(trunc(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS t_us,
+             LEAD(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
+      FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(ROUND(CAST(SUM(cents * (nxt_us - t_us)) AS DOUBLE)
+                      / SUM(nxt_us - t_us) / 100, 6) AS DOUBLE) AS twa_value
+    FROM o WHERE nxt_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    group="events-analytics",
+    doc="Time-weighted average of the value series per user: each "
+    "reading is weighted by the microseconds until the next reading "
+    "(last reading carries no weight). Weights and values stay exact "
+    "integers (cents x microsecond durations, well inside int64) "
+    "until the single final division, so partial-aggregation order "
+    "cannot change the result. One window + one aggregate, both "
+    "partitioned on user_id.",
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    o = e.select(
+        "user_id",
+        (F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        t_us.alias("t_us"),
+        F.lead(t_us).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    dur = F.col("nxt_us") - F.col("t_us")
+    return (
+        o.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.round(
+                F.sum(F.col("cents") * dur).cast("double") / F.sum(dur) / 100, 6
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_ewma",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(list_reduce(list(value ORDER BY ts, event_id),
+                                  (acc, x) -> 0.5 * x + 0.5 * acc), 6)
+                AS DOUBLE) AS ewma_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    group="events-analytics",
+    doc="Exponentially weighted moving average (alpha = 0.5) of each "
+    "user's value series in event-time order, via an ordered "
+    "collect + fold (aggregate lambda). Both engines execute the "
+    "identical left fold over the identical IEEE-754 doubles, so the "
+    "result is bitwise deterministic. The fold is the batch twin of a "
+    "transformWithState streaming accumulator: state per key is one "
+    "double, and the collected list is bounded by single-key "
+    "cardinality (what a state store would hold anyway).",
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.unix_micros("ts").alias("t"), "event_id", "value"))
+    )
+    vals = F.transform(ordered, lambda s: s["value"])
+    ewma = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: F.lit(0.5) * x + F.lit(0.5) * acc,
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(ewma, 6).alias("ewma_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_rolling_distinct",
+    """
+    SELECT user_id, event_id,
+           CAST(epoch_ms(ts) AS BIGINT) AS ts_ms,
+           CAST(len(list_distinct(list(event_type) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)))
+                AS INTEGER) AS distinct_types_10
+    FROM events
+    ORDER BY user_id, ts_ms, event_id
+    """,
+    group="events-analytics",
+    doc="Rolling distinct-count over a 10-row event-time frame per "
+    "user (behavioral diversity signal): collect_list over the frame "
+    "+ array_distinct. The frame bounds state to 10 elements per row "
+    "regardless of corpus size; partitioning is the user_id hash "
+    "every other events operator already uses.",
+)
+def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-9, W.currentRow)
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ts_ms"),
+            F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+            .cast("int")
+            .alias("distinct_types_10"),
+        )
+        .orderBy("user_id", "ts_ms", "event_id")
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    """
+    WITH c AS (
+      SELECT user_id, event_id,
+             CAST(trunc(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    stats AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(cents) AS s1, SUM(cents * cents) AS s2
+      FROM c GROUP BY user_id)
+    SELECT c.user_id, c.event_id,
+           CAST(ROUND(CAST(s.n * c.cents - s.s1 AS DOUBLE)
+                      / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)), 6)
+                AS DOUBLE) AS zscore
+    FROM c JOIN stats s USING (user_id)
+    WHERE s.n >= 5
+      AND CAST(s.n * c.cents - s.s1 AS HUGEINT)
+          * CAST(s.n * c.cents - s.s1 AS HUGEINT)
+          > 4 * CAST(s.n * s.s2 - s.s1 * s.s1 AS HUGEINT)
+    ORDER BY c.user_id, c.event_id
+    """,
+    group="events-analytics",
+    doc="Per-user anomaly flagging: events whose value deviates more "
+    "than 2 population standard deviations from that user's mean. The "
+    "|z| > 2 test is cleared of all division and square roots — "
+    "(n*c - S1)^2 > 4*(n*S2 - S1^2) in exact integer arithmetic "
+    "(widened to decimal/hugeint for the squares) — so the flag set "
+    "is bit-deterministic under any aggregation order; the reported "
+    "z-score converts the same exact integers to double once. One "
+    "user_id-hashed aggregate joined back to the events (same key, "
+    "partitioning reused).",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    c = e.select(
+        "user_id",
+        "event_id",
+        (F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    stats = c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    dev = F.col("n") * F.col("cents") - F.col("s1")  # n * (c - mean), exact
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")  # n^2 * var
+    wide = F.col("dev").cast("decimal(38,0)")
+    return (
+        c.join(stats, "user_id")
+        .withColumn("dev", dev)
+        .withColumn("var_n2", var_n2)
+        .filter(
+            (F.col("n") >= 5)
+            & (wide * wide > F.lit(4) * F.col("var_n2").cast("decimal(38,0)"))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.col("dev").cast("double") / F.sqrt(F.col("var_n2").cast("double")), 6
+            ).alias("zscore"),
+        )
+        .orderBy("user_id", "event_id")
+    )

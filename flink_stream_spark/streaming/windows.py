@@ -15,32 +15,47 @@ from pyspark.sql import types as T
 
 from flink_stream_spark.catalog import table_path
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanos on disk
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay the events table as an unbounded stream (Kafka stand-in,
-    earliest-offset semantics)."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    earliest-offset semantics).
+
+    Mirrors catalog.load_table's timestamp handling: parquet
+    TIMESTAMP(NANOS) columns (which Spark cannot scan natively) are
+    read as int64 nanos and converted with exact integer µs
+    arithmetic; µs/ms-unit files are read as TimestampType directly.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts_field = pq.read_schema(table_path(sf_dir, "events")).field("ts")
+    ts_is_ns = pa.types.is_timestamp(ts_field.type) and ts_field.type.unit == "ns"
+    if ts_is_ns:
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(_events_schema(T.LongType() if ts_is_ns else T.TimestampType()))
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    if ts_is_ns:
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
