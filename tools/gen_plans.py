@@ -20,6 +20,8 @@ import flink_stream_spark.operators.tpch_extra  # noqa: F401,E402
 import flink_stream_spark.operators.text_rank  # noqa: F401,E402
 import flink_stream_spark.operators.sampling  # noqa: F401,E402
 import flink_stream_spark.operators.misc  # noqa: F401,E402
+import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
+import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
 
 NOTES = {
     "q1_pricing_summary": (
@@ -76,6 +78,46 @@ NOTES = {
         "posexplode is narrow; one (label, dim) aggregate with map-side partial "
         "sums of exact scaled integers — the shuffle carries |labels|×|dims| "
         "partial sums, never embedding vectors."
+    ),
+    "text_decontaminate_overlap": (
+        "Both sides tokenize once and explode distinct 5-grams; the eval-set "
+        "side is BroadcastHashJoin'd (an eval corpus is tiny next to 100 TB of "
+        "training data), so the train side never shuffles its n-grams — the "
+        "only exchange is the per-doc overlap count, one long per doc."
+    ),
+    "text_chunk_windows": (
+        "Tokenize once, sequence+explode the window offsets, slice per chunk — "
+        "a narrow pipeline whose only exchanges are the deliberate spread "
+        "repartition (the small fixture arrives as one split; a 100 TB corpus "
+        "arrives pre-split) and the presentation sort. Chunking itself is "
+        "embarrassingly parallel at scan parallelism."
+    ),
+    "sample_temperature_resample": (
+        "The per-source rate table (a few rows) broadcasts; corpus membership "
+        "is a map-side md5-bucket predicate against the broadcast rate — one "
+        "scan of the corpus, no row-level shuffle. Integer ppm arithmetic "
+        "keeps the rates bit-identical under any aggregation order."
+    ),
+    "text_vocab_coverage": (
+        "Token counting is one map-side-combined aggregate; the running-total "
+        "window runs over the vocabulary (bounded, ~10^5-10^6 terms at any "
+        "corpus size), not the corpus — the single-partition window warning "
+        "applies to that bounded table only."
+    ),
+    "events_funnel": (
+        "Three stage aggregates all hash on user_id — AQE reuses one shuffle "
+        "partitioning across every stage join; stage outputs are one row per "
+        "user and the final result is three scalar counts."
+    ),
+    "events_time_weighted_avg": (
+        "lead() and the final aggregate share the user_id partitioning; "
+        "weights are exact integers (cents × µs durations), so partial-agg "
+        "order can't change the result — one shuffle total."
+    ),
+    "events_anomaly_zscore": (
+        "Per-user moments aggregate once (map-side partials, exact integer "
+        "sums), then join back on the same user_id key — partitioning reused, "
+        "no division or sqrt in the flag predicate."
     ),
 }
 
