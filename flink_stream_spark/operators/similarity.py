@@ -122,9 +122,7 @@ def _sdot(va, vb):
 _SCALED_DUCK = "list_transform({c}, x -> CAST(CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DOUBLE))"
 
 
-@register(
-    "simsearch_ivf_topk",
-    f"""
+_IVF_RANKED_DUCK = f"""
     WITH se AS (
       SELECT vec_id, {_SCALED_DUCK.format(c='embedding')} AS s FROM embeddings),
     n AS (SELECT vec_id, s, sqrt(list_dot_product(s, s)) AS nrm FROM se),
@@ -149,6 +147,13 @@ _SCALED_DUCK = "list_transform({c}, x -> CAST(CAST(trunc(CAST(x AS DOUBLE) * 100
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cos DESC, match_id) AS rn
       FROM scored)
+"""
+
+
+@register(
+    "simsearch_ivf_topk",
+    _IVF_RANKED_DUCK
+    + f"""
     SELECT query_id, match_id,
            CAST(CAST(trunc(cos * 1000000) AS BIGINT) / 1000000 AS DOUBLE) AS cosine,
            CAST(rn AS BIGINT) AS rank
@@ -222,6 +227,89 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("rank"),
         )
         .orderBy("query_id", "rank")
+    )
+
+
+@register(
+    "simsearch_recall_at_k",
+    _IVF_RANKED_DUCK
+    + f"""
+    , ivf AS (SELECT query_id, match_id FROM ranked WHERE rn <= {IVF_K}),
+    exact0 AS (
+      SELECT q.vec_id AS query_id, m.vec_id AS match_id,
+             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                ORDER BY list_dot_product(q.s, m.s)
+                                           / (q.nrm * m.nrm) DESC,
+                                         m.vec_id) AS rn
+      FROM n q JOIN n m ON m.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}),
+    exact AS (SELECT query_id, match_id FROM exact0 WHERE rn <= {IVF_K}),
+    hits AS (
+      SELECT e.query_id, COUNT(*) AS n_hits
+      FROM exact e JOIN ivf i
+        ON i.query_id = e.query_id AND i.match_id = e.match_id
+      GROUP BY e.query_id)
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(ROUND(COALESCE(h.n_hits, 0) / {IVF_K}.0, 6) AS DOUBLE) AS recall
+    FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+          WHERE vec_id < {N_QUERIES}) q
+      LEFT JOIN hits h ON h.query_id = q.query_id
+    ORDER BY q.query_id
+    """,
+    group="similarity",
+    doc=f"ANN index-quality evaluation: recall@{IVF_K} of the IVF "
+    f"(nprobe={NPROBE}/{NLIST}) result against the exact top-{IVF_K} "
+    "— the measurement loop that tunes nlist/nprobe before committing "
+    "a 100 TB index build. The exact side broadcasts only the query "
+    "vectors over one corpus scan; both sides use the ×1e6 scaled-"
+    "integer arithmetic, so the recall numbers are bit-deterministic "
+    "across engines (a 1-ulp cosine divergence at the rank-k boundary "
+    "would otherwise flip the metric).",
+)
+def simsearch_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    ivf = simsearch_ivf_topk(spark, sf_dir).select("query_id", "match_id")
+    par = spark.sparkContext.defaultParallelism
+    n = (
+        e.repartition(par, "vec_id")
+        .select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
+        .withColumn("nrm", F.sqrt(_sdot(F.col("s"), F.col("s"))))
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("s").alias("qs"),
+        F.col("nrm").alias("qnrm"),
+    )
+    exact = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            (_sdot(F.col("qs"), F.col("s")) / (F.col("qnrm") * F.col("nrm"))).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("cos").desc(), "match_id")
+            ),
+        )
+        .filter(F.col("rn") <= IVF_K)
+        .select("query_id", "match_id")
+    )
+    hits = exact.join(ivf, ["query_id", "match_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        q.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / IVF_K, 6).alias("recall"),
+        )
+        .orderBy("query_id")
     )
 
 
