@@ -58,6 +58,57 @@ def test_broadcast_query_set_in_simsearch(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_partition_pruned_scan(spark, sf_small, tmp_path):
+    """Hive-partitioned layout + a partition-key filter must prune at
+    plan time (PartitionFilters on the scan, not a post-scan Filter) —
+    at 100 TB this is the difference between reading one day and
+    reading the lake."""
+    from pyspark.sql import functions as F
+
+    from flink_stream_spark.catalog import load_table
+
+    path = str(tmp_path / "events_by_type")
+    load_table(spark, sf_small, "events").write.partitionBy("event_type").parquet(path)
+    df = (
+        spark.read.parquet(path)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id")
+    )
+    plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "PartitionFilters" in plan and "event_type" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_oracle):
+    import flink_stream_spark.operators.corpus_ops  # noqa: F401
+
+    plan = plan_of(spark, sf_oracle, "text_decontaminate_overlap")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_windows_reconstruct_documents(spark, sf_small):
+    """Every chunk must equal the corresponding token slice of its
+    document (stride 24, width 32) and the chunk set must cover every
+    token."""
+    import flink_stream_spark.operators.corpus_ops as co
+    from flink_stream_spark.catalog import load_table
+
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_small, "documents").collect()
+    }
+    chunks = co.text_chunk_windows(spark, sf_small).collect()
+    seen = {d: 0 for d in docs}
+    for r in chunks:
+        toks = docs[r["doc_id"]]
+        off = r["chunk_idx"] * co.STRIDE
+        want = toks[off : off + co.CHUNK]
+        assert r["chunk_text"].split(" ") == want
+        assert r["n_tokens"] == len(want)
+        seen[r["doc_id"]] = max(seen[r["doc_id"]], off + len(want))
+    assert all(seen[d] == len(toks) for d, toks in docs.items())
+
+
 def test_whole_stage_codegen_in_flagship(spark, sf_oracle):
     df = REGISTRY["q1_pricing_summary"].build(spark, sf_oracle)
     df.collect()  # materialize the final adaptive plan
