@@ -43,6 +43,8 @@ import flink_stream_spark.operators.udfs  # noqa: F401,E402
 import flink_stream_spark.operators.tpch_extra  # noqa: F401,E402
 import flink_stream_spark.operators.text_rank  # noqa: F401,E402
 import flink_stream_spark.operators.sampling  # noqa: F401,E402
+import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
+import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
 
 # the headline set: one representative per operator family, all
 # scale-path variants (no O(n^2) members)
@@ -67,6 +69,11 @@ HEADLINE = [
     "embedding_label_centroids",
     "sample_train_split",
     "multimodal_metadata_extract",
+    "events_funnel",
+    "events_anomaly_zscore",
+    "text_chunk_windows",
+    "text_decontaminate_overlap",
+    "simsearch_ivf_topk",
 ]
 
 
