@@ -257,6 +257,42 @@ def events_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_topk_per_window",
+    """
+    WITH w AS (
+      SELECT CAST(epoch_ms(date_trunc('hour', ts)) AS BIGINT) AS window_start_ms,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start_ms
+                                   ORDER BY n DESC, event_type) AS rnk
+      FROM w)
+    SELECT window_start_ms, event_type, n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    ORDER BY window_start_ms, rnk
+    """,
+    group="events-analytics",
+    doc="Trending items: top-3 event types per tumbling hour by count "
+    "— the batch twin of a streaming windowed top-k. The count "
+    "aggregate combines map-side into |windows|x|types| rows, and the "
+    "per-window rank runs as WindowGroupLimit over that bounded "
+    "table; the raw event stream is touched by exactly one scan.",
+)
+def events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    counts = e.groupBy(
+        F.unix_millis(F.date_trunc("hour", "ts")).alias("window_start_ms"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("window_start_ms").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("window_start_ms", "rnk")
+    )
+
+
+@register(
     "events_anomaly_zscore",
     """
     WITH c AS (
