@@ -258,6 +258,79 @@ def dedup_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_rate_by_source",
+    _VERIFIED_PAIRS_DUCK.replace("WITH perms", "WITH RECURSIVE perms", 1)
+    + """
+    , cluster_edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL
+      SELECT doc_b, doc_a FROM verified),
+    reach AS (
+      SELECT DISTINCT a AS doc, a AS other FROM cluster_edges
+      UNION
+      SELECT e.b, r.other FROM reach r JOIN cluster_edges e ON e.a = r.doc),
+    clustered AS (
+      SELECT doc, MIN(other) AS cluster_id FROM reach GROUP BY doc),
+    member AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN clustered c ON c.doc = d.doc_id),
+    csize AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM member GROUP BY cluster_id)
+    SELECT m.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE s.sz > 1 AND m.doc_id <> m.cluster_id)
+                AS BIGINT) AS n_dup_docs,
+           CAST(ROUND(CAST(COUNT(*) FILTER (WHERE s.sz > 1
+                                            AND m.doc_id <> m.cluster_id)
+                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS dup_rate
+    FROM member m JOIN csize s USING (cluster_id)
+    GROUP BY m.source
+    ORDER BY m.source
+    """,
+    group="dedup",
+    doc="Corpus-health report: per-source duplication rate over the "
+    "Jaccard-verified MinHash-LSH near-dup clusters (a doc counts as "
+    "a duplicate when its cluster has >1 member and it is not the "
+    "cluster representative). The monitoring query a curation "
+    "pipeline runs per ingest batch; cluster sizes aggregate on the "
+    "cluster key and the final rollup is |sources| rows.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    member = (
+        d.select("doc_id", "source")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    csize = member.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    is_dup = (F.col("sz") > 1) & (F.col("doc_id") != F.col("cluster_id"))
+    return (
+        member.join(csize, "cluster_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(is_dup, 1).otherwise(0)).cast("bigint").alias("n_dup_docs"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 TEMP_TARGET_HALF = 2  # resample to 1/2 of the corpus
 
 
