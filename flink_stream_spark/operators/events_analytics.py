@@ -293,6 +293,53 @@ def events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_multires_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(trunc(value * 100 + 0.5) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2)
+    SELECT CAST(epoch_ms(date_trunc('day', h)) AS BIGINT) AS day_ms,
+           event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(cents) / 100.0 AS DOUBLE) AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM hourly
+    GROUP BY 1, 2
+    ORDER BY day_ms, event_type
+    """,
+    group="events-analytics",
+    doc="Multi-resolution rollup (hypertable continuous-aggregate "
+    "pattern): the daily aggregate is derived from the HOURLY "
+    "partials, not from raw events — counts and exact integer cent "
+    "sums re-aggregate losslessly. At 100 TB the hourly table is the "
+    "materialized rollup a pipeline maintains incrementally; daily/"
+    "weekly/monthly views re-aggregate |hours|x|types| rows instead "
+    "of rescanning the raw stream. n_hours audits rollup coverage.",
+)
+def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("cents"),
+    )
+    return (
+        hourly.groupBy(
+            F.unix_millis(F.date_trunc("day", "h")).alias("day_ms"), "event_type"
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            (F.sum("cents") / 100.0).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .orderBy("day_ms", "event_type")
+    )
+
+
+@register(
     "events_anomaly_zscore",
     """
     WITH c AS (
