@@ -295,3 +295,53 @@ def test_stateful_v2_user_type_profiles(spark, sf_small):
         .collect()
     }
     assert final == want
+
+
+def test_hourly_rollup_continuous_aggregate(spark, sf_small, tmp_path):
+    """The incrementally-MERGEd hourly rollup table must equal the
+    batch hourly aggregate after a full replay, and the daily view
+    derived from it must equal events_multires_rollup."""
+    from flink_stream_spark.operators.events_analytics import events_multires_rollup
+    from flink_stream_spark.streaming.rollup import (
+        daily_from_hourly,
+        start_hourly_rollup,
+    )
+    from flink_stream_spark.tables.managed import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    table = wh.table("hourly_rollup", key_columns=["h_ms", "event_type"])
+    q = start_hourly_rollup(
+        spark, sf_small, table, str(tmp_path / "ckpt"), trigger_seconds=1
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    hourly = table.read(spark)
+    from flink_stream_spark.catalog import load_table
+
+    e = load_table(spark, sf_small, "events")
+    want_hourly = {
+        (r["h_ms"], r["event_type"]): (r["n"], r["cents"])
+        for r in e.groupBy(
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("h_ms"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("cents"),
+        )
+        .collect()
+    }
+    got_hourly = {
+        (r["h_ms"], r["event_type"]): (r["n"], r["cents"]) for r in hourly.collect()
+    }
+    assert got_hourly == want_hourly
+
+    got_daily = [
+        (r["day_ms"], r["event_type"], r["n"], r["total_value"], r["n_hours"])
+        for r in daily_from_hourly(hourly).collect()
+    ]
+    want_daily = [
+        (r["day_ms"], r["event_type"], r["n"], r["total_value"], r["n_hours"])
+        for r in events_multires_rollup(spark, sf_small).collect()
+    ]
+    assert got_daily == want_daily
