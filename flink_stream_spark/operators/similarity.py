@@ -394,7 +394,44 @@ def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simsearch_lsh_ann_topk",
-    None,  # pipeline composition; bucket+cosine stages oracle-checked above
+    f"""
+    WITH planes AS (
+      SELECT j, d, {_PLANE_DUCK} AS w
+      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
+      CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS d)),
+    comp AS (
+      SELECT vec_id, u.d, CAST(CAST(u.x AS DOUBLE) * 1000000 AS BIGINT) AS xi
+      FROM (SELECT vec_id,
+                   unnest(embedding) AS x,
+                   unnest(generate_series(0, {DIM - 1})) AS d
+            FROM embeddings) u(vec_id, x, d)),
+    dots AS (
+      SELECT vec_id, j, SUM(xi * w) AS dot
+      FROM comp JOIN planes ON comp.d = planes.d
+      GROUP BY vec_id, j),
+    buckets AS (
+      SELECT vec_id,
+             SUM(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT))
+                      ELSE 0 END) AS bucket
+      FROM dots GROUP BY vec_id),
+    eb AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buckets b USING (vec_id)),
+    scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS match_id,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM eb a JOIN eb c
+        ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, match_id) AS rn
+      FROM scored)
+    SELECT query_id, match_id, CAST(ROUND(cos, 6) AS DOUBLE) AS cosine,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= 3
+    ORDER BY query_id, rank
+    """,
     group="similarity",
     doc="Bucketed ANN: same-bucket candidates re-ranked by exact cosine, "
     "top-3 per query vector. Join is on the 12-bit bucket — Σ bucket² "
