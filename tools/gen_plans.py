@@ -119,6 +119,29 @@ NOTES = {
         "sums), then join back on the same user_id key — partitioning reused, "
         "no division or sqrt in the flag predicate."
     ),
+    "events_multires_rollup": (
+        "Continuous-aggregate shape: daily derives from the HOURLY partial "
+        "aggregate (counts + exact integer cent sums re-aggregate "
+        "losslessly), so coarser resolutions never rescan raw events. The "
+        "streaming twin (streaming/rollup.py) maintains the hourly table "
+        "incrementally via keyed MERGE."
+    ),
+    "events_topk_per_window": (
+        "The count aggregate combines map-side into |windows|×|types| rows; "
+        "the per-window rank is WindowGroupLimit over that bounded table — "
+        "one scan of the raw stream, bounded everything after."
+    ),
+    "simsearch_ivf_topk": (
+        "Centroids broadcast for assignment (one corpus pass); probing "
+        "touches NPROBE/NLIST of the data — the partition-pruned ANN path. "
+        "All cosine arithmetic is ×1e6 scaled integers in float64, exact "
+        "under any order, so the argmax assignment is reproducible."
+    ),
+    "simsearch_recall_at_k": (
+        "The evaluation loop: exact side broadcasts only the query vectors "
+        "over one corpus scan; IVF side reuses the index plan. Shuffled data "
+        "is |queries|×k id pairs on both sides."
+    ),
 }
 
 
