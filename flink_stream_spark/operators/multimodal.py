@@ -169,6 +169,77 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(media).orderBy("doc_id")
 
 
+FEATURE_BINS = 16
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, feature array<bigint>"
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction to a fixed-width vector: binary
+    payload → 16-bin byte-value histogram in exact ppm integers — the
+    deterministic stand-in for an encoder producing an embedding. On a
+    cluster with model runtimes this function body swaps for the real
+    encoder; schema, batching and partitioning stay identical. Narrow
+    op — no shuffle, embarrassingly parallel at any corpus size."""
+    import numpy as np
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, sizes = [], []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                counts = np.bincount(arr % FEATURE_BINS, minlength=FEATURE_BINS)
+                sizes.append(n)
+                feats.append(
+                    [int(1_000_000 * int(c) // n) if n else 0 for c in counts]
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bytes": sizes, "feature": feats}
+            )
+
+    return media.mapInPandas(_feat, schema=FEATURE_SCHEMA)
+
+
+@register(
+    "multimodal_feature_extract",
+    f"""
+    WITH b AS (
+      SELECT doc_id, hex(CAST(text AS BLOB)) AS h,
+             octet_length(CAST(text AS BLOB)) AS n
+      FROM documents),
+    bytes AS (
+      SELECT doc_id, n,
+             CAST('0x' || substr(h, (i - 1) * 2 + 1, 2) AS INTEGER)
+               % {FEATURE_BINS} AS bin
+      FROM b, unnest(generate_series(1, n)) AS t(i)),
+    hist AS (
+      SELECT doc_id, n, bin, COUNT(*) AS c
+      FROM bytes GROUP BY doc_id, n, bin),
+    dense AS (
+      SELECT d.doc_id, d.n, g.bin, COALESCE(h.c, 0) AS c
+      FROM (SELECT DISTINCT doc_id, n FROM hist) d
+      CROSS JOIN (SELECT unnest(generate_series(0, {FEATURE_BINS - 1})) AS bin) g
+      LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = g.bin)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           list(CAST(1000000 * c // n AS BIGINT) ORDER BY bin) AS feature
+    FROM dense
+    GROUP BY doc_id, n
+    ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="Feature extraction to a fixed-width vector: binary payload → "
+    "16-bin byte histogram in exact ppm integers via Arrow-batched "
+    "mapInPandas (the deterministic stand-in for a model encoder — "
+    "swap the UDF body for the real one, the Spark plumbing is "
+    "unchanged). Integer arithmetic end-to-end, so the vectors "
+    "hash-match the oracle exactly.",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return extract_features(media).orderBy("doc_id")
+
+
 @register(
     "multimodal_frame_sample",
     """
