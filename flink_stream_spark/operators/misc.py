@@ -259,3 +259,50 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_salted_two_phase",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+    doc="Skew-resilient two-phase aggregation: l_returnflag has only "
+    "3 values, so a single-phase final aggregate funnels the corpus "
+    "into 3 reducer partitions. Phase 1 aggregates on (key, "
+    "salt=pmod(xxhash64(l_orderkey),16)) — 48 evenly-sized groups — "
+    "phase 2 combines the 48 partials. The salt derives from row "
+    "content (never rand/monotonic id), so retries and partial-stage "
+    "recomputes reproduce identical partials; revenue partials are "
+    "exact scaled-long DECIMALs (operators/money.py), so the re-"
+    "aggregation is lossless and hash-matches the plain GROUP BY "
+    "oracle. (Spark's own partial-agg usually hides this skew; the "
+    "explicit salt is the pattern for when a first-stage combine "
+    "can't run — e.g. high-cardinality distinct aggregates.)",
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.operators.money import _rev4
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey"), F.lit(16))
+    partial = li.groupBy("l_returnflag", salt.alias("__salt")).agg(
+        F.sum(_rev4().cast("decimal(18,0)")).alias("rev_part"),
+        F.count(F.lit(1)).alias("n_part"),
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(
+            (F.sum("rev_part") / F.lit(10**4).cast("decimal(5,0)"))
+            .cast("double")
+            .alias("revenue"),
+            F.sum("n_part").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
