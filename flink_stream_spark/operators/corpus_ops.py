@@ -383,17 +383,19 @@ def sample_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = weighted.agg(
         F.sum("cnt").alias("n_total"), F.sum("w").alias("w_total")
     )
+    # exact integer arithmetic throughout: `div` is long division
+    # (DuckDB's `//`); a double `/` here could round the quotient up
+    # across an integer boundary and diverge from the oracle's floor
     rated = weighted.crossJoin(F.broadcast(tot)).select(
         "source",
         "cnt",
         F.least(
-            F.lit(1000000),
-            (F.lit(1000000) * F.floor(F.col("n_total") / TEMP_TARGET_HALF) * F.col("w"))
-            .cast("bigint")
-            / (F.col("w_total") * F.col("cnt")),
-        )
-        .cast("bigint")
-        .alias("rate_ppm"),
+            F.lit(1000000).cast("bigint"),
+            F.expr(
+                f"(1000000L * (n_total div {TEMP_TARGET_HALF}) * w)"
+                " div (w_total * cnt)"
+            ),
+        ).alias("rate_ppm"),
     )
     kept = (
         d.join(F.broadcast(rated), "source")
