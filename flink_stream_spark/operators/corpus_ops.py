@@ -415,6 +415,80 @@ def sample_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9]+\\.[a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_redact",
+    f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || CASE
+               WHEN doc_id % 10 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com or 555-867-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+               WHEN doc_id % 10 = 5
+                 THEN ' mail to admin@test.org'
+               ELSE ''
+             END AS text
+      FROM documents),
+    counted AS (
+      SELECT doc_id, text,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones
+      FROM seeded)
+    SELECT doc_id,
+           CAST(n_emails AS INTEGER) AS n_emails,
+           CAST(n_phones AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM counted
+    ORDER BY doc_id
+    """,
+    group="pipeline",
+    doc="PII redaction: emails and phone numbers detected and replaced "
+    "with typed placeholders (counts + a hash of the redacted text "
+    "prove the rewrite byte-for-byte). The fixture corpus carries no "
+    "PII, so both engines seed identical synthetic contacts into a "
+    "deterministic subset first — the redaction path is genuinely "
+    "exercised, not vacuous. Pure per-row regex work: no shuffle "
+    "before the presentation sort; at 100 TB this is a map-only "
+    "pass the scan parallelism absorbs.",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    seeded_text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-"),
+                (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+            ),
+        )
+        .when(F.col("doc_id") % 10 == 5, F.lit(" mail to admin@test.org"))
+        .otherwise(F.lit("")),
+    )
+    seeded = d.repartition(par, "doc_id").select("doc_id", seeded_text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return seeded.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)"))
+        .cast("int")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PHONE_RE}', 0)"))
+        .cast("int")
+        .alias("n_phones"),
+        F.md5(redacted).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
 VOCAB_TOPK = 100
 
 
