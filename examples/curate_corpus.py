@@ -30,6 +30,7 @@ STAGES = [
     ("3. canonical doc per cluster", "dedup_canonical_doc"),
     ("4. dup rate by source", "dedup_rate_by_source"),
     ("5. benchmark decontamination", "text_decontaminate_overlap"),
+    ("5b. PII redaction", "text_pii_redact"),
     ("6. temperature resampling", "sample_temperature_resample"),
     ("7. train/val/test split", "sample_train_split"),
     ("8. chunk windows", "text_chunk_windows"),

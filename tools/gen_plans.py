@@ -22,6 +22,7 @@ import flink_stream_spark.operators.sampling  # noqa: F401,E402
 import flink_stream_spark.operators.misc  # noqa: F401,E402
 import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
 import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
+import flink_stream_spark.operators.multimodal  # noqa: F401,E402
 
 NOTES = {
     "q1_pricing_summary": (
@@ -141,6 +142,22 @@ NOTES = {
         "The evaluation loop: exact side broadcasts only the query vectors "
         "over one corpus scan; IVF side reuses the index plan. Shuffled data "
         "is |queries|×k id pairs on both sides."
+    ),
+    "agg_salted_two_phase": (
+        "Skew pattern: 3 hot keys → phase 1 aggregates on (key, "
+        "content-derived salt) into 48 even groups, phase 2 combines the "
+        "partials. Exact DECIMAL partials make the re-aggregation lossless; "
+        "the salt is xxhash64 of row content, so retries reproduce it."
+    ),
+    "multimodal_feature_extract": (
+        "Arrow-batched mapInPandas producing a fixed-width vector per "
+        "payload — narrow (no shuffle before the presentation sort); the UDF "
+        "body swaps for a real encoder with identical plumbing."
+    ),
+    "text_pii_redact": (
+        "Map-only regex pass: detection counts + placeholder rewrite all "
+        "inside one projection over the scan; no exchange before the "
+        "presentation sort."
     ),
 }
 
