@@ -1,0 +1,42 @@
+"""Results must be pure functions of the data, not the partitioning.
+
+The determinism contract (FIXTURES rules, SURVEY §2C) says every
+declared query returns identical rows under any parallelism — retries,
+executor loss, AQE re-plans, cluster resizes. This re-runs the most
+partitioning-sensitive operators (hash sampling, float aggregation,
+LSH banding, fold-based EWMA, IVF argmax) under a different shuffle
+width and requires byte-identical results.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_stream_spark.operators import REGISTRY
+import flink_stream_spark.operators.corpus_ops  # noqa: F401
+import flink_stream_spark.operators.dedup  # noqa: F401
+import flink_stream_spark.operators.events_analytics  # noqa: F401
+import flink_stream_spark.operators.misc  # noqa: F401
+import flink_stream_spark.operators.sampling  # noqa: F401
+import flink_stream_spark.operators.similarity  # noqa: F401
+
+SENSITIVE = [
+    "sample_temperature_resample",
+    "dedup_minhash_lsh_pairs",
+    "events_ewma",
+    "text_vocab_coverage",
+    "simsearch_ivf_topk",
+    "agg_salted_two_phase",
+]
+
+
+@pytest.mark.parametrize("name", SENSITIVE)
+def test_result_independent_of_shuffle_width(spark, sf_small, name):
+    base = [tuple(r) for r in REGISTRY[name].build(spark, sf_small).collect()]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        narrow = [tuple(r) for r in REGISTRY[name].build(spark, sf_small).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert narrow == base, name
