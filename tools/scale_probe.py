@@ -25,8 +25,16 @@ from flink_stream_spark.operators import REGISTRY  # noqa: E402
 import flink_stream_spark.operators.dedup  # noqa: F401,E402
 import flink_stream_spark.operators.text  # noqa: F401,E402
 import flink_stream_spark.operators.similarity  # noqa: F401,E402
+import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
 
-PROBES = ["dedup_exact_hash", "dedup_minhash_lsh_pairs", "text_fingerprint", "dedup_simhash"]
+PROBES = [
+    "dedup_exact_hash",
+    "dedup_minhash_lsh_pairs",
+    "text_fingerprint",
+    "dedup_simhash",
+    "text_chunk_windows",
+    "text_decontaminate_overlap",
+]
 
 
 def main() -> None:
@@ -59,15 +67,28 @@ def main() -> None:
     n1 = spark.read.parquet(f"{work}/documents.parquet").count()
     print(f"corpus: {n0} -> {n1} docs ({factor}x)")
 
+    def materialize(df) -> None:
+        # noop sink: every output row/column fully computed (a bare
+        # count() would let Catalyst prune the measured expressions)
+        df.write.format("noop").mode("overwrite").save()
+
     for name in PROBES:
         spec = REGISTRY[name]
-        spec.build(spark, base).count()  # warm/codegen
-        t0 = time.perf_counter()
-        small = spec.build(spark, base).count()
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        large = spec.build(spark, work).count()
-        t_large = time.perf_counter() - t0
+        df_small = spec.build(spark, base)
+        df_large = spec.build(spark, work)
+        small, large = df_small.count(), df_large.count()  # untimed
+
+        def timed(df) -> float:
+            materialize(df)  # warm/codegen
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(df)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_small = timed(df_small)
+        t_large = timed(df_large)
         ratio = t_large / max(t_small, 1e-9)
         print(
             f"{name}: sf0.1 {small} rows {t_small:.2f}s | x{factor} {large} rows "
