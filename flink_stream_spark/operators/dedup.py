@@ -355,6 +355,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "md5-derived token hashes. Equal signatures → near-dup candidates.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one groupBy(doc_id) with 31 codegen'd per-bit vote aggregates —
+    # the minhash_wide trick. The earlier crossJoin-with-bits form
+    # materialized |tokens|×31 intermediate rows and a second shuffle;
+    # this form's shuffle is |docs|×31 ints with map-side combine.
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
     toks = (
@@ -363,25 +367,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tok").isNotNull())
     )
     h = toks.select("doc_id", (_tok_hash_spark(F.col("tok")) % P31).alias("h"))
-    bits = (
-        h.crossJoin(F.broadcast(spark.range(0, 31).select(F.col("id").alias("bit"))))
-        .groupBy("doc_id", "bit")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> CAST(bit AS INT)) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{b}")
+        for b in range(31)
+    ]
+    wide = h.groupBy("doc_id").agg(*votes)
+    simhash = None
+    for b in range(31):
+        term = F.when(F.col(f"s_{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-    )
+        simhash = term if simhash is None else simhash + term
     return (
-        bits.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << CAST(bit AS INT)"))
-                .otherwise(0)
-            )
-            .cast("bigint")
-            .alias("simhash")
-        )
+        wide.select("doc_id", simhash.cast("bigint").alias("simhash"))
         .orderBy("doc_id")
     )
 
