@@ -489,6 +489,65 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@register(
+    "text_unigram_rarity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS total FROM counts),
+    freq AS (
+      SELECT token, (1000000 * cnt) // t.total AS freq_ppm
+      FROM counts CROSS JOIN tot t),
+    scored AS (
+      SELECT k.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(f.freq_ppm) AS s
+      FROM toks k JOIN freq f USING (token)
+      GROUP BY k.doc_id)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+             AS mean_token_freq_ppm
+    FROM scored
+    ORDER BY doc_id
+    """,
+    group="text",
+    doc="Unigram-frequency document scoring — the language-model-"
+    "perplexity proxy a FineWeb-style quality filter thresholds on: "
+    "each token scored by its corpus frequency (exact integer ppm), "
+    "averaged per document. Documents full of rare garbage score low; "
+    "boilerplate scores high. The frequency table is |vocab| rows and "
+    "broadcasts back onto the token stream (AQE picks the broadcast); "
+    "integer ppm keeps the join+sum bit-deterministic, with one "
+    "double division per document at the end.",
+)
+def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = d.repartition(par, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("total"))
+    freq = counts.crossJoin(F.broadcast(tot)).select(
+        "token", F.expr("(1000000 * cnt) div total").alias("freq_ppm")
+    )
+    return (
+        toks.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("freq_ppm").alias("s"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias(
+                "mean_token_freq_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 VOCAB_TOPK = 100
 
 
