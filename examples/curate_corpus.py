@@ -26,6 +26,7 @@ from flink_stream_spark.operators import REGISTRY
 
 STAGES = [
     ("1. quality + dedup survivors", "pipeline_corpus_curation"),
+    ("1b. unigram rarity scores", "text_unigram_rarity"),
     ("2. near-dup clusters", "dedup_cluster_assign"),
     ("3. canonical doc per cluster", "dedup_canonical_doc"),
     ("4. dup rate by source", "dedup_rate_by_source"),
