@@ -70,11 +70,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = table_path(sf_dir, name)
     # determinism-critical session confs, set defensively because the
     # external driver constructs its own SparkSession: timestamps must
-    # be UTC to line up with DuckDB's naive-UTC parquet reads
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    # be UTC to line up with DuckDB's naive-UTC parquet reads, and NTZ
+    # inference must be off — the fixtures are naive-µs parquet, which
+    # a default Spark 4 session reads as TIMESTAMP_NTZ (breaking
+    # unix_millis/window and diverging from the oracle's naive-UTC)
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
     ns_cols = _nanos_timestamp_cols(path)
     if ns_cols:
         try:  # runtime-settable; the external driver's session needs it too

@@ -1,0 +1,46 @@
+"""Driver-environment simulation: the external CORRECTNESS driver
+builds its OWN SparkSession (no engine factory, no UTC conf, default
+shuffle width). The contract surface must hold there too — the
+defensive session settings in catalog.load_table are what's under
+test. Runs in a subprocess so the session is genuinely fresh."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .appName("driver-sim")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+import __spark_entry__ as mod
+from flink_stream_spark.testing.oracle import run_duckdb, canonical_hash
+assert mod.entry(spark).count() > 0
+qs, osql = mod.queries(), mod.oracle_sql()
+sf = "/root/testdata/sf0.001"
+# timestamp-, timezone- and hash-sensitive representatives
+names = ["q1_pricing_summary", "scalar_datetime", "events_window_tumbling",
+         "events_retention_cohorts", "sample_temperature_resample",
+         "dedup_minhash_lsh_pairs", "text_unigram_rarity"]
+for name in names:
+    sp = qs[name](spark, sf).toPandas()
+    du = run_duckdb(osql[name], sf)
+    assert len(sp) == len(du), (name, len(sp), len(du))
+    assert sorted(sp.columns) == sorted(du.columns), name
+    assert canonical_hash(sp) == canonical_hash(du), name
+print("DRIVER-SIM-OK")
+"""
+
+
+def test_contract_under_plain_driver_session():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "DRIVER-SIM-OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-2000:]
