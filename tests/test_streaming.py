@@ -345,3 +345,32 @@ def test_hourly_rollup_continuous_aggregate(spark, sf_small, tmp_path):
         for r in events_multires_rollup(spark, sf_small).collect()
     ]
     assert got_daily == want_daily
+
+
+def test_stream_static_join_parity(spark, sf_small):
+    """Stream-static enrichment join (SURVEY §2C): the unbounded side
+    joins a broadcast static dimension; aggregate parity vs batch."""
+    static = spark.range(0, 100000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("cohort")
+    )
+    s = stream_events(spark, sf_small)
+    agg = (
+        s.join(F.broadcast(static), "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    _run_to_memory(agg, "t_ss_join", "complete")
+    got = {
+        r["cohort"]: r["n"] for r in spark.sql("SELECT * FROM t_ss_join").collect()
+    }
+    from flink_stream_spark.catalog import load_table
+
+    want = {
+        r["cohort"]: r["n"]
+        for r in load_table(spark, sf_small, "events")
+        .join(static, "user_id")
+        .groupBy("cohort")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
