@@ -29,7 +29,7 @@ from pyspark.sql.window import Window as W
 
 from flink_stream_spark.catalog import load_table
 from flink_stream_spark.operators.dedup import (
-    _VERIFIED_PAIRS_DUCK,
+    _VERIFIED_CLUSTERED_DUCK,
     connected_components,
     dedup_minhash_lsh_pairs,
 )
@@ -190,19 +190,9 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_canonical_doc",
-    _VERIFIED_PAIRS_DUCK.replace("WITH perms", "WITH RECURSIVE perms", 1)
+    _VERIFIED_CLUSTERED_DUCK
     + """
-    , cluster_edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM verified
-      UNION ALL
-      SELECT doc_b, doc_a FROM verified),
-    reach AS (
-      SELECT DISTINCT a AS doc, a AS other FROM cluster_edges
-      UNION
-      SELECT e.b, r.other FROM reach r JOIN cluster_edges e ON e.a = r.doc),
-    clustered AS (
-      SELECT doc, MIN(other) AS cluster_id FROM reach GROUP BY doc),
-    member AS (
+    , member AS (
       SELECT d.doc_id, d.n_chars,
              COALESCE(c.cluster_id, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN clustered c ON c.doc = d.doc_id),
@@ -260,19 +250,9 @@ def dedup_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_rate_by_source",
-    _VERIFIED_PAIRS_DUCK.replace("WITH perms", "WITH RECURSIVE perms", 1)
+    _VERIFIED_CLUSTERED_DUCK
     + """
-    , cluster_edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM verified
-      UNION ALL
-      SELECT doc_b, doc_a FROM verified),
-    reach AS (
-      SELECT DISTINCT a AS doc, a AS other FROM cluster_edges
-      UNION
-      SELECT e.b, r.other FROM reach r JOIN cluster_edges e ON e.a = r.doc),
-    clustered AS (
-      SELECT doc, MIN(other) AS cluster_id FROM reach GROUP BY doc),
-    member AS (
+    , member AS (
       SELECT d.doc_id, d.source,
              COALESCE(c.cluster_id, d.doc_id) AS cluster_id
       FROM documents d LEFT JOIN clustered c ON c.doc = d.doc_id),
@@ -477,12 +457,15 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     redacted = F.regexp_replace(
         F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
     )
+    # regexes passed as Column literals, NOT through F.expr — Spark
+    # SQL string-literal parsing would strip the backslash and turn
+    # the escaped dot into a wildcard
     return seeded.select(
         "doc_id",
-        F.size(F.expr(f"regexp_extract_all(text, '{_EMAIL_RE}', 0)"))
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_RE), F.lit(0)))
         .cast("int")
         .alias("n_emails"),
-        F.size(F.expr(f"regexp_extract_all(text, '{_PHONE_RE}', 0)"))
+        F.size(F.regexp_extract_all("text", F.lit(_PHONE_RE), F.lit(0)))
         .cast("int")
         .alias("n_phones"),
         F.md5(redacted).alias("redacted_md5"),

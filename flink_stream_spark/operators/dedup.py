@@ -220,16 +220,17 @@ def dedup_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(sig_wide: DataFrame) -> DataFrame:
-    """Band the wide signature frame and self-join buckets → candidate
-    pairs.
+def banded_frame(sig_wide: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — the LSH bucket keys of each document.
 
     Band signature = comma-joined concat of that band's ROWS_PER_BAND
     minhash columns — plain ``concat_ws`` over the wide columns, fully
     codegen'd (the array-form slice+transform alternative is an
     interpreted per-element lambda). One explode to BANDS rows per
-    doc. The join key is (band, signature): only same-bucket docs pair
-    up, so the cost is Σ bucket² — LSH's point — not n².
+    doc. The single source of the banding layout: both the batch pair
+    pipeline and the streaming incremental index derive from this
+    frame, so the (bands, rows-per-band, separator) contract cannot
+    drift between them.
     """
     bands = F.array(
         *[
@@ -246,9 +247,17 @@ def lsh_candidate_pairs(sig_wide: DataFrame) -> DataFrame:
             for b in range(BANDS)
         ]
     )
-    banded = sig_wide.select("doc_id", F.explode(bands).alias("bs")).select(
+    return sig_wide.select("doc_id", F.explode(bands).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig_str").alias("sig")
     )
+
+
+def lsh_candidate_pairs(sig_wide: DataFrame) -> DataFrame:
+    """Band the wide signature frame and self-join buckets → candidate
+    pairs. The join key is (band, signature): only same-bucket docs
+    pair up, so the cost is Σ bucket² — LSH's point — not n².
+    """
+    banded = banded_frame(sig_wide)
     # bucket-group instead of self-join: the signature pipeline is
     # evaluated ONCE, and pairs are expanded inside each bucket's
     # sorted doc_id array (buckets are small by construction — that is
@@ -572,10 +581,10 @@ _VERIFIED_PAIRS_DUCK = (
 )
 
 
-@register(
-    "dedup_cluster_assign",
-    _VERIFIED_PAIRS_DUCK.replace("WITH perms", "WITH RECURSIVE perms", 1)
-    + """
+# transitive closure over the verified pair graph — the single source
+# for every cluster-based oracle (assignment, canonical doc, dup rate);
+# callers prepend _VERIFIED_PAIRS_DUCK with the WITH RECURSIVE rewrite
+_CLUSTERED_DUCK = """
     , cluster_edges AS (
       SELECT doc_a AS a, doc_b AS b FROM verified
       UNION ALL
@@ -586,6 +595,18 @@ _VERIFIED_PAIRS_DUCK = (
       SELECT e.b, r.other FROM reach r JOIN cluster_edges e ON e.a = r.doc),
     clustered AS (
       SELECT doc, MIN(other) AS cluster_id FROM reach GROUP BY doc)
+"""
+
+_VERIFIED_CLUSTERED_DUCK = (
+    _VERIFIED_PAIRS_DUCK.replace("WITH perms", "WITH RECURSIVE perms", 1)
+    + _CLUSTERED_DUCK
+)
+
+
+@register(
+    "dedup_cluster_assign",
+    _VERIFIED_CLUSTERED_DUCK
+    + """
     SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
     FROM documents d LEFT JOIN clustered c ON c.doc = d.doc_id
     ORDER BY d.doc_id

@@ -216,12 +216,15 @@ def extract_features(media: DataFrame) -> DataFrame:
       SELECT doc_id, n, bin, COUNT(*) AS c
       FROM bytes GROUP BY doc_id, n, bin),
     dense AS (
+      -- seed from ALL documents (not hist) so an empty payload still
+      -- yields a zero vector, matching the Spark UDF's n=0 guard
       SELECT d.doc_id, d.n, g.bin, COALESCE(h.c, 0) AS c
-      FROM (SELECT DISTINCT doc_id, n FROM hist) d
+      FROM (SELECT doc_id, n FROM b) d
       CROSS JOIN (SELECT unnest(generate_series(0, {FEATURE_BINS - 1})) AS bin) g
       LEFT JOIN hist h ON h.doc_id = d.doc_id AND h.bin = g.bin)
     SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
-           list(CAST(1000000 * c // n AS BIGINT) ORDER BY bin) AS feature
+           list(CAST(CASE WHEN n = 0 THEN 0 ELSE 1000000 * c // n END AS BIGINT)
+                ORDER BY bin) AS feature
     FROM dense
     GROUP BY doc_id, n
     ORDER BY doc_id

@@ -368,7 +368,8 @@ def lsh_bucket(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
       FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
       CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS d)),
     comp AS (
-      SELECT vec_id, u.d, CAST(CAST(u.x AS DOUBLE) * 1000000 AS BIGINT) AS xi
+      SELECT vec_id, u.d,
+             CAST(trunc(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS xi
       FROM (SELECT vec_id,
                    unnest(embedding) AS x,
                    unnest(generate_series(0, {DIM - 1})) AS d
@@ -400,7 +401,8 @@ def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
       CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS d)),
     comp AS (
-      SELECT vec_id, u.d, CAST(CAST(u.x AS DOUBLE) * 1000000 AS BIGINT) AS xi
+      SELECT vec_id, u.d,
+             CAST(trunc(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS xi
       FROM (SELECT vec_id,
                    unnest(embedding) AS x,
                    unnest(generate_series(0, {DIM - 1})) AS d

@@ -25,8 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_stream_spark.operators.dedup import (
-    BANDS,
-    ROWS_PER_BAND,
+    banded_frame,
     minhash_wide,
     shingled_docs,
 )
@@ -36,26 +35,9 @@ JACCARD_THRESHOLD = 0.5
 
 
 def banded_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, band, sig) — the LSH bucket keys of each document."""
-    wide = minhash_wide(docs)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh_{b * ROWS_PER_BAND + r}")
-                        for r in range(1, ROWS_PER_BAND + 1)
-                    ],
-                ).alias("sig"),
-            )
-            for b in range(BANDS)
-        ]
-    )
-    return wide.select("doc_id", F.explode(bands).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    """(doc_id, band, sig) — shared banding layout (dedup.banded_frame),
+    so the streaming index can never drift from the batch pipeline."""
+    return banded_frame(minhash_wide(docs))
 
 
 def _verified_dup_pairs(

@@ -6,12 +6,15 @@ test. Runs in a subprocess so the session is genuinely fresh."""
 
 from __future__ import annotations
 
+import os
 import subprocess
 import sys
 
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 SCRIPT = r"""
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[1])
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[4]")
          .appName("driver-sim")
@@ -38,7 +41,7 @@ print("DRIVER-SIM-OK")
 
 def test_contract_under_plain_driver_session():
     proc = subprocess.run(
-        [sys.executable, "-c", SCRIPT],
+        [sys.executable, "-c", SCRIPT, REPO_ROOT],
         capture_output=True,
         text=True,
         timeout=600,
