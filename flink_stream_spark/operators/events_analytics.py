@@ -293,6 +293,60 @@ def events_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_top_paths",
+    """
+    WITH seqs AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id),
+    grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(s) - 2, 0)),
+               i -> s[i] || '>' || s[i+1] || '>' || s[i+2])) AS path
+      FROM seqs)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 20
+    """,
+    group="events-analytics",
+    doc="Behavioral path mining: the 20 most common 3-step event "
+    "sequences across all users (view>click>purchase and friends) — "
+    "the funnel-discovery query that precedes defining a funnel. Per-"
+    "user sequences collect on the user_id hash (bounded by per-user "
+    "cardinality, the same state a sessionizer holds); the trigram "
+    "count aggregates map-side into the tiny |event_type|^3 domain.",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    ordered = F.array_sort(
+        F.collect_list(
+            F.struct(F.unix_micros("ts").alias("t"), "event_id", "event_type")
+        )
+    )
+    types = F.transform(ordered, lambda s: s["event_type"])
+    seqs = e.groupBy("user_id").agg(types.alias("s"))
+    n = F.size("s")
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), (n - 3).cast("int")),
+            lambda i: F.concat_ws(
+                ">", F.get("s", i), F.get("s", i + 1), F.get("s", i + 2)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return (
+        seqs.select(F.explode_outer(grams).alias("path"))
+        .filter(F.col("path").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+@register(
     "events_multires_rollup",
     """
     WITH hourly AS (
