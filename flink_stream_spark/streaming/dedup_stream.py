@@ -62,19 +62,102 @@ def _verified_dup_pairs(
     )
 
 
+def _resolve_greedy_keep_first(
+    batch_ids: DataFrame, edges: DataFrame, index_flagged: DataFrame
+) -> DataFrame:
+    """Greedy keep-first over the within-batch verified pair graph,
+    resolved entirely DataFrame-side (no pair ever reaches the driver).
+
+    ``edges`` (new_doc, old_doc) point strictly to smaller doc_ids, so
+    the graph is a DAG. Fixed-point status propagation:
+
+    - a doc is DUP as soon as ANY earlier neighbor is known-KEPT;
+    - a doc is KEPT once ALL its earlier neighbors are determined and
+      none is KEPT (or it has no earlier neighbors / is not flagged
+      against the index).
+
+    Each round determines at least the smallest undetermined doc, so
+    the loop always terminates; a batch of N mutual near-dups (a
+    clique — the adversarial case that blew up the old driver-side
+    greedy quadratically) resolves in 2 rounds. Only a scalar count
+    crosses to the driver per round — same convergence-check pattern
+    as dedup_cluster_assign. ``dup_of`` (the smallest kept earlier
+    neighbor, the reference greedy's cands[0]) is computed after the
+    fixpoint so it never reads a half-determined status.
+
+    Returns (new_doc, dup_of) for batch docs flagged duplicate-of-a-
+    kept-BATCH-doc (index flags excluded — caller unions them).
+    """
+    idx_dup_ids = index_flagged.select(F.col("new_doc").alias("doc_id"))
+    has_edge = edges.select(F.col("new_doc").alias("doc_id")).distinct()
+    det = (
+        batch_ids.join(idx_dup_ids, "doc_id", "left_semi")
+        .withColumn("kept", F.lit(False))
+        .unionByName(
+            batch_ids.join(idx_dup_ids, "doc_id", "left_anti")
+            .join(has_edge, "doc_id", "left_anti")
+            .withColumn("kept", F.lit(True))
+        )
+        .localCheckpoint(eager=True)
+    )
+    undet = batch_ids.join(det, "doc_id", "left_anti").localCheckpoint(eager=True)
+    while undet.count() > 0:
+        u_edges = edges.join(
+            undet.withColumnRenamed("doc_id", "new_doc"), "new_doc", "left_semi"
+        )
+        per_doc = (
+            u_edges.join(
+                det.withColumnRenamed("doc_id", "old_doc"), "old_doc", "left"
+            )
+            .groupBy("new_doc")
+            .agg(
+                F.max(F.col("kept").isNull().cast("int")).alias("any_undet"),
+                F.max(F.when(F.col("kept"), 1).otherwise(0)).alias("any_kept"),
+            )
+        )
+        newly = (
+            per_doc.filter((F.col("any_kept") == 1) | (F.col("any_undet") == 0))
+            .select(
+                F.col("new_doc").alias("doc_id"),
+                (F.col("any_kept") == 0).alias("kept"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        det = det.unionByName(newly).localCheckpoint(eager=True)
+        undet = undet.join(newly, "doc_id", "left_anti").localCheckpoint(eager=True)
+    kept_side = det.filter("kept").select(F.col("doc_id").alias("old_doc"))
+    return (
+        edges.join(kept_side, "old_doc", "left_semi")
+        .groupBy("new_doc")
+        .agg(F.min("old_doc").alias("dup_of"))
+        .join(index_flagged.select("new_doc"), "new_doc", "left_anti")
+    )
+
+
 def process_batch(
     batch: DataFrame,
     bands_table: ManagedTable,
     shingles_table: ManagedTable,
     flags_table: ManagedTable,
+    epoch_id: int | None = None,
 ) -> None:
     """Admit one micro-batch of (doc_id, text) against the index.
 
     Within the batch, stream order is doc_id order (the replay
     contract); a batch doc can be a duplicate of an earlier KEPT batch
     doc, resolved greedily in doc_id order.
+
+    Replay safety: foreachBatch is at-least-once, so each of the three
+    index commits carries an ``epoch:<id>`` idempotency token — a
+    replayed micro-batch finds its token in the committed manifests and
+    no-ops (the keyed-upsert idempotency contract the reference gets
+    from Flink checkpoints + Iceberg commit metadata). The probe join
+    excludes self-pairs so a replay against a partially-committed epoch
+    (index already holding this batch's kept docs) still computes the
+    identical flag set.
     """
     spark = batch.sparkSession
+    token = None if epoch_id is None else f"epoch:{epoch_id}"
     sh_new = shingled_docs(batch).localCheckpoint(eager=True)
     bands_new = banded_signatures(batch).localCheckpoint(eager=True)
 
@@ -86,7 +169,8 @@ def process_batch(
             .join(
                 idx_bands.alias("i"),
                 (F.col("n.band") == F.col("i.band"))
-                & (F.col("n.sig") == F.col("i.sig")),
+                & (F.col("n.sig") == F.col("i.sig"))
+                & (F.col("n.doc_id") != F.col("i.doc_id")),
             )
             .select(
                 F.col("n.doc_id").alias("new_doc"),
@@ -100,11 +184,9 @@ def process_batch(
         )
     else:
         flagged = spark.createDataFrame([], "new_doc bigint, dup_of bigint")
+    flagged = flagged.localCheckpoint(eager=True)
 
-    # within-batch greedy (doc_id order): candidates among batch docs,
-    # resolved iteratively so a doc flagged as duplicate cannot itself
-    # shadow a later doc. Batch-local candidate sets are small (LSH's
-    # contract); the loop runs on the driver over pair COUNTS only.
+    # within-batch greedy (doc_id order), resolved DataFrame-side
     cand_local = (
         bands_new.alias("a")
         .join(
@@ -118,22 +200,13 @@ def process_batch(
         )
         .distinct()
     )
-    dup_local = _verified_dup_pairs(sh_new, sh_new, cand_local)
-    local_pairs = [(r["new_doc"], r["old_doc"]) for r in dup_local.collect()]
-    already = {r["new_doc"] for r in flagged.select("new_doc").collect()}
-    greedy: dict[int, int] = {}
-    for new_doc, old_doc in sorted(local_pairs, key=lambda p: (p[0], p[1])):
-        if new_doc in already or new_doc in greedy:
-            continue
-        if old_doc in already or old_doc in greedy:
-            continue  # duplicate-of-a-duplicate: the earlier doc is gone
-        greedy[new_doc] = old_doc
-    if greedy:
-        flagged = flagged.unionByName(
-            spark.createDataFrame(
-                [(k, v) for k, v in greedy.items()], "new_doc bigint, dup_of bigint"
-            )
-        )
+    dup_local = _verified_dup_pairs(sh_new, sh_new, cand_local).localCheckpoint(
+        eager=True
+    )
+    local_flagged = _resolve_greedy_keep_first(
+        batch.select("doc_id"), dup_local, flagged
+    )
+    flagged = flagged.unionByName(local_flagged)
 
     flags = (
         batch.select("doc_id")
@@ -145,11 +218,11 @@ def process_batch(
         )
         .localCheckpoint(eager=True)
     )
-    flags_table.append(flags)
+    flags_table.append(flags, token=token)
 
     kept = flags.filter(~F.col("is_dup")).select("doc_id")
-    bands_table.append(bands_new.join(kept, "doc_id"))
-    shingles_table.append(sh_new.join(kept, "doc_id"))
+    bands_table.append(bands_new.join(kept, "doc_id"), token=token)
+    shingles_table.append(sh_new.join(kept, "doc_id"), token=token)
 
 
 def start_incremental_dedup(
@@ -173,7 +246,9 @@ def start_incremental_dedup(
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if batch.isEmpty():
             return
-        process_batch(batch, bands_table, shingles_table, flags_table)
+        process_batch(
+            batch, bands_table, shingles_table, flags_table, epoch_id=epoch_id
+        )
 
     return (
         stream.writeStream.foreachBatch(_apply)

@@ -1,4 +1,4 @@
-"""Versioned parquet-backed managed tables with MERGE semantics.
+"""Versioned parquet-backed managed tables with bucket-scoped MERGE.
 
 The lakehouse layer of the engine: the Spark-first stand-in for the
 reference's Iceberg v2 upsert tables (`format-version=2`,
@@ -6,23 +6,41 @@ reference's Iceberg v2 upsert tables (`format-version=2`,
 flink/jobs/flink_json_to_iceberg.py:61-87) and its snapshot-retention
 maintenance job (reference snapshot_mgmt.py:9-19).
 
-Design:
-- every commit writes a NEW immutable version directory
-  (``v_00000001/``, Iceberg-snapshot-style MVCC) and then atomically
-  flips a single pointer file (``_meta/CURRENT``); readers always see
-  a complete version, and old versions remain readable (time travel)
-  until expired;
-- MERGE is read-modify-write expressed as a DataFrame plan:
-  ``target LEFT ANTI JOIN changes ON keys`` (survivors) unioned with
-  the upsert rows — one shuffle on the merge key (or a broadcast when
-  the change-set is small, which AQE picks automatically). No data is
-  ever collected to the driver, so the same plan runs against a
-  1000-executor cluster; on real deployments this class is swapped
-  for Iceberg/Delta ``MERGE INTO`` (same call sites, foreachBatch).
+Design (Iceberg-style metadata over immutable data files):
+
+- data is hash-bucketed on the table key: every row lives in bucket
+  ``pmod(xxhash64(keys), num_buckets)``. Data files are immutable and
+  live under ``v_<version>/b_<bucket>/``;
+- every commit writes a **manifest** (``_meta/manifest_<v>.json``)
+  mapping bucket -> list of data directories. Untouched buckets carry
+  the PREVIOUS manifest's entries forward — their files are **not**
+  rewritten and not copied. This is the Iceberg-snapshot model: a
+  commit is new data files + new metadata, never a table rewrite;
+- MERGE therefore costs O(touched buckets), not O(table): the change
+  batch's keys select ~``|touched keys| / num_buckets`` of the data
+  files to read+rewrite; a 1-key merge into an N-bucket table reads
+  and rewrites ~1/N of the table (asserted in
+  tests/test_cdc_tables.py::test_merge_rewrites_only_touched_buckets).
+  This mirrors Iceberg v2 equality-delete compaction granularity;
+- APPEND only adds files (the new batch, bucketed) and extends the
+  manifest — zero rewrite, including under schema evolution;
+- the MERGE plan per touched bucket set is
+  ``current LEFT ANTI JOIN touched_keys`` unioned with the upserts —
+  one shuffle on the key (broadcast of a small change-set under AQE);
+  nothing but bucket IDs (<= num_buckets ints) and the commit pointer
+  ever reaches the driver, so the same plan runs on a 1000-executor
+  cluster. On real deployments this class is swapped for
+  Iceberg/Delta ``MERGE INTO`` (same call sites, foreachBatch);
 - schema evolution on write: new columns in incoming data are added
-  to the table (existing rows get NULL) via unionByName —
-  mirroring the sink's ``evolve-schema-enabled``
-  (reference kafka/config/connect-iceberg-sink.json:13-14).
+  to the manifest schema (old files lack them; the parquet reader
+  null-fills against the explicit manifest schema) — mirroring the
+  sink's ``evolve-schema-enabled``
+  (reference kafka/config/connect-iceberg-sink.json:13-14);
+- readers take the manifest's explicit schema (no footer-merge scan)
+  and always see a complete committed version; old versions remain
+  readable (time travel) until their manifest is expired. Expiry
+  drops manifests and garbage-collects data files no retained
+  manifest references (reference snapshot_mgmt.py:17-19).
 """
 
 from __future__ import annotations
@@ -35,20 +53,55 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DEFAULT_NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_TABLE_BUCKETS", "16"))
+
+_BUCKET_COL = "__bucket"
 
 
 class ManagedTable:
-    """One keyed, versioned table under ``root/name``."""
+    """One keyed, versioned, hash-bucketed table under ``root/name``."""
 
-    def __init__(self, root: str, name: str, key_columns: list[str] | None = None):
+    def __init__(
+        self,
+        root: str,
+        name: str,
+        key_columns: list[str] | None = None,
+        num_buckets: int | None = None,
+    ):
         self.root = root
         self.name = name
         self.dir = os.path.join(root, name)
         self.meta_dir = os.path.join(self.dir, "_meta")
-        self.key_columns = key_columns or []
         os.makedirs(self.meta_dir, exist_ok=True)
+        persisted = self._load_table_meta()
+        self.key_columns = key_columns or persisted.get("key_columns") or []
+        # bucket count is fixed at table creation — rows must stay in
+        # their bucket across commits for pruning to be sound
+        self.num_buckets = int(
+            persisted.get("num_buckets") or num_buckets or DEFAULT_NUM_BUCKETS
+        )
 
-    # -- version bookkeeping -------------------------------------------------
+    # -- table + version bookkeeping -----------------------------------------
+
+    def _table_meta_path(self) -> str:
+        return os.path.join(self.meta_dir, "table.json")
+
+    def _load_table_meta(self) -> dict:
+        try:
+            with open(self._table_meta_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def _save_table_meta(self) -> None:
+        tmp = self._table_meta_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {"key_columns": self.key_columns, "num_buckets": self.num_buckets}, f
+            )
+        os.replace(tmp, self._table_meta_path())
 
     def _current_pointer(self) -> str:
         return os.path.join(self.meta_dir, "CURRENT")
@@ -63,6 +116,13 @@ class ManagedTable:
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.dir, f"v_{v:08d}")
 
+    def _manifest_path(self, v: int) -> str:
+        return os.path.join(self.meta_dir, f"manifest_{v:08d}.json")
+
+    def _load_manifest(self, v: int) -> dict:
+        with open(self._manifest_path(v)) as f:
+            return json.load(f)
+
     def versions(self) -> list[dict]:
         """Commit log (the `snapshots` metadata table equivalent)."""
         log = os.path.join(self.meta_dir, "commits.jsonl")
@@ -71,10 +131,106 @@ class ManagedTable:
         with open(log) as f:
             return [json.loads(line) for line in f if line.strip()]
 
-    def _commit(self, staged: str, operation: str) -> int:
-        """Atomically publish a staged directory as the next version."""
-        new_v = self.current_version() + 1
-        os.rename(staged, self._version_dir(new_v))
+    # -- staging -------------------------------------------------------------
+
+    def _bucket_expr(self):
+        if self.key_columns:
+            return F.pmod(
+                F.xxhash64(*[F.col(k) for k in self.key_columns]),
+                F.lit(self.num_buckets),
+            )
+        return F.lit(0)
+
+    def _stage_bucketed(self, df: DataFrame) -> tuple[str, dict[int, str]]:
+        """Write ``df`` split by key-hash bucket into a staging dir.
+
+        Returns (staged_dir, {bucket_id: relative_subdir}). One shuffle
+        on the bucket column clusters each bucket's rows (AQE coalesces
+        tiny buckets); dynamic partitionBy then emits one directory per
+        bucket actually present in the batch.
+        """
+        staged = os.path.join(self.dir, f"_staged_{uuid.uuid4().hex}")
+        out = df.withColumn(_BUCKET_COL, self._bucket_expr())
+        out = out.repartition(_BUCKET_COL)
+        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(staged)
+        buckets: dict[int, str] = {}
+        for d in os.listdir(staged):
+            if d.startswith(f"{_BUCKET_COL}="):
+                b = int(d.split("=", 1)[1])
+                # rename to a neutral dir name so partition-column
+                # inference can never resurrect __bucket on read
+                neutral = f"b_{b:05d}"
+                os.rename(os.path.join(staged, d), os.path.join(staged, neutral))
+                buckets[b] = neutral
+        return staged, buckets
+
+    def committed_tokens(self) -> set[str]:
+        """Idempotency tokens of all COMMITTED (pointer-visible)
+        versions. A replayed at-least-once micro-batch checks its epoch
+        token here and no-ops if the commit already landed — the same
+        contract Iceberg gives Flink via checkpointed commit metadata."""
+        out = set()
+        for v in range(1, self.current_version() + 1):
+            try:
+                tok = self._load_manifest(v).get("token")
+            except FileNotFoundError:
+                continue  # expired snapshot
+            if tok:
+                out.add(tok)
+        return out
+
+    def _commit(
+        self,
+        staged: str,
+        staged_buckets: dict[int, str],
+        operation: str,
+        schema: T.StructType,
+        mode: str,
+        touched: set[int] | None = None,
+        token: str | None = None,
+    ) -> int:
+        """Publish staged bucket dirs as the next version.
+
+        mode: 'replace_all' (overwrite / first commit), 'replace'
+        (merge — ``touched`` buckets take the staged files, others carry
+        forward), 'append' (staged files are added to their buckets).
+        """
+        cur = self.current_version()
+        new_v = cur + 1
+        vdir = self._version_dir(new_v)
+        if os.path.exists(vdir):
+            # orphan from a commit that crashed before the pointer flip
+            # (never pointer-visible, so safe to discard)
+            shutil.rmtree(vdir)
+        os.rename(staged, vdir)
+        new_paths = {
+            b: f"v_{new_v:08d}/{sub}" for b, sub in staged_buckets.items()
+        }
+        if mode == "replace_all" or cur == 0:
+            buckets = {str(b): [p] for b, p in new_paths.items()}
+        else:
+            prev = self._load_manifest(cur)
+            buckets = {b: list(ps) for b, ps in prev["buckets"].items()}
+            if mode == "replace":
+                for b in touched or set():
+                    if b in new_paths:
+                        buckets[str(b)] = [new_paths[b]]
+                    else:
+                        buckets.pop(str(b), None)  # bucket fully deleted
+            else:  # append
+                for b, p in new_paths.items():
+                    buckets.setdefault(str(b), []).append(p)
+        manifest = {
+            "version": new_v,
+            "schema": schema.json(),
+            "buckets": buckets,
+        }
+        if token is not None:
+            manifest["token"] = token
+        tmp = self._manifest_path(new_v) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(new_v))
         with open(os.path.join(self.meta_dir, "commits.jsonl"), "a") as f:
             f.write(
                 json.dumps(
@@ -82,39 +238,109 @@ class ManagedTable:
                 )
                 + "\n"
             )
+        self._save_table_meta()
         tmp = self._current_pointer() + ".tmp"
         with open(tmp, "w") as f:
             f.write(str(new_v))
         os.replace(tmp, self._current_pointer())  # atomic pointer flip
         return new_v
 
-    def _stage(self, df: DataFrame) -> str:
-        staged = os.path.join(self.dir, f"_staged_{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(staged)
-        return staged
-
     # -- reads ---------------------------------------------------------------
 
     def exists(self) -> bool:
         return self.current_version() > 0
 
+    def _read_manifest_buckets(
+        self, spark: SparkSession, manifest: dict, bucket_ids: set[int] | None = None
+    ) -> DataFrame:
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        paths = []
+        for b, ps in manifest["buckets"].items():
+            if bucket_ids is None or int(b) in bucket_ids:
+                paths.extend(os.path.join(self.dir, p) for p in ps)
+        if not paths:
+            return spark.createDataFrame([], schema)
+        # explicit manifest schema: no footer-merge scan, and files
+        # predating a schema evolution null-fill the new columns
+        return spark.read.schema(schema).parquet(*paths)
+
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"table {self.name} has no committed version")
-        return spark.read.parquet(self._version_dir(v))
+        if not os.path.exists(self._manifest_path(v)):
+            raise FileNotFoundError(
+                f"table {self.name} version {v} has been expired"
+            )
+        return self._read_manifest_buckets(spark, self._load_manifest(v))
+
+    def data_files(self, version: int | None = None) -> list[str]:
+        """Parquet files of a committed version (metadata-table peek)."""
+        v = self.current_version() if version is None else version
+        manifest = self._load_manifest(v)
+        files = []
+        for ps in manifest["buckets"].values():
+            for p in ps:
+                d = os.path.join(self.dir, p)
+                files.extend(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.endswith(".parquet")
+                )
+        return sorted(files)
+
+    # -- schema evolution ----------------------------------------------------
+
+    def _evolved_schema(self, old: T.StructType, incoming: T.StructType) -> T.StructType:
+        by_name = {f.name: f for f in old.fields}
+        fields = list(old.fields)
+        for f in incoming.fields:
+            have = by_name.get(f.name)
+            if have is None:
+                fields.append(T.StructField(f.name, f.dataType, True))
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"table {self.name}: column '{f.name}' type change "
+                    f"{have.dataType.simpleString()} -> {f.dataType.simpleString()} "
+                    "is not supported (add a new column instead)"
+                )
+        return T.StructType(fields)
+
+    @staticmethod
+    def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
+        have = set(df.columns)
+        return df.select(
+            *[
+                F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     # -- writes --------------------------------------------------------------
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(self._stage(df), "overwrite")
+        staged, sb = self._stage_bucketed(df)
+        return self._commit(staged, sb, "overwrite", df.schema, "replace_all")
 
-    def append(self, df: DataFrame) -> int:
-        spark = df.sparkSession
-        if self.exists():
-            cur = self.read(spark)
-            df = _evolve_union(cur, df)
-        return self._commit(self._stage(df), "append")
+    def append(self, df: DataFrame, token: str | None = None) -> int:
+        """Add files only — never rewrites existing data, even when the
+        incoming schema adds columns (the manifest schema evolves; old
+        files null-fill on read).
+
+        ``token``: idempotency key — if a committed version already
+        carries it, the append is a no-op (at-least-once replay safety
+        for foreachBatch sinks)."""
+        if token is not None and token in self.committed_tokens():
+            return self.current_version()
+        if not self.exists():
+            staged, sb = self._stage_bucketed(df)
+            return self._commit(staged, sb, "append", df.schema, "replace_all", token=token)
+        old_schema = T.StructType.fromJson(
+            json.loads(self._load_manifest(self.current_version())["schema"])
+        )
+        schema = self._evolved_schema(old_schema, df.schema)
+        staged, sb = self._stage_bucketed(self._align(df, schema))
+        return self._commit(staged, sb, "append", schema, "append", token=token)
 
     def merge(
         self,
@@ -122,31 +348,57 @@ class ManagedTable:
         keys: list[str] | None = None,
         deletes: DataFrame | None = None,
         validate_unique_keys: bool = True,
+        token: str | None = None,
     ) -> int:
-        """Keyed upsert + optional delete — one MERGE commit.
+        """Keyed upsert + optional delete — one bucket-scoped MERGE commit.
 
         ``upserts`` must contain at most one row per key (reduce a CDC
         batch with :func:`flink_stream_spark.cdc.last_per_key` first);
         each row replaces-or-inserts its key. ``deletes`` (key columns
         only) removes keys — Iceberg v2 equality-delete equivalent.
-        The plan is LEFT ANTI on the touched-key set + union: one
-        shuffle on the key (or broadcast of a small change-set under
-        AQE); nothing is collected to the driver.
+
+        Cost is O(touched buckets): only buckets containing a changed
+        key are read and rewritten (``current LEFT ANTI touched_keys``
+        ∪ upserts, one shuffle on the key / broadcast under AQE);
+        untouched buckets carry forward in the manifest untouched. The
+        only driver materialization is the distinct bucket-ID set
+        (<= num_buckets integers — commit metadata, same as an Iceberg
+        manifest rewrite).
 
         The at-most-one-row-per-key contract is ENFORCED (a duplicate
         key would otherwise anti-join away every old row for the key
         and then union in every incoming copy, silently breaking the
-        primary-key invariant). The check is one extra aggregate over
-        the change batch — small next to the table rewrite; pass
-        ``validate_unique_keys=False`` only for inputs already reduced
-        by ``last_per_key``.
+        primary-key invariant); the check rides the same aggregate that
+        computes the touched-bucket set, so it costs no extra pass.
+        Pass ``validate_unique_keys=False`` only for inputs already
+        reduced by ``last_per_key``.
         """
         keys = keys or self.key_columns
         if not keys:
             raise ValueError(f"merge into {self.name} requires key columns")
+        if token is not None and token in self.committed_tokens():
+            return self.current_version()
+        if not self.key_columns:
+            # first keyed write into a keyless table: adopt the merge
+            # keys as the bucketing keys (persisted at commit)
+            self.key_columns = list(keys)
+        # bucket pruning is sound only when merging on the bucketing
+        # keys; merging on other columns falls back to all-buckets
+        pruned = list(keys) == list(self.key_columns)
         spark = upserts.sparkSession
+        bucket_of_keys = F.pmod(
+            F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)
+        )
 
-        if validate_unique_keys:
+        # one small aggregate: touched buckets + max duplication per bucket
+        per_bucket = (
+            upserts.groupBy(bucket_of_keys.alias("__b"), *keys)
+            .count()
+            .groupBy("__b")
+            .agg(F.max("count").alias("max_dup"))
+            .collect()
+        )
+        if validate_unique_keys and any(r["max_dup"] > 1 for r in per_bucket):
             dup = (
                 upserts.groupBy(*keys)
                 .count()
@@ -154,51 +406,83 @@ class ManagedTable:
                 .limit(1)
                 .collect()
             )
-            if dup:
-                kv = {k: dup[0][k] for k in keys}
-                raise ValueError(
-                    f"merge into {self.name}: upserts contain >1 row for key "
-                    f"{kv}; reduce with cdc.last_per_key first"
-                )
+            kv = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"merge into {self.name}: upserts contain >1 row for key "
+                f"{kv}; reduce with cdc.last_per_key first"
+            )
+        touched = {int(r["__b"]) for r in per_bucket}
+        touched_keys = upserts.select(*keys)
+        if deletes is not None:
+            touched |= {
+                int(r["__b"])
+                for r in deletes.select(bucket_of_keys.alias("__b")).distinct().collect()
+            }
+            touched_keys = touched_keys.unionByName(deletes.select(*keys))
 
         if not self.exists():
-            return self._commit(self._stage(upserts), "merge")
+            staged, sb = self._stage_bucketed(upserts)
+            return self._commit(
+                staged, sb, "merge", upserts.schema, "replace_all", token=token
+            )
 
-        cur = self.read(spark)
-        touched = upserts.select(*keys)
-        if deletes is not None:
-            touched = touched.unionByName(deletes.select(*keys))
-        # survivors: current rows whose key is not touched by this batch
-        survivors = cur.join(touched, on=keys, how="left_anti")
-        merged = _evolve_union(survivors, upserts)
-        return self._commit(self._stage(merged), "merge")
+        manifest = self._load_manifest(self.current_version())
+        old_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        schema = self._evolved_schema(old_schema, upserts.schema)
+        if not pruned:
+            touched = {int(b) for b in manifest["buckets"]} | touched
+        # read ONLY the touched buckets' current data
+        cur = self._read_manifest_buckets(spark, manifest, touched)
+        survivors = cur.join(touched_keys, on=keys, how="left_anti")
+        merged = self._align(survivors, schema).unionByName(self._align(upserts, schema))
+        staged, sb = self._stage_bucketed(merged)
+        return self._commit(
+            staged, sb, "merge", schema, "replace", touched, token=token
+        )
 
     # -- maintenance (reference snapshot_mgmt.py equivalent) ------------------
 
     def expire_snapshots(self, retain_last: int = 1, older_than_s: float | None = None) -> int:
-        """Drop old version directories; keep the newest ``retain_last``
-        and anything newer than ``older_than_s`` seconds ago."""
+        """Expire old snapshots: drop their manifests (ending time
+        travel to them) and garbage-collect data files no retained
+        manifest references. Keeps the newest ``retain_last`` versions
+        and anything newer than ``older_than_s`` seconds ago. Returns
+        the number of snapshots expired."""
         cur = self.current_version()
         removed = 0
         now = time.time()
         ages = {c["version"]: c.get("committed_at", now) for c in self.versions()}
-        for v in range(1, cur):
-            if v > cur - retain_last:
-                continue
-            if older_than_s is not None and now - ages.get(v, now) < older_than_s:
-                continue
-            d = self._version_dir(v)
-            if os.path.exists(d):
-                shutil.rmtree(d)
+        retained: list[int] = []
+        for v in range(1, cur + 1):
+            if not os.path.exists(self._manifest_path(v)):
+                continue  # already expired
+            expirable = v <= cur - retain_last and not (
+                older_than_s is not None and now - ages.get(v, now) < older_than_s
+            )
+            if expirable:
+                os.remove(self._manifest_path(v))
                 removed += 1
+            else:
+                retained.append(v)
+        # GC: any v_*/b_* dir not referenced by a retained manifest
+        referenced: set[str] = set()
+        for v in retained:
+            for ps in self._load_manifest(v)["buckets"].values():
+                referenced.update(ps)
+        for d in os.listdir(self.dir):
+            vdir = os.path.join(self.dir, d)
+            if not (d.startswith("v_") and os.path.isdir(vdir)):
+                continue
+            for sub in os.listdir(vdir):
+                p = os.path.join(vdir, sub)
+                if os.path.isdir(p) and f"{d}/{sub}" not in referenced:
+                    shutil.rmtree(p)
+            # only write-marker files left (_SUCCESS etc.) -> drop the dir
+            if not any(
+                os.path.isdir(os.path.join(vdir, s)) for s in os.listdir(vdir)
+            ):
+                shutil.rmtree(vdir)
         return removed
-
-
-def _evolve_union(base: DataFrame, incoming: DataFrame) -> DataFrame:
-    """Union with schema evolution: columns present on one side only are
-    NULL-filled on the other (sink auto-evolution, reference
-    connect-iceberg-sink.json:13-14)."""
-    return base.unionByName(incoming, allowMissingColumns=True)
 
 
 class Warehouse:
@@ -225,12 +509,17 @@ class Warehouse:
             json.dump(keys, f)
         os.replace(tmp, self._keys_path)
 
-    def table(self, name: str, key_columns: list[str] | None = None) -> ManagedTable:
+    def table(
+        self,
+        name: str,
+        key_columns: list[str] | None = None,
+        num_buckets: int | None = None,
+    ) -> ManagedTable:
         reg = self._load_keys()
         if key_columns is not None:
             reg[name] = key_columns
             self._save_keys(reg)
-        return ManagedTable(self.root, name, reg.get(name))
+        return ManagedTable(self.root, name, reg.get(name), num_buckets=num_buckets)
 
     def list_tables(self) -> list[str]:
         out = []

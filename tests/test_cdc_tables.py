@@ -347,3 +347,60 @@ def test_short_doc_shingles_empty(spark):
     assert got[2] == []
     assert got[3] == ["exactly three tokens"]
     assert sorted(got[4]) == ["four whole tokens", "now four whole"]
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """The Iceberg-v2-style incremental-commit contract: a 1-key MERGE
+    into an N-bucket table rewrites only the bucket containing that key
+    (~1/N of the data files); every other bucket's files carry forward
+    byte-identical in the new manifest (reference
+    flink_json_to_iceberg.py:61-71 write.upsert.enabled equality-delete
+    granularity)."""
+    t = ManagedTable(str(tmp_path), "acct", ["user_id"], num_buckets=16)
+    t.merge(spark.createDataFrame([(i, f"u{i}@x", i) for i in range(200)], ACCOUNT))
+    v1_files = set(t.data_files())
+    v1_dirs = {f.rsplit("/", 1)[0] for f in v1_files}
+    assert len(v1_dirs) == 16  # 200 keys populate every bucket
+
+    t.merge(spark.createDataFrame([(7, "new7@x", 7)], ACCOUNT))
+    v2_files = set(t.data_files())
+    carried = v2_files & v1_files
+    fresh = v2_files - v1_files
+    fresh_dirs = {f.rsplit("/", 1)[0] for f in fresh}
+    # exactly ONE bucket was rewritten; 15/16 carried forward untouched
+    assert len(fresh_dirs) == 1
+    assert len({f.rsplit("/", 1)[0] for f in carried}) == 15
+    # correctness unchanged
+    got = {r["user_id"]: r["email"] for r in t.read(spark).collect()}
+    assert len(got) == 200 and got[7] == "new7@x" and got[8] == "u8@x"
+
+    # a delete-only merge also touches just the deleted key's bucket
+    t.merge(
+        upserts=spark.createDataFrame([], ACCOUNT),
+        deletes=spark.createDataFrame([(7,)], "user_id int"),
+    )
+    v3_files = set(t.data_files())
+    assert len(v3_files - v2_files) <= 1  # at most the one rewritten bucket
+    assert t.read(spark).count() == 199
+
+
+def test_append_adds_files_never_rewrites(spark, tmp_path):
+    """APPEND is add-files-only: every pre-existing data file is still
+    referenced by the new manifest, including under schema evolution
+    (old files null-fill the new column on read)."""
+    t = ManagedTable(str(tmp_path), "log", [], num_buckets=4)
+    t.append(spark.createDataFrame([(1, "a")], "id int, v string"))
+    v1_files = set(t.data_files())
+    t.append(spark.createDataFrame([(2, "b", "extra")], "id int, v string, note string"))
+    v2_files = set(t.data_files())
+    assert v1_files <= v2_files  # nothing rewritten
+    got = {r["id"]: r.asDict() for r in t.read(spark).collect()}
+    assert got[1]["note"] is None and got[2]["note"] == "extra"
+
+
+def test_merge_type_change_rejected(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "acct", ["user_id"])
+    t.merge(spark.createDataFrame([(1, "a@x", 1)], ACCOUNT))
+    bad = spark.createDataFrame([(2, "b@x", "not-a-long")], "user_id int, email string, created_at string")
+    with pytest.raises(ValueError, match="type change"):
+        t.merge(bad)

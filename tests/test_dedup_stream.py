@@ -88,3 +88,51 @@ def test_incremental_dedup_matches_greedy_batch(spark, sf_small, tmp_path):
     assert got == want
     # the band index holds exactly the kept docs
     assert {r["doc_id"] for r in bands.read(spark).select("doc_id").distinct().collect()} == kept
+
+
+def test_adversarial_clique_batch_no_driver_pairs(spark, tmp_path):
+    """One batch of 1000 MUTUAL near-dups (a full clique in the verified
+    pair graph — ~500k pairs). The old greedy collected every pair to
+    the driver (O(batch²)); the DataFrame-side fixpoint resolves the
+    clique in one propagation round with only scalar counts crossing to
+    the driver. Exactly the smallest doc is kept."""
+    from flink_stream_spark.streaming.dedup_stream import process_batch
+
+    n = 1000
+    docs = spark.range(n).select(
+        (F.col("id") + 100).alias("doc_id"),
+        F.lit("the same exact document text repeated for everyone here").alias("text"),
+    )
+    wh = Warehouse(str(tmp_path / "wh"))
+    bands, shingles, flags = (
+        wh.table("b"), wh.table("s"), wh.table("f"),
+    )
+    process_batch(docs, bands, shingles, flags, epoch_id=0)
+    out = flags.read(spark)
+    kept_ids = [r["doc_id"] for r in out.filter(~F.col("is_dup")).collect()]
+    assert kept_ids == [100]
+    assert out.filter(F.col("is_dup")).count() == n - 1
+    # every duplicate points at the one kept doc
+    assert out.filter(F.col("is_dup")).select("dup_of").distinct().collect()[0][0] == 100
+    # index holds only the kept doc
+    assert bands.read(spark).select("doc_id").distinct().count() == 1
+
+
+def test_process_batch_replay_is_noop(spark, tmp_path):
+    """At-least-once replay: re-running an epoch whose commits landed
+    must not change any table (epoch-token idempotency — the ADVICE
+    double-append hazard)."""
+    from flink_stream_spark.streaming.dedup_stream import process_batch
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "totally different text here now")],
+        "doc_id bigint, text string",
+    )
+    wh = Warehouse(str(tmp_path / "wh"))
+    bands, shingles, flags = wh.table("b"), wh.table("s"), wh.table("f")
+    process_batch(docs, bands, shingles, flags, epoch_id=7)
+    v = (bands.current_version(), shingles.current_version(), flags.current_version())
+    n_flags = flags.read(spark).count()
+    process_batch(docs, bands, shingles, flags, epoch_id=7)  # replay
+    assert (bands.current_version(), shingles.current_version(), flags.current_version()) == v
+    assert flags.read(spark).count() == n_flags
