@@ -15,7 +15,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window as W
 
 OP_COL = "_op"
 
@@ -79,8 +78,19 @@ def last_per_key(changes: DataFrame, keys: list[str], order_cols: list[str]) -> 
 
     Debezium guarantees per-key order within a partition; a micro-batch
     MERGE must apply only the final state per key or u-then-d within
-    one batch corrupts the table (SURVEY §7 'What's hard'). One
-    window shuffle on the key — skew-safe under AQE.
+    one batch corrupts the table (SURVEY §7 'What's hard').
+
+    Hot-key posture: this is a two-phase ``max_by`` AGGREGATE, not a
+    window. A window (partitionBy key, row_number) funnels every event
+    for a key into ONE task — a key receiving a whole batch (the CDC
+    hot-key skew case) serializes on one core and can OOM it. The
+    aggregate's map-side partial combine collapses a hot key to one
+    candidate row per map task BEFORE the shuffle, so the exchange
+    carries at most #map-tasks rows per key regardless of skew — the
+    same effect as salted two-phase aggregation (plans/scale.py) with
+    no explicit salt column. Asserted by plan + parity tests in
+    tests/test_scale_plans.py (partial HashAggregate before the
+    Exchange, no Window node).
 
     Ties on ``order_cols`` (two envelopes with equal ts_ms AND lsn for
     one key) are broken by a content-derived hash of the full row, so
@@ -90,13 +100,14 @@ def last_per_key(changes: DataFrame, keys: list[str], order_cols: list[str]) -> 
     same row.)
     """
     tie = F.xxhash64(*[F.col(c) for c in changes.columns])
-    w = W.partitionBy(*keys).orderBy(
-        *[F.col(c).desc() for c in order_cols], tie.desc()
+    ord_struct = F.struct(
+        *[F.col(c) for c in order_cols], tie.alias("__tie")
     )
+    payload = F.struct(*[F.col(c) for c in changes.columns])
     return (
-        changes.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        changes.groupBy(*keys)
+        .agg(F.max_by(payload, ord_struct).alias("__row"))
+        .select(*[F.col("__row")[c].alias(c) for c in changes.columns])
     )
 
 

@@ -328,8 +328,8 @@ TEMP_TARGET_HALF = 2  # resample to 1/2 of the corpus
     rated AS (
       SELECT source, cnt, w,
              least(1000000,
-                   (1000000 * (t.n_total // {TEMP_TARGET_HALF}) * w)
-                     // (t.w_total * cnt)) AS rate_ppm
+                   (((1000000 * (t.n_total // {TEMP_TARGET_HALF})) // t.w_total)
+                      * w) // cnt) AS rate_ppm
       FROM weighted CROSS JOIN tot t),
     kept AS (
       SELECT d.source, COUNT(*) AS n_kept
@@ -365,15 +365,21 @@ def sample_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # exact integer arithmetic throughout: `div` is long division
     # (DuckDB's `//`); a double `/` here could round the quotient up
-    # across an integer boundary and diverge from the oracle's floor
+    # across an integer boundary and diverge from the oracle's floor.
+    # Association order divides by w_total BEFORE multiplying by w, so
+    # the largest intermediate is 1e6 * n_total/2 — int64-safe to
+    # ~10^13 docs (the naive (1e6 * n_total * w) product wrapped at
+    # ~1e9 docs). The early floor costs at most w/cnt ppm, i.e. <=1 ppm
+    # for any source with >=1e6 docs; tiny sources saturate the 1e6
+    # cap regardless.
     rated = weighted.crossJoin(F.broadcast(tot)).select(
         "source",
         "cnt",
         F.least(
             F.lit(1000000).cast("bigint"),
             F.expr(
-                f"(1000000L * (n_total div {TEMP_TARGET_HALF}) * w)"
-                " div (w_total * cnt)"
+                f"(((1000000L * (n_total div {TEMP_TARGET_HALF})) div w_total)"
+                " * w) div cnt"
             ),
         ).alias("rate_ppm"),
     )

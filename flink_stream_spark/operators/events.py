@@ -212,7 +212,7 @@ def events_stateful_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFra
     WITH sel AS (
       SELECT user_id,
              CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT) AS hr,
-             CAST(trunc(value * 100 + 0.5) AS BIGINT) AS cents
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events WHERE user_id % 10 = 0),
     hourly AS (
       SELECT user_id, hr, SUM(cents) AS cents, COUNT(*) AS n
@@ -250,7 +250,7 @@ def events_stateful_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFra
 def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir).filter(F.col("user_id") % 10 == 0)
     hr = F.floor(F.unix_millis("ts") / 3600000).cast("bigint")
-    cents = (F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     sel = e.select("user_id", hr.alias("hr"), cents.alias("cents"))
     hourly = sel.groupBy("user_id", "hr").agg(
         F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
@@ -285,7 +285,7 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(FLOOR(value / 10) AS BIGINT) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(CAST(SUM(CAST(trunc(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+           CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                 / 100 AS DOUBLE) AS total_value
     FROM events
     GROUP BY event_type, bin
@@ -301,7 +301,7 @@ def events_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
-    cents = (F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     return (
         e.groupBy(
             "event_type", F.floor(F.col("value") / 10).cast("bigint").alias("bin")

@@ -133,7 +133,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH o AS (
       SELECT user_id,
-             CAST(trunc(value * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
              epoch_us(ts) AS t_us,
              LEAD(epoch_us(ts)) OVER
                (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_us
@@ -161,7 +161,7 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t_us = F.unix_micros("ts")
     o = e.select(
         "user_id",
-        (F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
         t_us.alias("t_us"),
         F.lead(t_us).over(w).alias("nxt_us"),
     ).filter(F.col("nxt_us").isNotNull())
@@ -352,7 +352,7 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT date_trunc('hour', ts) AS h, event_type,
              COUNT(*) AS n,
-             SUM(CAST(trunc(value * 100 + 0.5) AS BIGINT)) AS cents
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS cents
       FROM events GROUP BY 1, 2)
     SELECT CAST(epoch_ms(date_trunc('day', h)) AS BIGINT) AS day_ms,
            event_type,
@@ -378,7 +378,7 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("h"), "event_type"
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum((F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("cents"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("cents"),
     )
     return (
         hourly.groupBy(
@@ -398,21 +398,22 @@ def events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH c AS (
       SELECT user_id, event_id,
-             CAST(trunc(value * 100 + 0.5) AS BIGINT) AS cents
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
       FROM events),
     stats AS (
       SELECT user_id, COUNT(*) AS n,
-             SUM(cents) AS s1, SUM(cents * cents) AS s2
+             SUM(CAST(cents AS HUGEINT)) AS s1,
+             SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) AS s2
       FROM c GROUP BY user_id)
     SELECT c.user_id, c.event_id,
-           CAST(ROUND(CAST(s.n * c.cents - s.s1 AS DOUBLE)
-                      / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)), 6)
+           CAST(ROUND(CAST(CAST(s.n AS HUGEINT) * c.cents - s.s1 AS DOUBLE)
+                      / sqrt(CAST(CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1 AS DOUBLE)), 6)
                 AS DOUBLE) AS zscore
     FROM c JOIN stats s USING (user_id)
     WHERE s.n >= 5
-      AND CAST(s.n * c.cents - s.s1 AS HUGEINT)
-          * CAST(s.n * c.cents - s.s1 AS HUGEINT)
-          > 4 * CAST(s.n * s.s2 - s.s1 * s.s1 AS HUGEINT)
+      AND (CAST(s.n AS HUGEINT) * c.cents - s.s1)
+          * (CAST(s.n AS HUGEINT) * c.cents - s.s1)
+          > 4 * (CAST(s.n AS HUGEINT) * s.s2 - s.s1 * s.s1)
     ORDER BY c.user_id, c.event_id
     """,
     group="events-analytics",
@@ -431,23 +432,31 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = e.select(
         "user_id",
         "event_id",
-        (F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
+    # widen BEFORE any multiply: cents/sums are exact integers, and the
+    # s1*s1 / sum(cents^2) products wrap int64 for a user with ~3e9
+    # total cents (~$30M) — decimal(38,0) on this side, HUGEINT on the
+    # oracle side, keep every product exact to ~1e19-magnitude devs
+    # (far past any real per-user money volume; DuckDB then fails
+    # loudly rather than either engine dropping rows)
+    cd = F.col("cents").cast("decimal(38,0)")
     stats = c.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.sum(cd).alias("s1"),
+        F.sum(cd * cd).alias("s2"),
     )
-    dev = F.col("n") * F.col("cents") - F.col("s1")  # n * (c - mean), exact
-    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")  # n^2 * var
-    wide = F.col("dev").cast("decimal(38,0)")
+    nd = F.col("n").cast("decimal(38,0)")
+    dev = nd * cd - F.col("s1")  # n * (c - mean), exact
+    var_n2 = nd * F.col("s2") - F.col("s1") * F.col("s1")  # n^2 * var
+    wide = F.col("dev")
     return (
         c.join(stats, "user_id")
         .withColumn("dev", dev)
         .withColumn("var_n2", var_n2)
         .filter(
             (F.col("n") >= 5)
-            & (wide * wide > F.lit(4) * F.col("var_n2").cast("decimal(38,0)"))
+            & (wide * wide > F.lit(4).cast("decimal(38,0)") * F.col("var_n2"))
         )
         .select(
             "user_id",

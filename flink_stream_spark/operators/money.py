@@ -39,7 +39,10 @@ def _cents(c: str | Column, mult: int = 100) -> Column:
     """Exact scaled integer of a fixed-point money double (see module
     docstring). ``mult`` is 10^scale of the column (100 for 2-dp)."""
     col = F.col(c) if isinstance(c, str) else c
-    return (col * mult + F.lit(0.5)).cast("long")
+    # floor, not a truncating cast: floor(x+0.5) rounds half-up for
+    # BOTH signs (-1.004 -> -100 cents), where trunc-toward-zero would
+    # give -99; identical for the non-negative majority
+    return F.floor(col * mult + F.lit(0.5)).cast("long")
 
 
 def _sum_scaled(expr: Column, scale: int) -> Column:

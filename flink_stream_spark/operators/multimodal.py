@@ -3,10 +3,12 @@
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata, processed by Arrow-batched Pandas UDFs over ``mapInPandas``
 — the Spark-side plumbing (schema, partitioning, UDF signature, batch
-shape) is real and tested; actual codec decoding is stubbed behind
-``NotImplementedError`` (image/audio libraries are not in this
-container) with a deterministic fake used by default so every stage
-downstream of decode is exercised end-to-end.
+shape) is real and tested. Codec decode is REAL when Pillow is
+installed (optional import — ``decode_image`` / ``resize_image``) and
+falls back per-payload to a deterministic fake otherwise, so every
+stage downstream of decode is exercised end-to-end in both modes and
+the oracled queries (whose payloads are text bytes, never decodable
+images) hash identically with or without codec libraries.
 
 The fixture corpus has no binary table, so the queries synthesize the
 payload column deterministically from `documents.text` (UTF-8 bytes
@@ -31,16 +33,35 @@ META_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real codec decode — NOT IMPLEMENTED in this environment.
+def _pillow():
+    """Optional Pillow import (the real image codec path). Returns the
+    PIL.Image module or None — nothing in this package hard-requires
+    codec libraries."""
+    try:
+        from PIL import Image  # type: ignore
 
-    On a cluster with codec libraries installed this returns a decoded
-    ndarray; the deterministic fake below keeps the pipeline testable.
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes):
+    """Real codec decode via Pillow when installed.
+
+    Returns the decoded ``PIL.Image`` (dimensions, mode, pixel access).
+    Raises ``NotImplementedError`` when no codec library is present —
+    pipeline stages catch decode failures and use the deterministic
+    fake, so the oracled queries run identically in both modes.
     """
-    raise NotImplementedError(
-        "image/audio codecs are not available in this container; "
-        "use fake_decode_meta (deterministic) or install codecs"
-    )
+    Image = _pillow()
+    if Image is None:
+        raise NotImplementedError(
+            "image codecs (Pillow) are not installed; "
+            "use fake_decode_meta (deterministic) or `pip install pillow`"
+        )
+    import io
+
+    return Image.open(io.BytesIO(payload))
 
 
 def fake_decode_meta(payload: bytes) -> tuple[int, int]:
@@ -48,6 +69,25 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     from the payload length, mimicking a header parse."""
     n = len(payload)
     return (n % 640) + 1, (n % 480) + 1
+
+
+def decode_meta(payload: bytes) -> tuple[int, int]:
+    """(width, height) of a payload: REAL codec decode when Pillow is
+    installed and the payload is a decodable image; the deterministic
+    fake otherwise. The fixture corpus's payloads are UTF-8 text (never
+    valid images), so the oracled queries produce identical results
+    whether or not codecs are installed — the swap point for a real
+    cluster is exactly here."""
+    Image = _pillow()
+    if Image is not None:
+        import io
+
+        try:
+            with Image.open(io.BytesIO(bytes(payload))) as im:
+                return im.width, im.height
+        except Exception:
+            pass  # not a decodable image -> deterministic fake
+    return fake_decode_meta(payload)
 
 
 def extract_media_metadata(media: DataFrame) -> DataFrame:
@@ -64,8 +104,8 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len),
-                    "fake_width": payloads.map(lambda b: fake_decode_meta(b)[0]),
-                    "fake_height": payloads.map(lambda b: fake_decode_meta(b)[1]),
+                    "fake_width": payloads.map(lambda b: decode_meta(b)[0]),
+                    "fake_height": payloads.map(lambda b: decode_meta(b)[1]),
                     "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
                 }
             )
@@ -100,15 +140,23 @@ def multimodal_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real codec resize — NOT IMPLEMENTED in this environment.
+    """Real codec resize via Pillow when installed: decode, resample
+    to (width, height), re-encode PNG. Raises ``NotImplementedError``
+    without codec libraries; ``resize_media`` falls back to the
+    deterministic byte-decimation fake per payload, so the stage is
+    testable end-to-end in both modes."""
+    Image = _pillow()
+    if Image is None:
+        raise NotImplementedError(
+            "image codecs (Pillow) are not installed; "
+            "use the deterministic decimation fake or `pip install pillow`"
+        )
+    import io
 
-    On a cluster with codec libraries this decodes, resamples to
-    (width, height) and re-encodes; the deterministic byte-decimation
-    fake below keeps the stage testable end-to-end."""
-    raise NotImplementedError(
-        "image codecs are not available in this container; "
-        "use the deterministic decimation fake or install codecs"
-    )
+    with Image.open(io.BytesIO(bytes(payload))) as im:
+        out = io.BytesIO()
+        im.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
 
 
 RESIZE_SCHEMA = "doc_id bigint, n_bytes bigint, resized_bytes bigint, resized_checksum string"

@@ -605,18 +605,37 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_count_distinct",
-    None,  # approximate: rows-only check (relative-error contract, not hash)
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     group="aggregation",
     doc="HLL++ sketch — at 100 TB this replaces exact COUNT(DISTINCT) "
-    "where a 2% error is acceptable; no shuffle of the full key set.",
+    "where a 2% error is acceptable; no shuffle of the full key set. "
+    "The gate form emits the relative-error CONTRACT as a hashable "
+    "boolean: the sketch estimate must land within 5×rsd of the exact "
+    "count (the exact count rides along only to make the check "
+    "deterministic; production use is the bare sketch).",
 )
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+    rel_err = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        / F.col("exact_orders").cast("double")
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (rel_err <= 0.10).alias("within_tol"),
+    ).orderBy("l_returnflag")
 
 
 @register(
@@ -895,7 +914,7 @@ def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
-           CAST(CAST(SUM(CAST(trunc(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100 AS DOUBLE) AS val_1h
+           CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS DOUBLE) / 100 AS DOUBLE) AS val_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)

@@ -34,7 +34,7 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("cents"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("cents"),
         )
         .select(
             F.unix_millis(F.col("w.start")).alias("h_ms"),

@@ -38,3 +38,42 @@ def test_pii_counts_consistent_with_redaction(spark, sf_small):
             assert (ne, np_) == (1, 0), doc_id
         else:
             assert (ne, np_) == (0, 0), doc_id
+
+
+def test_decode_meta_fallback_identical_both_modes():
+    """Text payloads are never decodable images, so decode_meta equals
+    the deterministic fake whether or not Pillow is installed — the
+    invariant that keeps the oracled queries green in both modes."""
+    from flink_stream_spark.operators.multimodal import decode_meta, fake_decode_meta
+
+    for payload in (b"", b"x", b"hello world " * 100):
+        assert decode_meta(payload) == fake_decode_meta(payload)
+
+
+def test_decode_meta_real_image_when_pillow_present():
+    """With Pillow installed, decode_meta returns TRUE dimensions for a
+    real encoded image (skips cleanly in codec-free containers)."""
+    import pytest
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+    from flink_stream_spark.operators.multimodal import decode_meta, resize_image
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (37, 21)).save(buf, format="PNG")
+    png = buf.getvalue()
+    assert decode_meta(png) == (37, 21)
+    resized = resize_image(png, 8, 5)
+    assert decode_meta(resized) == (8, 5)
+
+
+def test_resize_image_raises_cleanly_without_codecs():
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("PIL") is not None:
+        pytest.skip("Pillow installed; covered by the real-image test")
+    from flink_stream_spark.operators.multimodal import resize_image
+
+    with pytest.raises(NotImplementedError):
+        resize_image(b"abc", 2, 2)

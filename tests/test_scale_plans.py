@@ -84,3 +84,39 @@ def test_salted_join_salt_is_deterministic(spark, sf_small):
     assert a == b
     plain = sorted(map(tuple, c.join(n, "c_nationkey", "left").collect()))
     assert a == plain
+
+
+def test_last_per_key_hot_key_two_phase_plan_and_parity(spark):
+    """CDC hot-key posture: last_per_key must compile to a two-phase
+    aggregate (partial HashAggregate before the Exchange — a hot key
+    collapses map-side), never a Window (which funnels the whole hot
+    key into one task). Parity: an adversarial batch where ONE key
+    receives every event still reduces to the correct single winner."""
+    from flink_stream_spark.cdc.envelope import last_per_key
+
+    # 20k events, 99% on key 7, interleaved order columns
+    df = (
+        spark.range(20000)
+        .select(
+            F.when(F.col("id") % 100 == 0, F.col("id") % 7).otherwise(7).alias("k"),
+            F.col("id").alias("_lsn"),
+            (F.col("id") % 977).alias("_ts_ms"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+        )
+    )
+    red = last_per_key(df, ["k"], ["_ts_ms", "_lsn"])
+    plan = explain_str(red)
+    assert "Window" not in plan
+    # partial aggregation happens before the key exchange
+    pre_exchange = plan.split("Exchange hashpartitioning(k")[0]
+    assert "partial_max_by" in pre_exchange or "HashAggregate" in pre_exchange
+    got = {r["k"]: (r["_ts_ms"], r["_lsn"]) for r in red.collect()}
+    # python reference: max by (_ts_ms, _lsn) per key
+    import collections
+    want = {}
+    for r in df.collect():
+        cur = want.get(r["k"])
+        cand = (r["_ts_ms"], r["_lsn"])
+        if cur is None or cand > cur:
+            want[r["k"]] = cand
+    assert got == want

@@ -88,3 +88,77 @@ def test_avro_unavailable_is_clear(spark):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             read_batch(spark, "avro:/tmp/x.avro")
+
+
+# ---------------------------------------------------------------------------
+# optional-jar integration smokes: run for real when the optional jars
+# (and, for kafka/jdbc, a live endpoint) are provided; skip cleanly in
+# jar-free containers. See README "Optional connectors" for the
+# --packages lines.
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_raw_json_roundtrip_when_available(spark, tmp_path):
+    """With the spark-sql-kafka jar AND a broker (env
+    SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port), round-trip a raw-JSON topic
+    exactly like the reference source table (earliest offsets, value as
+    raw string — flink_json_to_iceberg.py:95-108)."""
+    import json
+    import os
+    import uuid
+
+    if not kafka_available(spark):
+        pytest.skip("spark-sql-kafka jar not on the classpath")
+    bootstrap = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        pytest.skip("no broker: set SPARK_GRAFT_KAFKA_BOOTSTRAP=host:port")
+    topic = f"fss_smoke_{uuid.uuid4().hex[:8]}"
+    rows = [{"user_id": i, "email": f"u{i}@x"} for i in range(10)]
+    # produce via the batch kafka sink (same jar)
+    src = spark.createDataFrame([(json.dumps(r),) for r in rows], "value string")
+    (
+        src.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    stream = open_stream(spark, f"kafka:{bootstrap}/{topic}")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 10
+    assert got.columns == ["raw_data"]
+
+
+def test_avro_roundtrip_when_available(spark, tmp_path):
+    """With the spark-avro module present, write+read an avro dataset
+    through the URI interface (no external service needed)."""
+    from flink_stream_spark.sources import avro_available
+
+    if not avro_available(spark):
+        pytest.skip("spark-avro module not on the classpath")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    path = str(tmp_path / "roundtrip.avro")
+    df.write.format("avro").save(path)
+    got = read_batch(spark, f"avro:{path}")
+    assert sorted(map(tuple, got.collect())) == [(1, "a"), (2, "b")]
+
+
+def test_jdbc_roundtrip_when_available(spark):
+    """With a JDBC driver jar and SPARK_GRAFT_JDBC_URL (e.g. a Postgres
+    instance mirroring the reference's source database), read a table
+    through the URI interface."""
+    import os
+
+    url = os.environ.get("SPARK_GRAFT_JDBC_URL")
+    table = os.environ.get("SPARK_GRAFT_JDBC_TABLE", "(SELECT 1 AS one) t")
+    if not url:
+        pytest.skip("no JDBC endpoint: set SPARK_GRAFT_JDBC_URL")
+    got = read_batch(spark, f"jdbc:{url}#{table}")
+    assert got.count() >= 1
