@@ -325,7 +325,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = shingled.alias("sb")
     # verify: exact Jaccard via array_intersect on the two shingle sets —
     # two doc_id joins (broadcast-able doc→shingles side at any scale
-    # where candidates << corpus), no shingle-level explode
+    # where candidates << corpus), no shingle-level explode. sa/sb are
+    # the SAME canonical subtree as the minhash input, so Spark's
+    # ReuseExchange evaluates the shingling pass once for the whole
+    # pipeline (verified: a candidate-semi-filtered variant that broke
+    # the reuse measured ~1.6x slower end-to-end).
     shared = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
     jac = shared.cast("double") / (
         F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - shared

@@ -33,16 +33,24 @@ META_SCHEMA = (
 )
 
 
+_PILLOW_PROBE: list = []  # [module-or-None] once probed
+
+
 def _pillow():
     """Optional Pillow import (the real image codec path). Returns the
     PIL.Image module or None — nothing in this package hard-requires
-    codec libraries."""
-    try:
-        from PIL import Image  # type: ignore
+    codec libraries. The probe result is cached: a FAILED import is not
+    cached by Python itself, and decode_meta runs per payload — an
+    uncached miss re-walks sys.path for every row (measured 4× on the
+    metadata-extract stage)."""
+    if not _PILLOW_PROBE:
+        try:
+            from PIL import Image  # type: ignore
 
-        return Image
-    except ImportError:
-        return None
+            _PILLOW_PROBE.append(Image)
+        except ImportError:
+            _PILLOW_PROBE.append(None)
+    return _PILLOW_PROBE[0]
 
 
 def decode_image(payload: bytes):
@@ -98,14 +106,17 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        # pick the decode fn once per task, not per payload
+        meta_fn = decode_meta if _pillow() is not None else fake_decode_meta
         for pdf in batches:
             payloads = pdf["payload"]
+            wh = payloads.map(meta_fn)
             meta = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": payloads.map(len),
-                    "fake_width": payloads.map(lambda b: decode_meta(b)[0]),
-                    "fake_height": payloads.map(lambda b: decode_meta(b)[1]),
+                    "fake_width": wh.map(lambda t: t[0]),
+                    "fake_height": wh.map(lambda t: t[1]),
                     "checksum": payloads.map(lambda b: hashlib.md5(b).hexdigest()),
                 }
             )
