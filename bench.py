@@ -74,6 +74,8 @@ HEADLINE = [
     "text_chunk_windows",
     "text_decontaminate_overlap",
     "simsearch_ivf_topk",
+    "simsearch_pq_adc_topk",
+    "text_zipf_entropy",
 ]
 
 

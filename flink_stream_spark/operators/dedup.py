@@ -667,3 +667,38 @@ def _cosine_expr(va, vb):
     lambda work per pair.
     """
     return _dot_expr(va, vb) / (_norm_expr(va) * _norm_expr(vb))
+
+
+@register(
+    "dedup_prefix_boilerplate",
+    """
+    WITH p AS (
+      SELECT doc_id, md5(substr(text, 1, 80)) AS prefix_hash FROM documents)
+    SELECT prefix_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM p
+    GROUP BY prefix_hash
+    HAVING COUNT(*) > 1
+    ORDER BY keep_doc_id
+    """,
+    group="dedup",
+    doc="Prefix-boilerplate detection: documents sharing an identical "
+    "80-char prefix (templated headers, scraped navigation chrome) "
+    "group by prefix md5 — keep min doc_id, flag the rest. One 16-byte "
+    "hash shuffle with map-side combine; the document bodies never "
+    "move. The cheap complement to MinHash for the exact-prefix "
+    "duplication class that dominates web corpora.",
+)
+def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(F.substring("text", 1, 80)).alias("prefix_hash"))
+        .groupBy("prefix_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("keep_doc_id")
+    )

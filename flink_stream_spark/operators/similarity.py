@@ -630,3 +630,167 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q_hash"),
         (fold_err / F.size("e")).alias("mean_abs_err"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): subspace codebooks + asymmetric distance
+# ---------------------------------------------------------------------------
+
+PQ_M = 4               # subspaces (DIM/PQ_M dims each)
+PQ_SUB = DIM // PQ_M   # 16 dims per subspace
+PQ_KS = 16             # codewords per subspace (codebook: vec_id < PQ_KS)
+PQ_K = 5               # ADC top-k
+
+_PQ_BASE_DUCK = f"""
+    WITH se AS (
+      SELECT vec_id, {_SCALED_DUCK.format(c='embedding')} AS s FROM embeddings),
+    subs AS (
+      SELECT vec_id, m.m AS m,
+             list_slice(s, m.m*{PQ_SUB}+1, m.m*{PQ_SUB}+{PQ_SUB}) AS sub
+      FROM se CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m) m),
+    cb AS (
+      SELECT m, vec_id AS code, sub AS cs FROM subs WHERE vec_id < {PQ_KS}),
+    dists AS (
+      SELECT v.vec_id, v.m, c.code,
+             list_dot_product(v.sub, v.sub)
+               - 2*list_dot_product(v.sub, c.cs)
+               + list_dot_product(c.cs, c.cs) AS d
+      FROM subs v JOIN cb c ON c.m = v.m),
+    codes AS (
+      SELECT vec_id, m, code, d FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, code) AS rn
+        FROM dists) t WHERE rn = 1)
+"""
+
+
+def _pq_subs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, sub): each embedding scaled to exact integers and cut
+    into PQ_M subvectors (builtin slice — JVM-side, no Python)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    se = e.repartition(par, "vec_id").select(
+        "vec_id", _scaled_expr(F.col("embedding")).alias("s")
+    )
+    pieces = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice("s", m * PQ_SUB + 1, PQ_SUB).alias("sub"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return se.select("vec_id", F.explode(pieces).alias("x")).select(
+        "vec_id", F.col("x.m").alias("m"), F.col("x.sub").alias("sub")
+    )
+
+
+def _pq_dists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code, d): exact scaled-integer L2 of every subvector
+    against its subspace codebook (PQ_M×PQ_KS rows, broadcast). All
+    products/sums are integers < 2^53 carried in float64, so d is
+    bit-identical across engines and the argmin never flips."""
+    subs = _pq_subs(spark, sf_dir)
+    cb = subs.filter(F.col("vec_id") < PQ_KS).select(
+        "m", F.col("vec_id").alias("code"), F.col("sub").alias("cs")
+    )
+    d = (
+        _sdot(F.col("sub"), F.col("sub"))
+        - 2 * _sdot(F.col("sub"), F.col("cs"))
+        + _sdot(F.col("cs"), F.col("cs"))
+    )
+    return subs.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code", d.alias("d")
+    )
+
+
+@register(
+    "embedding_pq_codes",
+    _PQ_BASE_DUCK
+    + """
+    SELECT vec_id, CAST(m AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code,
+           CAST(d AS BIGINT) AS sq_err
+    FROM codes
+    ORDER BY vec_id, subspace
+    """,
+    group="similarity",
+    doc=f"Product quantization: {PQ_M} subspaces × {PQ_KS} deterministic "
+    f"codewords (first {PQ_KS} vectors' subvectors). Each vector "
+    f"compresses to {PQ_M} codes via exact scaled-integer argmin-L2 "
+    f"against the broadcast codebook ({PQ_M * PQ_KS} rows). One "
+    f"broadcast join + a min_by aggregate with map-side combine — the "
+    f"corpus never shuffles by anything but its own id; at 100 TB this "
+    f"is the memory-bound compression pass before ANN serving "
+    f"(64 floats → {PQ_M} bytes-ish).",
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dists = _pq_dists(spark, sf_dir)
+    best = dists.groupBy("vec_id", "m").agg(
+        F.min_by(F.struct("code", "d"), F.struct("d", "code")).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        F.col("m").cast("int").alias("subspace"),
+        F.col("b.code").cast("int").alias("code"),
+        F.col("b.d").cast("bigint").alias("sq_err"),
+    ).orderBy("vec_id", "subspace")
+
+
+@register(
+    "simsearch_pq_adc_topk",
+    _PQ_BASE_DUCK
+    + f"""
+    , qd AS (
+      SELECT d.vec_id AS query_id, d.m, d.code, d.d
+      FROM dists d WHERE d.vec_id < {N_QUERIES}),
+    adist AS (
+      SELECT qd.query_id, c.vec_id AS match_id, SUM(qd.d) AS adist
+      FROM codes c JOIN qd ON qd.m = c.m AND qd.code = c.code
+      WHERE c.vec_id <> qd.query_id
+      GROUP BY qd.query_id, c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, match_id) AS rn
+      FROM adist)
+    SELECT query_id, match_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {PQ_K}
+    ORDER BY query_id, rank
+    """,
+    group="similarity",
+    doc=f"PQ asymmetric-distance search: each query precomputes a "
+    f"{PQ_M}×{PQ_KS} distance table to every codeword (broadcast, "
+    f"{N_QUERIES * PQ_M * PQ_KS} rows); candidate distance is a "
+    f"{PQ_M}-term table-lookup sum over the corpus CODES — the raw "
+    f"embeddings are never touched after compression. Exact integer "
+    f"arithmetic end-to-end, so ranks are bit-stable. The serving-side "
+    f"complement of embedding_pq_codes: at 100 TB the scan reads "
+    f"{PQ_M} small ints per vector instead of {DIM} floats.",
+)
+def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dists = _pq_dists(spark, sf_dir)
+    codes = dists.groupBy("vec_id", "m").agg(
+        F.min_by(F.struct("code", "d"), F.struct("d", "code")).alias("b")
+    ).select("vec_id", "m", F.col("b.code").alias("code"))
+    qd = dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "code", "d"
+    )
+    adist = (
+        codes.join(F.broadcast(qd), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    return (
+        adist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            F.col("adist").cast("bigint").alias("adist"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

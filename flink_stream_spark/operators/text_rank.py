@@ -141,3 +141,63 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "text_zipf_entropy",
+    """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+    counts AS (
+      SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term),
+    stats AS (
+      SELECT source,
+             SUM(c) AS n_tokens,
+             COUNT(*) AS vocab,
+             SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS s,
+             MAX(c) AS top_c
+      FROM counts GROUP BY source)
+    SELECT source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(vocab AS BIGINT) AS vocab,
+           CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS DOUBLE) AS entropy,
+           CAST(ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6) AS DOUBLE) AS top_token_frac
+    FROM stats
+    ORDER BY source
+    """,
+    group="text",
+    doc="Per-source token-distribution statistics: Shannon entropy "
+    "H = ln(N) - Σc·ln(c)/N from exact integer counts, vocabulary "
+    "size, and the top-type fraction — the Zipf-shape / diversity "
+    "signals a curation pipeline uses to spot templated or spammy "
+    "sources. Two count shuffles with map-side combine; the double "
+    "accumulation differs across engines only at ~1e-11 of the "
+    "entropy's ~1e1 magnitude, far inside the 6-dp round. Scale: "
+    "shuffle volume is |vocab| per source, never |tokens|.",
+)
+def text_zipf_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(par, "doc_id")
+        .select("source", F.explode_outer(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))).alias("s"),
+        F.max("c").alias("top_c"),
+    )
+    return stats.select(
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
+        F.round(
+            F.log(F.col("n_tokens").cast("double")) - F.col("s") / F.col("n_tokens"), 6
+        ).alias("entropy"),
+        F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 6).alias(
+            "top_token_frac"
+        ),
+    ).orderBy("source")
