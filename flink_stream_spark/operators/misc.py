@@ -243,19 +243,81 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentile_approx",
-    None,  # sketch-based: rows-only (error contract, not hash equality)
+    """
+    SELECT l_returnflag,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS DOUBLE) AS p95,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     group="aggregation",
     doc="approx percentile sketch (KLL/GK family) — the scale path for "
-    "quantiles; exact quantile needs a global sort at 100 TB.",
+    "quantiles; exact quantile needs a global sort at 100 TB. Gate "
+    "form: the sketch estimate must land within 5% of the exact "
+    "percentile (both engines compute the same linear-interpolated "
+    "exact quantile; the exact columns exist to make the tolerance "
+    "check a stable hash — production use is the bare sketch).",
 )
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("approx"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.95D))").alias("exact"),
+    )
+    tol = (
+        (F.abs(F.col("approx")[0] - F.col("exact")[0]) <= 0.05 * F.col("exact")[0])
+        & (F.abs(F.col("approx")[1] - F.col("exact")[1]) <= 0.05 * F.col("exact")[1])
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("exact")[0], 6).alias("p50"),
+        F.round(F.col("exact")[1], 6).alias("p95"),
+        tol.alias("within_tol"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "agg_hll_sketch_merge",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+    doc="MERGEABLE HLL sketches: per-(returnflag, linestatus) partial "
+    "sketches union-merged up to per-returnflag estimates — the "
+    "re-aggregatable rollup pattern a 100 TB pipeline uses to keep "
+    "distinct-count cubes incremental (store partial sketches, merge "
+    "on read; approx_count_distinct alone cannot re-aggregate). Gate "
+    "form checks the merged estimate lands within 10% of exact.",
+)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("hll_sketch_agg(l_orderkey, 14)").alias("sk"),
+        F.countDistinct("l_orderkey").alias("ed"),
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-                "price_pcts"
-            )
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_orders",
+            (
+                F.abs(F.col("est") - F.col("exact_orders"))
+                / F.col("exact_orders").cast("double")
+                <= 0.10
+            ).alias("within_tol"),
         )
         .orderBy("l_returnflag")
     )

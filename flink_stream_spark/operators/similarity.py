@@ -794,3 +794,115 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "simsearch_ivfpq_topk",
+    _PQ_BASE_DUCK
+    + f"""
+    , n AS (SELECT vec_id, s, sqrt(list_dot_product(s, s)) AS nrm FROM se),
+    cent AS (SELECT vec_id AS cent_id, s AS cs, nrm AS cnrm FROM n WHERE vec_id < {NLIST}),
+    ass AS (
+      SELECT vec_id, cent_id,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY list_dot_product(s, cs) / (nrm * cnrm) DESC,
+                                         cent_id) AS rn
+      FROM n CROSS JOIN cent),
+    assign AS (SELECT vec_id, cent_id FROM ass WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, cent_id FROM ass
+               WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}),
+    qd AS (
+      SELECT d.vec_id AS query_id, d.m, d.code, d.d
+      FROM dists d WHERE d.vec_id < {N_QUERIES}),
+    adist AS (
+      SELECT qd.query_id, c.vec_id AS match_id, SUM(qd.d) AS adist
+      FROM codes c
+        JOIN assign a ON a.vec_id = c.vec_id
+        JOIN probes p ON p.cent_id = a.cent_id
+        JOIN qd ON qd.query_id = p.query_id AND qd.m = c.m AND qd.code = c.code
+      WHERE c.vec_id <> qd.query_id
+      GROUP BY qd.query_id, c.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adist, match_id) AS rn
+      FROM adist)
+    SELECT query_id, match_id, CAST(adist AS BIGINT) AS adist,
+           CAST(rn AS BIGINT) AS rank
+    FROM ranked WHERE rn <= {PQ_K}
+    ORDER BY query_id, rank
+    """,
+    group="similarity",
+    doc=f"IVF+PQ — the production ANN shape: IVF prunes the corpus to "
+    f"each query's {NPROBE}/{NLIST} nearest inverted lists, then PQ "
+    f"ADC ranks ONLY those candidates from their {PQ_M} codes (raw "
+    f"vectors never re-read at query time). At 100 TB: corpus "
+    f"partitioned by list, each query reads NPROBE partitions of "
+    f"{PQ_M}-int codes — I/O ∝ probed fraction × compressed width. "
+    f"Exact integer ADC keeps ranks bit-stable across engines.",
+)
+def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    n = (
+        e.repartition(par, "vec_id")
+        .select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
+        .withColumn("nrm", F.sqrt(_sdot(F.col("s"), F.col("s"))))
+    )
+    cent = n.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("s").alias("cs"),
+        F.col("nrm").alias("cnrm"),
+    )
+    ass = (
+        n.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    (_sdot(F.col("s"), F.col("cs")) / (F.col("nrm") * F.col("cnrm"))).desc(),
+                    "cent_id",
+                )
+            ),
+        )
+        .select("vec_id", "cent_id", "rn")
+    )
+    assign = ass.filter(F.col("rn") == 1).select("vec_id", "cent_id")
+    probes = ass.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("p_cent"))
+
+    dists = _pq_dists(spark, sf_dir)
+    codes = dists.groupBy("vec_id", "m").agg(
+        F.min_by(F.struct("code", "d"), F.struct("d", "code")).alias("b")
+    ).select("vec_id", "m", F.col("b.code").alias("code"))
+    qd = dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q2"),
+        F.col("m").alias("qm"),
+        F.col("code").alias("qcode"),
+        "d",
+    )
+    adist = (
+        codes.join(assign, "vec_id")
+        .join(F.broadcast(probes), F.col("cent_id") == F.col("p_cent"))
+        .join(
+            F.broadcast(qd),
+            (F.col("q2") == F.col("query_id"))
+            & (F.col("qm") == F.col("m"))
+            & (F.col("qcode") == F.col("code")),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("vec_id").asc())
+    return (
+        adist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            F.col("adist").cast("bigint").alias("adist"),
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

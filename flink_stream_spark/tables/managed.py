@@ -440,6 +440,26 @@ class ManagedTable:
             staged, sb, "merge", schema, "replace", touched, token=token
         )
 
+    def compact(self, spark: SparkSession, min_files: int = 2) -> int:
+        """Rewrite buckets whose file-list has grown past ``min_files``
+        appends into a single fresh file set — Iceberg's rewrite_data_files
+        maintenance action. Buckets under the threshold carry forward
+        untouched; a no-op returns the current version without a commit.
+        Run this periodically on streaming-append tables (each
+        micro-batch adds one file per touched bucket)."""
+        if not self.exists():
+            return 0
+        manifest = self._load_manifest(self.current_version())
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        touched = {
+            int(b) for b, ps in manifest["buckets"].items() if len(ps) >= min_files
+        }
+        if not touched:
+            return self.current_version()
+        merged = self._read_manifest_buckets(spark, manifest, touched)
+        staged, sb = self._stage_bucketed(self._align(merged, schema))
+        return self._commit(staged, sb, "compact", schema, "replace", touched)
+
     # -- maintenance (reference snapshot_mgmt.py equivalent) ------------------
 
     def expire_snapshots(self, retain_last: int = 1, older_than_s: float | None = None) -> int:

@@ -404,3 +404,23 @@ def test_merge_type_change_rejected(spark, tmp_path):
     bad = spark.createDataFrame([(2, "b@x", "not-a-long")], "user_id int, email string, created_at string")
     with pytest.raises(ValueError, match="type change"):
         t.merge(bad)
+
+
+def test_compact_collapses_append_files(spark, tmp_path):
+    """Streaming appends accumulate one file set per bucket per commit;
+    compact() rewrites multi-file buckets into one fresh set (Iceberg
+    rewrite_data_files), leaves single-file buckets untouched, and
+    changes no data."""
+    t = ManagedTable(str(tmp_path), "log", ["user_id"], num_buckets=4)
+    for i in range(5):
+        t.append(spark.createDataFrame([(j, f"e{i}_{j}@x", i) for j in range(8)], ACCOUNT))
+    before = t.read(spark).orderBy("user_id", "created_at").collect()
+    manifest_files = len(t.data_files())
+    assert manifest_files > 4  # several files per bucket
+    v = t.compact(spark)
+    assert v == t.current_version()
+    after_files = t.data_files()
+    assert len(after_files) <= 4  # one file set per bucket
+    assert t.read(spark).orderBy("user_id", "created_at").collect() == before
+    # idempotent: second compact is a no-op (no new version)
+    assert t.compact(spark) == v

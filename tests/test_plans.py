@@ -115,3 +115,25 @@ def test_whole_stage_codegen_in_flagship(spark, sf_oracle):
     plan = spark._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
     assert "isFinalPlan=true" in plan
     assert "*(" in plan  # WholeStageCodegen stage markers
+
+
+def test_pq_codebook_broadcast_no_cartesian(spark, sf_oracle):
+    """PQ: the subspace codebook joins by BROADCAST (64 rows), code
+    assignment aggregates with a partial stage (map-side argmin — the
+    struct-ordered min_by compiles to partial+final SortAggregate),
+    and nothing degenerates into a cartesian product."""
+    for name in ("embedding_pq_codes", "simsearch_pq_adc_topk"):
+        plan = plan_of(spark, sf_oracle, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert (plan.count("HashAggregate") + plan.count("SortAggregate")) >= 2, name
+
+
+def test_zipf_entropy_partial_aggregation(spark, sf_oracle):
+    """Both count levels aggregate partially: the shuffle carries
+    |vocab| partial counts, never the token stream."""
+    import flink_stream_spark.operators.text_rank  # noqa: F401
+
+    plan = plan_of(spark, sf_oracle, "text_zipf_entropy")
+    assert plan.count("HashAggregate") >= 4  # 2 levels x (partial+final)
+    assert "CartesianProduct" not in plan
