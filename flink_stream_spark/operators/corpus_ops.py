@@ -578,22 +578,24 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # top-K FIRST (TakeOrderedAndProject — scalable), then the running
+    # total over only K rows; the global total is a scalar aggregate
+    # broadcast in. The previous form ran both windows over the whole
+    # vocabulary in a single task — the 'No Partition Defined' hazard
+    # at web-corpus vocab sizes. The cumulative share of the first K
+    # rows is identical either way (the order is the same).
+    total = counts.agg(F.sum("cnt").alias("total"))
+    topk = counts.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(VOCAB_TOPK)
     w_cum = W.orderBy(F.col("cnt").desc(), F.col("token").asc()).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
-    w_all = W.partitionBy()
     return (
-        counts.select(
-            "token",
-            "cnt",
-            F.sum("cnt").over(w_cum).alias("cum"),
-            F.sum("cnt").over(w_all).alias("total"),
-        )
+        topk.withColumn("cum", F.sum("cnt").over(w_cum))
+        .crossJoin(F.broadcast(total))
         .select(
             "token",
             F.col("cnt").cast("bigint").alias("cnt"),
             F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("cum_share"),
         )
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
-        .limit(VOCAB_TOPK)
     )

@@ -894,16 +894,39 @@ def window_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY c_custkey
     """,
     group="window",
+    doc="Global NTILE/PERCENT_RANK/CUME_DIST — computed WITHOUT the "
+    "single-task global window (the 'No Partition Defined' scale "
+    "hazard): ranks come from plans.scale.with_global_rank (range "
+    "partition → parallel per-partition row_number → broadcast "
+    "offsets), then ntile/pct/cume are closed-form expressions of "
+    "(rank, n). The order is total (acctbal desc, custkey), so every "
+    "row is its own peer group and the closed forms equal the SQL "
+    "window semantics exactly.",
 )
 def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.plans.scale import with_global_rank
+
     c = _t(spark, sf_dir, "customer")
-    w = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    ranked = with_global_rank(
+        c.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        rank_col="__r",
+    )
+    n_row = c.agg(F.count(F.lit(1)).alias("__n"))
+    r, n = F.col("__r"), F.col("__n")
+    # NTILE(4): the first (n mod 4) tiles take ceil(n/4) rows
+    rem = n % 4
+    qd = F.floor(n / 4).cast("long")
+    tile = F.when(
+        r <= (qd + 1) * rem, F.ceil(r / (qd + 1))
+    ).otherwise(rem + F.ceil((r - (qd + 1) * rem) / F.when(qd > 0, qd).otherwise(1)))
     return (
-        c.select(
+        ranked.crossJoin(F.broadcast(n_row))
+        .select(
             "c_custkey",
-            F.ntile(4).over(w).cast("bigint").alias("quartile"),
-            F.percent_rank().over(w).cast("double").alias("pct_rank"),
-            F.cume_dist().over(w).cast("double").alias("cume"),
+            tile.cast("bigint").alias("quartile"),
+            ((r - 1).cast("double") / (n - 1)).cast("double").alias("pct_rank"),
+            (r.cast("double") / n).cast("double").alias("cume"),
         )
         .orderBy("c_custkey")
     )

@@ -84,3 +84,47 @@ def salted_join(
     )
     joined = left_salted.join(right_rep, on=[key, "__salt"], how=how)
     return joined.drop("__salt")
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "rank",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed GLOBAL dense row ranking over a total order.
+
+    A bare ``row_number() OVER (ORDER BY ...)`` funnels the entire
+    dataset into ONE task (Spark warns 'No Partition Defined for
+    Window') — the canonical 100 TB scale-killer for global ranking.
+    This computes identical ranks scalably:
+
+    1. range-repartition on the order columns (the same partitioner a
+       global sort uses — each partition holds a contiguous key range);
+    2. row_number WITHIN each partition (parallel windows);
+    3. add each partition's cumulative row-count offset (a
+       #partitions-row aggregate, broadcast back).
+
+    Ranks are identical to the single-task window for any total order
+    (ties must be broken by the order columns themselves). Partition
+    boundary placement affects balance only, never the rank values.
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    parted = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    from pyspark.sql.window import Window as _W
+
+    sizes = parted.groupBy("__pid").count()
+    w_off = _W.orderBy("__pid").rowsBetween(_W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("count").over(w_off), F.lit(0)).alias("__off")
+    )
+    w_in = _W.partitionBy("__pid").orderBy(*order_cols)
+    return (
+        parted.withColumn("__rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__rn") + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__rn", "__off")
+    )

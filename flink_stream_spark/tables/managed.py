@@ -291,6 +291,21 @@ class ManagedTable:
 
     # -- schema evolution ----------------------------------------------------
 
+    # lossless widening chains the parquet reader supports reading OLD
+    # files through the WIDER manifest schema (verified by probe +
+    # test): Iceberg's permitted schema-evolution promotions
+    _WIDEN_CHAINS = (
+        (T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()),
+        (T.FloatType(), T.DoubleType()),
+    )
+
+    @classmethod
+    def _widens_to(cls, narrow: T.DataType, wide: T.DataType) -> bool:
+        for chain in cls._WIDEN_CHAINS:
+            if narrow in chain and wide in chain:
+                return chain.index(narrow) < chain.index(wide)
+        return False
+
     def _evolved_schema(self, old: T.StructType, incoming: T.StructType) -> T.StructType:
         by_name = {f.name: f for f in old.fields}
         fields = list(old.fields)
@@ -299,22 +314,35 @@ class ManagedTable:
             if have is None:
                 fields.append(T.StructField(f.name, f.dataType, True))
             elif have.dataType != f.dataType:
-                raise ValueError(
-                    f"table {self.name}: column '{f.name}' type change "
-                    f"{have.dataType.simpleString()} -> {f.dataType.simpleString()} "
-                    "is not supported (add a new column instead)"
-                )
+                if self._widens_to(have.dataType, f.dataType):
+                    # adopt the wider type; old files up-cast on read
+                    i = next(
+                        j for j, g in enumerate(fields) if g.name == f.name
+                    )
+                    fields[i] = T.StructField(f.name, f.dataType, True)
+                elif self._widens_to(f.dataType, have.dataType):
+                    pass  # incoming narrower: _align casts it up losslessly
+                else:
+                    raise ValueError(
+                        f"table {self.name}: column '{f.name}' type change "
+                        f"{have.dataType.simpleString()} -> {f.dataType.simpleString()} "
+                        "is not supported (only lossless widening, e.g. "
+                        "int->long / float->double, or adding columns)"
+                    )
         return T.StructType(fields)
 
     @staticmethod
     def _align(df: DataFrame, schema: T.StructType) -> DataFrame:
-        have = set(df.columns)
-        return df.select(
-            *[
-                F.col(f.name) if f.name in have else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in schema.fields
-            ]
-        )
+        have = {f.name: f.dataType for f in df.schema.fields}
+        cols = []
+        for f in schema.fields:
+            if f.name not in have:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+            elif have[f.name] != f.dataType:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            else:
+                cols.append(F.col(f.name))
+        return df.select(*cols)
 
     # -- writes --------------------------------------------------------------
 

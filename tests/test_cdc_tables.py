@@ -424,3 +424,26 @@ def test_compact_collapses_append_files(spark, tmp_path):
     assert t.read(spark).orderBy("user_id", "created_at").collect() == before
     # idempotent: second compact is a no-op (no new version)
     assert t.compact(spark) == v
+
+
+def test_schema_widening_evolution(spark, tmp_path):
+    """int->long / float->double widening is accepted: the manifest
+    schema adopts the wider type, old files up-cast on read, and a
+    narrower later batch up-casts on write. Lossy changes still raise."""
+    t = ManagedTable(str(tmp_path), "w", ["id"])
+    t.merge(spark.createDataFrame([(1, 10, 1.5)], "id int, v int, x float"))
+    # widen v to long, x to double
+    t.merge(
+        spark.createDataFrame([(2, 2**40, 2.5)], "id int, v long, x double")
+    )
+    got = {r["id"]: (r["v"], r["x"]) for r in t.read(spark).collect()}
+    assert got[1] == (10, 1.5) and got[2] == (2**40, 2.5)
+    assert dict(t.read(spark).dtypes)["v"] == "bigint"
+    # a narrower int batch still merges (cast up on write)
+    t.merge(spark.createDataFrame([(3, 7, 0.5)], "id int, v int, x float"))
+    assert t.read(spark).count() == 3
+    # lossy long->int on a long column: rejected
+    t2 = ManagedTable(str(tmp_path / "t2"), "t2", ["id"])
+    t2.merge(spark.createDataFrame([(1, "a")], "id int, s string"))
+    with pytest.raises(ValueError, match="type change"):
+        t2.merge(spark.createDataFrame([(2, 5)], "id int, s int"))

@@ -120,3 +120,60 @@ def test_last_per_key_hot_key_two_phase_plan_and_parity(spark):
         if cur is None or cand > cur:
             want[r["k"]] = cand
     assert got == want
+
+
+def test_partition_pruning_on_date_partitioned_layout(spark, sf_small, tmp_path):
+    """The 100 TB layout contract: events written partitioned by day
+    must prune to ONE partition for a single-day filter — the scan's
+    PartitionFilters carries the predicate and the other days' files
+    are never listed into the plan. (The flat fixture files can only
+    show PushedFilters; this asserts the stronger directory-level
+    prune used on real deployments.)"""
+    ev = load_table(spark, sf_small, "events")
+    part_dir = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(part_dir)
+    pe = spark.read.parquet(part_dir)
+    one_day = [r["day"] for r in pe.select("day").distinct().limit(1).collect()][0]
+    q = pe.filter(F.col("day") == F.lit(one_day)).groupBy("event_type").count()
+    plan = explain_str(q)
+    assert "PartitionFilters" in plan
+    pf_line = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "day" in pf_line  # the day predicate prunes at directory level
+    # result parity with the unpartitioned filter
+    want = sorted(
+        map(
+            tuple,
+            ev.filter(F.to_date("ts") == F.lit(one_day))
+            .groupBy("event_type")
+            .count()
+            .collect(),
+        )
+    )
+    assert sorted(map(tuple, q.collect())) == want
+
+
+def test_global_rank_matches_single_task_window(spark, sf_small):
+    """with_global_rank must equal row_number() OVER (ORDER BY ...) for
+    a total order, while its plan contains NO partitionless Window
+    (every Window node is keyed by the range-partition id)."""
+    from pyspark.sql.window import Window as W
+
+    from flink_stream_spark.plans.scale import with_global_rank
+
+    c = load_table(spark, sf_small, "customer").select("c_custkey", "c_acctbal")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    got = {
+        r["c_custkey"]: r["rank"]
+        for r in with_global_rank(c, order, "rank").collect()
+    }
+    want = {
+        r["c_custkey"]: r["rank"]
+        for r in c.withColumn(
+            "rank", F.row_number().over(W.orderBy(*order)).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+    # the data window is keyed by the range-partition id (the only
+    # unpartitioned window runs over the #partitions-row offsets frame)
+    plan = explain_str(with_global_rank(c, order, "rank"))
+    assert "SPARK_PARTITION_ID" in plan or "__pid" in plan
