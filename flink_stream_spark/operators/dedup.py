@@ -702,3 +702,60 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("keep_doc_id")
     )
+
+
+@register(
+    "dedup_shingle_containment",
+    f"""
+    WITH doc_shingles AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    pair_overlap AS (
+      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS shared
+      FROM doc_shingles sa JOIN doc_shingles sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
+      GROUP BY 1, 2),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
+    SELECT p.doc_a, p.doc_b,
+           CAST(ROUND(CAST(p.shared AS DOUBLE) / LEAST(za.n, zb.n), 6) AS DOUBLE)
+             AS containment
+    FROM pair_overlap p JOIN sizes za ON za.doc_id = p.doc_a
+                        JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE CAST(p.shared AS DOUBLE) / LEAST(za.n, zb.n) >= 0.8
+    ORDER BY p.doc_a, p.doc_b
+    """,
+    group="dedup",
+    doc="ASYMMETRIC containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.8 over "
+    "3-gram shingle sets — catches a short document embedded inside a "
+    "longer one (quote farms, concatenated scrapes), which symmetric "
+    "Jaccard misses because the union dilutes the score. Same "
+    "shared-shingle blocking as the Jaccard variant (never n²).",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingled_docs(d)
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    overlap = (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    cont = F.col("shared").cast("double") / F.least(F.col("za.n"), F.col("zb.n"))
+    return (
+        overlap.join(za, F.col("za.doc_id") == F.col("doc_a"))
+        .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
+        .filter(cont >= 0.8)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+        .orderBy("doc_a", "doc_b")
+    )
