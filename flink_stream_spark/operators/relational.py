@@ -914,12 +914,20 @@ def window_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_row = c.agg(F.count(F.lit(1)).alias("__n"))
     r, n = F.col("__r"), F.col("__n")
-    # NTILE(4): the first (n mod 4) tiles take ceil(n/4) rows
-    rem = n % 4
-    qd = F.floor(n / 4).cast("long")
-    tile = F.when(
-        r <= (qd + 1) * rem, F.ceil(r / (qd + 1))
-    ).otherwise(rem + F.ceil((r - (qd + 1) * rem) / F.when(qd > 0, qd).otherwise(1)))
+    # NTILE(4): the first (n mod 4) tiles take ceil(n/4) rows. Pure
+    # integer arithmetic (ceil(a/b) = (a+b-1) div b) so a tile boundary
+    # can never flip on a floating-point ulp at any n.
+    tile = F.expr(
+        """
+        CASE WHEN __r <= ((__n div 4) + 1) * (__n % 4)
+             THEN (__r + (__n div 4)) div ((__n div 4) + 1)
+             ELSE (__n % 4) +
+                  (__r - ((__n div 4) + 1) * (__n % 4)
+                       + greatest(__n div 4, 1) - 1)
+                  div greatest(__n div 4, 1)
+        END
+        """
+    )
     return (
         ranked.crossJoin(F.broadcast(n_row))
         .select(
