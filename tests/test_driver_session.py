@@ -47,3 +47,26 @@ def test_contract_under_plain_driver_session():
         timeout=600,
     )
     assert "DRIVER-SIM-OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+
+def test_cli_list_and_run(tmp_path):
+    """python -m flink_stream_spark: list names the registry; run
+    executes a query against an explicit sf_dir (subprocess — the same
+    cold-entry path an end user takes)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    out = subprocess.run(
+        [sys.executable, "-m", "flink_stream_spark", "list", "dedup"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=120,
+    )
+    assert out.returncode == 0 and "dedup_exact_hash" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "flink_stream_spark", "run",
+         "dedup_exact_hash", "/root/testdata/sf0.001", "-n", "3"],
+        capture_output=True, text=True, env=env, cwd=repo, timeout=300,
+    )
+    assert out.returncode == 0 and "content_hash" in out.stdout
