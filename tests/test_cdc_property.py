@@ -75,3 +75,63 @@ def test_cdc_apply_equals_sequential_model(spark, tmp_path_factory, ops, n_batch
         apply_cdc_batch(table, parse_envelopes(raw, ROW, value_col="raw"), ["k"])
     got = {r["k"]: r["v"] for r in table.read(spark).collect()} if table.exists() else {}
     assert got == model_apply(ops)
+
+
+# ---------------------------------------------------------------------------
+# Storage-layer property: the manifest/bucket machinery under random
+# interleavings of merge / append / compact / expire must preserve the
+# model state — a GC or carry-forward bug here silently destroys data.
+# ---------------------------------------------------------------------------
+
+storage_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("merge"),
+            st.lists(
+                st.tuples(st.integers(0, 6), st.integers(0, 99)),
+                min_size=1, max_size=4, unique_by=lambda t: t[0],
+            ),
+        ),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 6), min_size=1, max_size=3, unique=True)),
+        st.tuples(st.just("compact"), st.none()),
+        st.tuples(st.just("expire"), st.none()),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=storage_ops)
+def test_bucketed_storage_under_random_maintenance(spark, tmp_path_factory, ops):
+    work = tmp_path_factory.mktemp("storeprop")
+    table = ManagedTable(str(work), "t", ["k"], num_buckets=4)
+    model: dict[int, str] = {}
+    for op, arg in ops:
+        if op == "merge":
+            rows = [(k, f"v{v}") for k, v in arg]
+            table.merge(spark.createDataFrame(rows, "k int, v string"))
+            model.update({k: f"v{v}" for k, v in arg})
+        elif op == "delete":
+            if not table.exists():
+                continue
+            table.merge(
+                upserts=spark.createDataFrame([], "k int, v string"),
+                deletes=spark.createDataFrame([(k,) for k in arg], "k int"),
+            )
+            for k in arg:
+                model.pop(k, None)
+        elif op == "compact":
+            table.compact(spark)
+        elif op == "expire":
+            table.expire_snapshots(retain_last=1)
+        got = (
+            {r["k"]: r["v"] for r in table.read(spark).collect()}
+            if table.exists()
+            else {}
+        )
+        assert got == model, (op, arg)
