@@ -368,3 +368,52 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "events_asof_join_forward",
+    """
+    WITH tagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'click' THEN epoch_ms(ts) END AS click_ms,
+             CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+      FROM events WHERE event_type IN ('purchase', 'click')),
+    filled AS (
+      SELECT *, MIN(click_ms) OVER (PARTITION BY user_id
+                                    ORDER BY epoch_ms(ts) DESC, side ASC
+                                    ROWS UNBOUNDED PRECEDING) AS next_click_ms
+      FROM tagged)
+    SELECT event_id AS purchase_id,
+           CAST(next_click_ms AS BIGINT) AS asof_next_click_ms,
+           CAST(next_click_ms - epoch_ms(ts) AS BIGINT) AS until_click_ms
+    FROM filled
+    WHERE event_type = 'purchase' AND next_click_ms IS NOT NULL
+    ORDER BY purchase_id
+    """,
+    group="streaming",
+    doc="FORWARD as-of join via the general operators.asof.asof_join "
+    "(pandas merge_asof semantics, one key shuffle, no range join): "
+    "each purchase matched to the earliest click at-or-after it. The "
+    "backward variant is events_asof_join; the library operator is "
+    "parity-tested against pandas.merge_asof in tests/test_asof.py.",
+)
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_millis("ts").alias("t"), "event_id"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_millis("ts").alias("t")
+    )
+    j = asof_join(left, right, on="t", by=["user_id"], direction="forward")
+    return (
+        j.filter(F.col("t_right").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("t_right").cast("bigint").alias("asof_next_click_ms"),
+            (F.col("t_right") - F.col("t")).cast("bigint").alias("until_click_ms"),
+        )
+        .orderBy("purchase_id")
+    )
