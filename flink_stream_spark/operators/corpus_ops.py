@@ -599,3 +599,47 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
     )
+
+
+@register(
+    "text_bpe_pair_merges",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS w
+      FROM documents),
+    w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair
+      FROM w2, UNNEST(range(1, CAST(length(w) AS BIGINT))) AS t(i))
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT 20
+    """,
+    group="text",
+    doc="One BPE-training iteration's merge-candidate scan (Sennrich et "
+    "al. 2016): count adjacent symbol pairs inside lowercased alpha "
+    "words, rank the top merges. Pair construction is a bounded "
+    "per-row explode (word length), the histogram key space is at most "
+    "26^2 so the shuffle is KBs at any corpus size, partial counts "
+    "combine map-side, and the top-k is TakeOrderedAndProject — the "
+    "exact shape a distributed tokenizer trainer needs per merge round.",
+)
+def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )

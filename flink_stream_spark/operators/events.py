@@ -312,3 +312,62 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bin")
     )
+
+
+@register(
+    "events_window_cumulate",
+    """
+    WITH base AS (
+      SELECT CAST(epoch_ms(ts) AS BIGINT) AS t_ms, value FROM events),
+    spans AS (
+      SELECT t_ms, value,
+             CAST(FLOOR(t_ms / 3600000) * 3600000 AS BIGINT) AS span_start
+      FROM base),
+    expanded AS (
+      SELECT span_start,
+             CAST(span_start + k * 900000 AS BIGINT) AS window_end_ms,
+             value
+      FROM spans,
+           UNNEST(range(CAST(FLOOR((t_ms - span_start) / 900000) + 1 AS BIGINT),
+                        CAST(5 AS BIGINT))) AS t(k))
+    SELECT CAST(span_start AS BIGINT) AS window_start_ms,
+           window_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 100 AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    ORDER BY window_start_ms, window_end_ms
+    """,
+    group="streaming",
+    doc="CUMULATE window (span 1h, step 15m): Flink SQL's third windowing "
+    "TVF besides TUMBLE/HOP (FLIP-145) — early cumulative firings within "
+    "a span. Spark has no built-in cumulate; expressed as a JVM-side "
+    "sequence+explode over the remaining step boundaries of the span "
+    "(max span/step = 4 copies, bounded fan-out, no UDF) followed by a "
+    "normal map-side-combining aggregate. At scale the expansion factor "
+    "is the constant span/step, never data-dependent.",
+)
+def events_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    span_ms, step_ms = 3_600_000, 900_000
+    e = _events(spark, sf_dir)
+    t_ms = F.unix_millis("ts")
+    span_start = (F.floor(t_ms / span_ms) * span_ms).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    k_min = (F.floor((t_ms - span_start) / step_ms) + 1).cast("bigint")
+    return (
+        e.select(
+            span_start.alias("window_start_ms"),
+            F.explode(F.sequence(k_min, F.lit(span_ms // step_ms).cast("bigint"))).alias("k"),
+            cents.alias("cents"),
+        )
+        .groupBy(
+            "window_start_ms",
+            (F.col("window_start_ms") + F.col("k") * step_ms).cast("bigint").alias("window_end_ms"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents").cast("double") / 100).cast("double").alias("total_value"),
+        )
+        .orderBy("window_start_ms", "window_end_ms")
+    )

@@ -467,3 +467,49 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "events_markov_transitions",
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events),
+    counted AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type)
+    SELECT from_type, to_type, n,
+           CAST((1000000 * n) // SUM(n) OVER (PARTITION BY from_type)
+                AS BIGINT) AS prob_ppm
+    FROM counted
+    ORDER BY from_type, to_type
+    """,
+    group="events-analytics",
+    doc="First-order Markov transition matrix over per-user event-type "
+    "sequences: LEAD pairing inside the user_id partition, then a "
+    "map-side-combining count whose key space is |types|^2 (bounded, "
+    "tiny shuffle at any scale). Row-normalized probabilities emitted "
+    "as integer ppm so both engines divide exactly.",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counted = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    row_total = F.sum("n").over(W.partitionBy("from_type"))
+    return (
+        counted.withColumn("row_total", row_total)
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.expr("(1000000 * n) div row_total").cast("bigint").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )

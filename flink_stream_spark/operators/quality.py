@@ -125,3 +125,88 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "quality_classifier_score",
+    """
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+             CAST(length(text) - length(replace(replace(text, '.', ''), ',', ''))
+                  AS BIGINT) AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+                  AS BIGINT) AS n_digits,
+             CAST((length(text) - length(replace(lower(text), ' the ', ''))) // 5
+                  AS BIGINT) AS n_stop
+      FROM documents),
+    ppm AS (
+      SELECT doc_id, n_chars,
+             (1000000 * n_spaces) // greatest(n_chars, 1) AS space_ppm,
+             (1000000 * n_punct) // greatest(n_chars, 1) AS punct_ppm,
+             (1000000 * n_digits) // greatest(n_chars, 1) AS digit_ppm,
+             (1000000 * n_stop) // greatest(n_chars, 1) AS stop_ppm
+      FROM feats)
+    SELECT doc_id,
+           CAST(2 * space_ppm + 40 * stop_ppm + 8 * punct_ppm
+                - 12 * digit_ppm + least(n_chars, 2000) * 100 - 400000
+                AS BIGINT) AS logit_scaled,
+           CAST(2 * space_ppm + 40 * stop_ppm + 8 * punct_ppm
+                - 12 * digit_ppm + least(n_chars, 2000) * 100 - 400000 > 0
+                AS BOOLEAN) AS keep
+    FROM ppm
+    ORDER BY doc_id
+    """,
+    group="text",
+    doc="fastText-style quality-classifier inference as a pure scan "
+    "projection: engineered features (whitespace / punctuation / digit "
+    "/ stopword rates, length cap) combined under fixed integer "
+    "weights into a scaled logit, thresholded to a keep flag. The "
+    "sigmoid is monotone, so thresholding the logit is exact and the "
+    "whole filter stays in whole-stage codegen — no model server, no "
+    "UDF, no shuffle: the 100 TB posture is a map-only scan. Weights "
+    "stand in for a trained linear model's (swap-in point documented).",
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    n_spaces = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))).cast("bigint")
+    n_punct = (
+        F.length("text")
+        - F.length(F.replace(F.replace(F.col("text"), F.lit(".")), F.lit(",")))
+    ).cast("bigint")
+    n_digits = (
+        F.length("text") - F.length(F.regexp_replace("text", "[0-9]", ""))
+    ).cast("bigint")
+    n_stop = F.expr(
+        "CAST((length(text) - length(replace(lower(text), ' the ', ''))) div 5 AS BIGINT)"
+    )
+    feats = d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_spaces.alias("n_spaces"),
+        n_punct.alias("n_punct"),
+        n_digits.alias("n_digits"),
+        n_stop.alias("n_stop"),
+    )
+    ppm = feats.select(
+        "doc_id",
+        "n_chars",
+        F.expr("(1000000 * n_spaces) div greatest(n_chars, 1)").alias("space_ppm"),
+        F.expr("(1000000 * n_punct) div greatest(n_chars, 1)").alias("punct_ppm"),
+        F.expr("(1000000 * n_digits) div greatest(n_chars, 1)").alias("digit_ppm"),
+        F.expr("(1000000 * n_stop) div greatest(n_chars, 1)").alias("stop_ppm"),
+    )
+    logit = (
+        2 * F.col("space_ppm")
+        + 40 * F.col("stop_ppm")
+        + 8 * F.col("punct_ppm")
+        - 12 * F.col("digit_ppm")
+        + F.least(F.col("n_chars"), F.lit(2000)) * 100
+        - 400_000
+    ).cast("bigint")
+    return (
+        ppm.select("doc_id", logit.alias("logit_scaled"), (logit > 0).alias("keep"))
+        .orderBy("doc_id")
+    )
