@@ -906,3 +906,91 @@ def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+KM_K = 8  # k-means clusters (deterministic init: vec_id < KM_K)
+
+
+@register(
+    "embedding_kmeans_assign",
+    f"""
+    WITH n AS (
+      SELECT vec_id, {_SCALED_DUCK.format(c='embedding')} AS s FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, s AS cs FROM n WHERE vec_id < {KM_K}),
+    a1 AS (
+      SELECT vec_id, cent_id, s,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(cs, cs) - 2 * list_dot_product(s, cs),
+                        cent_id) AS rn
+      FROM n CROSS JOIN c0),
+    asg1 AS (SELECT vec_id, cent_id AS cl, s FROM a1 WHERE rn = 1),
+    ex AS (
+      SELECT cl, generate_subscripts(s, 1) AS dim, unnest(s) AS val FROM asg1),
+    upd AS (
+      SELECT cl, dim,
+             CAST(SUM(CAST(val AS BIGINT)) // COUNT(*) AS DOUBLE) AS cval
+      FROM ex GROUP BY cl, dim),
+    c1 AS (
+      SELECT cl AS cent_id, list(cval ORDER BY dim) AS cs
+      FROM upd GROUP BY cl),
+    a2 AS (
+      SELECT n.vec_id, c1.cent_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY list_dot_product(cs, cs) - 2 * list_dot_product(s, cs),
+                        cent_id) AS rn
+      FROM n CROSS JOIN c1)
+    SELECT vec_id, CAST(cent_id AS BIGINT) AS cluster
+    FROM a2 WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    group="similarity",
+    doc=f"Distributed k-means (Lloyd) over the embedding column: "
+    f"deterministic init ({KM_K} seed vectors), one centroid update, "
+    "final assignment. Assignment minimizes ||c||^2 - 2<x,c> (the "
+    "||x||^2 term cannot change the argmin) over broadcast centroids — "
+    "one corpus scan per iteration, no corpus shuffle. The update "
+    "explodes to (cluster, dim) partial sums whose key space is "
+    "k x dim, so the map-side-combined shuffle is KBs at any corpus "
+    "size; centroid components are exact integer means (sum div count "
+    "of x1e6-scaled ints), so the argmin is bit-deterministic across "
+    "engines. Real deployments loop this block driver-side until "
+    "centroid movement converges — each iteration is this same plan.",
+)
+def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
+
+    def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
+        # score = ||c||^2 - 2<x,c>; exact f64 on x1e6-scaled ints
+        score = _sdot(F.col("cs"), F.col("cs")) - 2 * _sdot(F.col("s"), F.col("cs"))
+        w = W.partitionBy("vec_id").orderBy(score.asc(), F.col("cent_id").asc())
+        return (
+            vectors.crossJoin(F.broadcast(cents))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+
+    c0 = n.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("s").alias("cs")
+    )
+    asg1 = assign(n, c0).select(F.col("cent_id").alias("cl"), "s")
+    upd = (
+        asg1.select("cl", F.posexplode("s").alias("dim0", "val"))
+        .groupBy("cl", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.expr("CAST(sum(CAST(val AS BIGINT)) div count(1) AS DOUBLE)").alias("cval"))
+    )
+    c1 = (
+        upd.groupBy(F.col("cl").alias("cent_id"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cval"))), lambda x: x["cval"]
+            ).alias("cs")
+        )
+    )
+    return (
+        assign(n, c1)
+        .select("vec_id", F.col("cent_id").cast("bigint").alias("cluster"))
+        .orderBy("vec_id")
+    )
