@@ -36,6 +36,13 @@ Design (Iceberg-style metadata over immutable data files):
   null-fills against the explicit manifest schema) — mirroring the
   sink's ``evolve-schema-enabled``
   (reference kafka/config/connect-iceberg-sink.json:13-14);
+- every commit records **zone maps** (footer-derived column min/max
+  per data dir) in its manifest; ``read(where=[...])`` skips whole
+  directories whose range cannot match before Spark lists a single
+  file, and ``lookup(key)`` additionally prunes to the key's hash
+  bucket — Iceberg's manifest min/max pruning + bucket-partition
+  pruning, the metadata paths that make point/range queries O(files
+  touched) instead of O(table) at 100 TB;
 - readers take the manifest's explicit schema (no footer-merge scan)
   and always see a complete committed version; old versions remain
   readable (time travel) until their manifest is expired. Expiry
@@ -58,6 +65,75 @@ from pyspark.sql import types as T
 DEFAULT_NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_TABLE_BUCKETS", "16"))
 
 _BUCKET_COL = "__bucket"
+
+# predicate ops understood by zone-map pruning (read(where=...))
+_PRUNE_OPS = {"=", "<", "<=", ">", ">=", "between"}
+
+
+def _dir_column_stats(data_dir: str) -> dict:
+    """Zone map for one committed data directory: {col: [min, max]}
+    aggregated over every parquet file's row-group footer statistics.
+    Footer reads only — no data pages are touched (the same stats
+    Iceberg stores per data file in its manifests). Columns with any
+    missing/unsupported stat are omitted (→ never pruned on)."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover - pyarrow is baked in
+        return {}
+    stats: dict[str, list] = {}
+    dropped: set[str] = set()
+    for fname in os.listdir(data_dir):
+        if not fname.endswith(".parquet"):
+            continue
+        try:
+            md = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
+        except Exception:
+            return {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name or name in dropped:
+                    continue  # nested leaves: not prunable at top level
+                st = col.statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or not isinstance(st.min, (int, float, str, bool))
+                ):
+                    dropped.add(name)
+                    stats.pop(name, None)
+                    continue
+                cur = stats.get(name)
+                if cur is None:
+                    stats[name] = [st.min, st.max]
+                else:
+                    cur[0] = min(cur[0], st.min)
+                    cur[1] = max(cur[1], st.max)
+    return stats
+
+
+def _zone_overlaps(lo, hi, op: str, value) -> bool:
+    """Can a file whose column spans [lo, hi] contain rows matching
+    ``col <op> value``? False → the file is skipped."""
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+        if op == "between":
+            vlo, vhi = value
+            return not (hi < vlo or lo > vhi)
+    except TypeError:
+        return True  # incomparable literal/stat types: never mis-prune
+    return True
 
 
 class ManagedTable:
@@ -206,10 +282,12 @@ class ManagedTable:
         new_paths = {
             b: f"v_{new_v:08d}/{sub}" for b, sub in staged_buckets.items()
         }
+        prev_stats: dict = {}
         if mode == "replace_all" or cur == 0:
             buckets = {str(b): [p] for b, p in new_paths.items()}
         else:
             prev = self._load_manifest(cur)
+            prev_stats = prev.get("stats", {})
             buckets = {b: list(ps) for b, ps in prev["buckets"].items()}
             if mode == "replace":
                 for b in touched or set():
@@ -220,10 +298,20 @@ class ManagedTable:
             else:  # append
                 for b, p in new_paths.items():
                     buckets.setdefault(str(b), []).append(p)
+        # zone maps: footer-derived column min/max per data dir; carried
+        # paths keep their previous stats (their files are immutable)
+        referenced = {p for ps in buckets.values() for p in ps}
+        stats = {p: s for p, s in prev_stats.items() if p in referenced}
+        for p in new_paths.values():
+            if p in referenced:
+                s = _dir_column_stats(os.path.join(self.dir, p))
+                if s:
+                    stats[p] = s
         manifest = {
             "version": new_v,
             "schema": schema.json(),
             "buckets": buckets,
+            "stats": stats,
         }
         if token is not None:
             manifest["token"] = token
@@ -251,20 +339,75 @@ class ManagedTable:
         return self.current_version() > 0
 
     def _read_manifest_buckets(
-        self, spark: SparkSession, manifest: dict, bucket_ids: set[int] | None = None
+        self,
+        spark: SparkSession,
+        manifest: dict,
+        bucket_ids: set[int] | None = None,
+        where: list[tuple] | None = None,
     ) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        stats = manifest.get("stats", {})
         paths = []
         for b, ps in manifest["buckets"].items():
-            if bucket_ids is None or int(b) in bucket_ids:
-                paths.extend(os.path.join(self.dir, p) for p in ps)
+            if bucket_ids is not None and int(b) not in bucket_ids:
+                continue
+            for p in ps:
+                if where and not self._zone_keep(stats.get(p), where):
+                    continue
+                paths.append(os.path.join(self.dir, p))
         if not paths:
             return spark.createDataFrame([], schema)
         # explicit manifest schema: no footer-merge scan, and files
         # predating a schema evolution null-fill the new columns
         return spark.read.schema(schema).parquet(*paths)
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    @staticmethod
+    def _zone_keep(dir_stats: dict | None, where: list[tuple]) -> bool:
+        if not dir_stats:
+            return True  # no stats recorded: never prune
+        for col, op, value in where:
+            mm = dir_stats.get(col)
+            if mm is None:
+                continue
+            if not _zone_overlaps(mm[0], mm[1], op, value):
+                return False
+        return True
+
+    @staticmethod
+    def _residual_filter(df: DataFrame, where: list[tuple]) -> DataFrame:
+        # zone maps only SKIP dirs; matching dirs still need the exact
+        # row-level predicate (pushed into the parquet scan by Catalyst)
+        for col, op, value in where:
+            c = F.col(col)
+            if op == "=":
+                df = df.filter(c == value)
+            elif op == "<":
+                df = df.filter(c < value)
+            elif op == "<=":
+                df = df.filter(c <= value)
+            elif op == ">":
+                df = df.filter(c > value)
+            elif op == ">=":
+                df = df.filter(c >= value)
+            elif op == "between":
+                df = df.filter(c.between(value[0], value[1]))
+        return df
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Read a committed version. ``where`` is an optional list of
+        ``(column, op, literal)`` conjuncts with op in ``= < <= > >=
+        between`` — used twice: manifest zone maps (footer min/max per
+        data dir, collected at commit) skip whole directories before
+        Spark ever lists them, and the same predicate is applied
+        row-level so results are exact. On a time-partitioned 100 TB
+        table this turns ``ts BETWEEN`` queries into reads of only the
+        commits whose range intersects — the Iceberg
+        min/max-manifest-pruning behavior."""
         v = self.current_version() if version is None else version
         if v == 0:
             raise FileNotFoundError(f"table {self.name} has no committed version")
@@ -272,7 +415,46 @@ class ManagedTable:
             raise FileNotFoundError(
                 f"table {self.name} version {v} has been expired"
             )
-        return self._read_manifest_buckets(spark, self._load_manifest(v))
+        if where:
+            bad = [w for w in where if len(w) != 3 or w[1] not in _PRUNE_OPS]
+            if bad:
+                raise ValueError(f"unsupported where conjuncts: {bad}")
+        df = self._read_manifest_buckets(
+            spark, self._load_manifest(v), where=where or None
+        )
+        return self._residual_filter(df, where) if where else df
+
+    def lookup(self, spark: SparkSession, key: dict) -> DataFrame:
+        """Point read by full primary key: computes the key's hash
+        bucket driver-side and reads ONLY that bucket's file list (then
+        zone-map + row filters within it) — O(1/num_buckets) of the
+        table, the serving path for CDC state queries."""
+        if set(key) != set(self.key_columns):
+            raise ValueError(
+                f"lookup requires the full key {self.key_columns}, got {list(key)}"
+            )
+        manifest = self._load_manifest(self.current_version())
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        types = {f.name: f.dataType for f in schema.fields}
+        row = spark.createDataFrame(
+            [tuple(key[k] for k in self.key_columns)], list(self.key_columns)
+        ).select(
+            *[F.col(k).cast(types[k]).alias(k) for k in self.key_columns]
+        )
+        # integral widths hash identically under xxhash64 (all widened
+        # to long); float/decimal keys do NOT, hence the cast above to
+        # the table's exact stored type
+        b = row.select(
+            F.pmod(
+                F.xxhash64(*[F.col(k) for k in self.key_columns]),
+                F.lit(self.num_buckets),
+            ).alias("b")
+        ).collect()[0]["b"]
+        where = [(k, "=", v) for k, v in key.items()]
+        df = self._read_manifest_buckets(
+            spark, manifest, bucket_ids={int(b)}, where=where
+        )
+        return self._residual_filter(df, where)
 
     def data_files(self, version: int | None = None) -> list[str]:
         """Parquet files of a committed version (metadata-table peek)."""

@@ -447,3 +447,60 @@ def test_schema_widening_evolution(spark, tmp_path):
     t2.merge(spark.createDataFrame([(1, "a")], "id int, s string"))
     with pytest.raises(ValueError, match="type change"):
         t2.merge(spark.createDataFrame([(2, 5)], "id int, s int"))
+
+
+def test_zone_map_pruning_skips_disjoint_commits(spark, tmp_path):
+    """Three appends with disjoint ts ranges -> a ts-range read lists
+    only the intersecting commit's files (manifest zone maps), and the
+    result equals the full-scan filter."""
+    t = ManagedTable(str(tmp_path), "events_zm", ["event_id"], num_buckets=4)
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 100).select(
+            F.col("id").alias("event_id"), (F.col("id") * 10).alias("ts_ms")
+        )
+        t.append(df)
+    all_files = set(t.data_files())
+    pruned = t.read(spark, where=[("ts_ms", "between", (10500, 10900))])
+    assert {f.replace("file://", "") for f in pruned.inputFiles()} < all_files
+    # only the middle commit (ts_ms 10000..10990) intersects
+    got = sorted(r["event_id"] for r in pruned.collect())
+    expect = sorted(
+        r["event_id"]
+        for r in t.read(spark).filter(F.col("ts_ms").between(10500, 10900)).collect()
+    )
+    assert got == expect and len(got) == 41
+    # zone maps never over-prune: a predicate spanning everything reads all
+    assert t.read(spark, where=[("ts_ms", ">=", 0)]).count() == 300
+
+
+def test_zone_map_stats_carry_forward_across_merge(spark, tmp_path):
+    """A merge touching one bucket must not lose the other buckets'
+    zone maps (carried manifest entries keep their stats)."""
+    t = ManagedTable(str(tmp_path), "zm_carry", ["k"], num_buckets=8)
+    t.overwrite(
+        spark.range(0, 200).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    )
+    t.merge(spark.createDataFrame([(1, 999)], "k long, v long"))
+    m = t._load_manifest(t.current_version())
+    stated = set(m.get("stats", {}))
+    referenced = {p for ps in m["buckets"].values() for p in ps}
+    assert stated == referenced  # every live dir still has a zone map
+    # pruning still works on the carried stats
+    assert t.read(spark, where=[("v", "=", 999)]).count() == 1
+    assert t.read(spark, where=[("v", ">", 100000)]).count() == 0
+
+
+def test_lookup_reads_single_bucket(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "acct_lookup", ["user_id"], num_buckets=16)
+    df = spark.range(0, 500).select(
+        F.col("id").cast("int").alias("user_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("email"),
+    )
+    t.overwrite(df)
+    hit = t.lookup(spark, {"user_id": 123})
+    rows_ = hit.collect()
+    assert len(rows_) == 1 and rows_[0]["email"] == "u123"
+    # the point read listed ~1/16 of the table's files
+    assert len(hit.inputFiles()) < len(t.data_files())
+    # missing key -> empty, still bucket-pruned
+    assert t.lookup(spark, {"user_id": 10_000}).count() == 0
