@@ -1471,3 +1471,39 @@ def agg_argminmax_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "window_nth_first_last",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(FIRST_VALUE(o_totalprice) OVER w AS DOUBLE) AS first_price,
+           CAST(NTH_VALUE(o_totalprice, 2) OVER w AS DOUBLE) AS second_price,
+           CAST(LAST_VALUE(o_totalprice) OVER w AS DOUBLE) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+    group="window",
+    doc="FIRST_VALUE / NTH_VALUE(2) / LAST_VALUE over the customer's "
+    "full order history (unbounded frame, deterministic tie-broken "
+    "order). The frame is the whole partition, so Spark evaluates it "
+    "as one pass per key with no per-row frame re-scan; partition key "
+    "is the high-cardinality o_custkey, so the shuffle spreads evenly. "
+    "Values are copied, not aggregated — no float-order sensitivity.",
+)
+def window_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w).cast("double").alias("second_price"),
+        F.last("o_totalprice").over(w).cast("double").alias("last_price"),
+    ).orderBy("o_orderkey")
