@@ -471,6 +471,61 @@ class ManagedTable:
                 )
         return sorted(files)
 
+    # -- metadata tables (Iceberg $snapshots / $files equivalents) -----------
+
+    def snapshots(self, spark: SparkSession) -> DataFrame:
+        """The ``<table>$snapshots`` metadata table (what the
+        reference's snapshot_mgmt.py queries through Trino to pick
+        expiry victims): one row per RETAINED commit with version,
+        operation, commit time, and liveness of its manifest."""
+        rows = [
+            (
+                int(c["version"]),
+                str(c.get("operation", "")),
+                float(c.get("committed_at", 0.0)),
+                os.path.exists(self._manifest_path(int(c["version"]))),
+            )
+            for c in self.versions()
+        ]
+        schema = T.StructType(
+            [
+                T.StructField("version", T.LongType()),
+                T.StructField("operation", T.StringType()),
+                T.StructField("committed_at", T.DoubleType()),
+                T.StructField("is_retained", T.BooleanType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
+    def files(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The ``<table>$files`` metadata table: one row per live data
+        file of a committed version — bucket, path, size, and the
+        dir-level zone-map bounds serialized as JSON. Driver cost is
+        one manifest read + directory listings (metadata only)."""
+        v = self.current_version() if version is None else version
+        manifest = self._load_manifest(v)
+        stats = manifest.get("stats", {})
+        rows = []
+        for b, ps in manifest["buckets"].items():
+            for p in ps:
+                d = os.path.join(self.dir, p)
+                zone = json.dumps(stats.get(p, {}), default=str, sort_keys=True)
+                for fname in sorted(os.listdir(d)):
+                    if fname.endswith(".parquet"):
+                        fp = os.path.join(d, fname)
+                        rows.append(
+                            (int(b), f"{p}/{fname}", int(os.path.getsize(fp)), zone)
+                        )
+        schema = T.StructType(
+            [
+                T.StructField("bucket", T.IntegerType()),
+                T.StructField("file_path", T.StringType()),
+                T.StructField("size_bytes", T.LongType()),
+                T.StructField("zone_map", T.StringType()),
+            ]
+        )
+        return spark.createDataFrame(rows, schema)
+
     # -- schema evolution ----------------------------------------------------
 
     # lossless widening chains the parquet reader supports reading OLD

@@ -504,3 +504,22 @@ def test_lookup_reads_single_bucket(spark, tmp_path):
     assert len(hit.inputFiles()) < len(t.data_files())
     # missing key -> empty, still bucket-pruned
     assert t.lookup(spark, {"user_id": 10_000}).count() == 0
+
+
+def test_metadata_tables_snapshots_and_files(spark, tmp_path):
+    """$snapshots / $files metadata surface (reference snapshot_mgmt.py
+    queries these through Trino to drive expiry)."""
+    t = ManagedTable(str(tmp_path), "meta_t", ["k"], num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.merge(spark.createDataFrame([(1, "a2")], "k int, v string"))
+    snaps = t.snapshots(spark).orderBy("version").collect()
+    assert [s["version"] for s in snaps] == [1, 2]
+    assert snaps[0]["operation"] == "overwrite" and snaps[1]["operation"] == "merge"
+    assert all(s["is_retained"] for s in snaps)
+    files = t.files(spark).collect()
+    assert len(files) == len(t.data_files())
+    assert all(f["size_bytes"] > 0 for f in files)
+    assert any('"k"' in f["zone_map"] for f in files)  # zone maps surfaced
+    t.expire_snapshots(retain_last=1)
+    snaps2 = {s["version"]: s["is_retained"] for s in t.snapshots(spark).collect()}
+    assert snaps2 == {1: False, 2: True}
