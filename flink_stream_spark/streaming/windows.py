@@ -97,3 +97,42 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
+
+
+def cumulate_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """CUMULATE window (span 1h, step 15m) on a stream — Flink
+    FLIP-145's third window TVF, which Structured Streaming lacks
+    natively. The event is exploded to its remaining step boundaries
+    BEFORE the windowed aggregate (constant span/step fan-out), then
+    grouped on (span_start, window_end); the watermark bounds state
+    exactly as for a tumbling window of the span size. Early firings
+    per step arrive in update/complete mode like Flink's cumulate
+    emits."""
+    span_ms, step_ms = 3_600_000, 900_000
+    t_ms = F.unix_millis("ts")
+    span_start = (F.floor(t_ms / span_ms) * span_ms).cast("bigint")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    k_min = (F.floor((t_ms - span_start) / step_ms) + 1).cast("bigint")
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.col("ts"),
+            span_start.alias("window_start_ms"),
+            F.explode(
+                F.sequence(k_min, F.lit(span_ms // step_ms).cast("bigint"))
+            ).alias("k"),
+            cents.alias("cents"),
+        )
+        .withColumn(
+            "window_end_ms",
+            (F.col("window_start_ms") + F.col("k") * step_ms).cast("bigint"),
+        )
+        # group on the span's tumbling window so the watermark can
+        # expire state; the cumulate keys ride along as group columns
+        .groupBy(F.window("ts", "1 hour"), "window_start_ms", "window_end_ms")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents").cast("double") / 100).cast("double").alias("total_value"),
+        )
+        .drop("window")
+    )

@@ -374,3 +374,20 @@ def test_stream_static_join_parity(spark, sf_small):
         .collect()
     }
     assert got == want
+
+
+def test_cumulate_window_parity(spark, sf_small):
+    from flink_stream_spark.streaming.windows import cumulate_counts
+    from flink_stream_spark.operators.events import events_window_cumulate
+
+    s = stream_events(spark, sf_small)
+    _run_to_memory(cumulate_counts(s), "t_cumulate", "complete")
+    got = {
+        (r["window_start_ms"], r["window_end_ms"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_cumulate").collect()
+    }
+    want = {
+        (r["window_start_ms"], r["window_end_ms"]): (r["n"], r["total_value"])
+        for r in events_window_cumulate(spark, sf_small).collect()
+    }
+    assert got == want
