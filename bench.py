@@ -45,6 +45,7 @@ import flink_stream_spark.operators.text_rank  # noqa: F401,E402
 import flink_stream_spark.operators.sampling  # noqa: F401,E402
 import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
 import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
+import flink_stream_spark.operators.quality  # noqa: F401,E402
 
 # the headline set: one representative per operator family, all
 # scale-path variants (no O(n^2) members)
@@ -76,6 +77,10 @@ HEADLINE = [
     "simsearch_ivf_topk",
     "simsearch_pq_adc_topk",
     "text_zipf_entropy",
+    "events_window_cumulate",
+    "embedding_kmeans_assign",
+    "quality_classifier_score",
+    "text_bpe_pair_merges",
 ]
 
 
