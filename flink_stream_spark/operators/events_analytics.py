@@ -513,3 +513,37 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "events_throttle_per_key_window",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS hour_ms,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, CAST(FLOOR(epoch_ms(ts) / 3600000) AS BIGINT)
+               ORDER BY ts, event_id) AS rn
+      FROM events)
+    SELECT user_id, hour_ms, event_id, event_type
+    FROM ranked WHERE rn <= 3
+    ORDER BY user_id, hour_ms, event_id
+    """,
+    group="events-analytics",
+    doc="Per-key rate limiting: keep the first 3 events per (user, "
+    "hour) — the quota/throttle stage a crawl-ingest pipeline applies "
+    "before enrichment. One window inside the (user, hour) partition; "
+    "row_number short-circuits per group, state is O(1) per key-window "
+    "(streaming twin: the dedup-N pattern under watermark).",
+)
+def events_throttle_per_key_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    hour_ms = (F.floor(F.unix_millis("ts") / 3_600_000) * 3_600_000).cast("bigint")
+    w = W.partitionBy("user_id", hour_ms).orderBy("ts", "event_id")
+    return (
+        e.withColumn("hour_ms", hour_ms)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "hour_ms", "event_id", "event_type")
+        .orderBy("user_id", "hour_ms", "event_id")
+    )
