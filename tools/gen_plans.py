@@ -23,6 +23,8 @@ import flink_stream_spark.operators.misc  # noqa: F401,E402
 import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
 import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
 import flink_stream_spark.operators.multimodal  # noqa: F401,E402
+import flink_stream_spark.operators.cdc  # noqa: F401,E402
+import flink_stream_spark.operators.quality  # noqa: F401,E402
 
 NOTES = {
     "q1_pricing_summary": (
@@ -158,6 +160,36 @@ NOTES = {
         "Map-only regex pass: detection counts + placeholder rewrite all "
         "inside one projection over the scan; no exchange before the "
         "presentation sort."
+    ),
+    "events_window_cumulate": (
+        "CUMULATE (Flink FLIP-145) as sequence+explode over the span's "
+        "remaining step boundaries — a constant ≤span/step fan-out inside "
+        "the projection, then one map-side-combining aggregate on "
+        "(span, window_end). No UDF, no per-row state."
+    ),
+    "embedding_kmeans_assign": (
+        "Lloyd iteration: centroids broadcast for assignment (one corpus "
+        "scan, no corpus shuffle); the update explodes to (cluster, dim) "
+        "partial sums — k×dim keys, so the combined shuffle is KBs at any "
+        "corpus size. Exact integer means keep the argmin reproducible."
+    ),
+    "cdc_temporal_join": (
+        "Temporal (FOR SYSTEM_TIME AS OF) join: versions and probes hash "
+        "on user_id; the validity-interval containment evaluates inside "
+        "the co-partitioned SortMergeJoin — no range explosion, at most "
+        "one version matches per probe."
+    ),
+    "quality_classifier_score": (
+        "Model inference as whole-stage-codegen projection: every feature "
+        "and the scaled-logit threshold evaluate inside one map stage over "
+        "the scan — the 100 TB posture is a single pass with no exchange "
+        "before the presentation sort."
+    ),
+    "text_bpe_pair_merges": (
+        "Bounded per-word explode → 26²-key histogram with map-side "
+        "partials → TakeOrderedAndProject top-k: the per-merge-round scan "
+        "of a distributed BPE trainer, shuffling KBs regardless of corpus "
+        "size."
     ),
 }
 
