@@ -963,13 +963,20 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
 
     def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
-        # score = ||c||^2 - 2<x,c>; exact f64 on x1e6-scaled ints
+        # score = ||c||^2 - 2<x,c>; exact f64 on x1e6-scaled ints.
+        # argmin via min_by on (score, cent_id) — a map-side-combining
+        # aggregate, so the shuffle carries N rows, not the N×K
+        # crossJoin (a row_number window would sort-shuffle all N×K)
         score = _sdot(F.col("cs"), F.col("cs")) - 2 * _sdot(F.col("s"), F.col("cs"))
-        w = W.partitionBy("vec_id").orderBy(score.asc(), F.col("cent_id").asc())
         return (
             vectors.crossJoin(F.broadcast(cents))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("cent_id", F.struct(score.alias("d"), F.col("cent_id"))).alias(
+                    "cent_id"
+                ),
+                F.first("s").alias("s"),  # constant per vec_id
+            )
         )
 
     c0 = n.filter(F.col("vec_id") < KM_K).select(
