@@ -391,3 +391,107 @@ def test_cumulate_window_parity(spark, sf_small):
         for r in events_window_cumulate(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_stream_stream_left_outer_join_parity(spark, sf_small, tmp_path):
+    """Watermarked stream-stream LEFT OUTER interval join: unmatched
+    purchases emit a null click once the watermark passes their join
+    window. A flush record (ts = max + 1h) pushes the final watermark
+    so tail-pending state drains (Spark's no-data micro-batch); the
+    drained result must equal the batch left join."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from flink_stream_spark.catalog import load_table, table_path
+
+    # rewrite events at µs precision + a watermark-flush pair
+    tbl = pq.read_table(table_path(sf_small, "events"))
+    ts = tbl.column("ts").cast(pa.timestamp("us"))
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts)
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    pq.write_table(tbl, str(sdir / "ev_000.parquet"))
+    max_ts = pa.compute.max(ts).as_py()
+    import datetime
+
+    flush_ts = max_ts + datetime.timedelta(hours=1)
+    flush = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([flush_ts, flush_ts], pa.timestamp("us")),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["purchase", "click"]),
+            "value": pa.array([0.0, 0.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(flush, str(sdir / "ev_001.parquet"))
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    s = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(sdir))
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 minutes")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 minutes")
+    )
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 10 MINUTES"))
+    )
+    joined = purchases.join(clicks, cond, "left_outer").select(
+        "purchase_id", "click_id"
+    )
+    _run_to_memory(joined, "t_ssjoin_lo", "append")
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql(
+            "SELECT * FROM t_ssjoin_lo WHERE purchase_id >= 0"
+        ).collect()
+    )
+
+    e = load_table(spark, sf_small, "events")
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    bc = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in bp.join(bc, cond, "left_outer")
+        .select("purchase_id", "click_id")
+        .collect()
+    )
+    assert got == want
