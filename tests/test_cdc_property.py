@@ -135,3 +135,18 @@ def test_bucketed_storage_under_random_maintenance(spark, tmp_path_factory, ops)
             else {}
         )
         assert got == model, (op, arg)
+        if table.exists():
+            # zone-map pruned reads and the bucket-pruned point lookup
+            # must agree with the model after EVERY maintenance op
+            pruned = {
+                r["k"]: r["v"]
+                for r in table.read(spark, where=[("k", "=", 3)]).collect()
+            }
+            assert pruned == ({3: model[3]} if 3 in model else {}), (op, arg)
+            hit = {r["k"]: r["v"] for r in table.lookup(spark, {"k": 3}).collect()}
+            assert hit == ({3: model[3]} if 3 in model else {}), (op, arg)
+            rng = {
+                r["k"]
+                for r in table.read(spark, where=[("k", "between", (2, 5))]).collect()
+            }
+            assert rng == {k for k in model if 2 <= k <= 5}, (op, arg)
