@@ -54,3 +54,55 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+THROTTLE_OUTPUT = "user_id bigint, hour_ms bigint, event_id bigint, event_type string"
+THROTTLE_STATE = "admitted bigint"
+
+
+def _make_throttle(limit: int):
+    def _throttle(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        admitted = state.get[0] if state.exists else 0
+        pdf = pd.concat(list(batches), ignore_index=True)
+        # deterministic admission order inside the micro-batch; across
+        # batches admission is arrival order (streaming semantics)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        take = max(0, limit - admitted)
+        out = pdf.head(take)
+        state.update((admitted + len(out),))
+        yield pd.DataFrame(
+            {
+                "user_id": out["user_id"].astype("int64"),
+                "hour_ms": [key[1]] * len(out),
+                "event_id": out["event_id"].astype("int64"),
+                "event_type": out["event_type"],
+            }
+        )
+
+    return _throttle
+
+
+def throttle_stream(events: DataFrame, limit: int = 3) -> DataFrame:
+    """Streaming per-(user, hour) admission quota: pass through the
+    first ``limit`` events per key-window, drop the rest — the rate-
+    limit stage of a crawl-ingest pipeline, as an arbitrary-state
+    operator (state = one counter per live key-window; a production
+    deployment adds EventTimeTimeout eviction once the window's
+    watermark passes, the same bound the reference sets with
+    table.exec.state.ttl). Batch twin / oracle:
+    operators/events_analytics.py::events_throttle_per_key_window."""
+    from pyspark.sql import functions as F
+
+    keyed = events.withColumn(
+        "hour_ms",
+        (F.floor(F.unix_millis("ts") / 3_600_000) * 3_600_000).cast("bigint"),
+    )
+    return keyed.groupBy("user_id", "hour_ms").applyInPandasWithState(
+        _make_throttle(limit),
+        outputStructType=THROTTLE_OUTPUT,
+        stateStructType=THROTTLE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -495,3 +495,24 @@ def test_stream_stream_left_outer_join_parity(spark, sf_small, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_throttle_parity(spark, sf_small):
+    """applyInPandasWithState quota operator: replaying the whole table
+    admits exactly the batch query's first-3-per-(user,hour) set."""
+    from flink_stream_spark.streaming.stateful import throttle_stream
+    from flink_stream_spark.operators.events_analytics import (
+        events_throttle_per_key_window,
+    )
+
+    s = stream_events(spark, sf_small)
+    _run_to_memory(throttle_stream(s), "t_throttle", "append")
+    got = sorted(
+        (r["user_id"], r["hour_ms"], r["event_id"], r["event_type"])
+        for r in spark.sql("SELECT * FROM t_throttle").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["hour_ms"], r["event_id"], r["event_type"])
+        for r in events_throttle_per_key_window(spark, sf_small).collect()
+    )
+    assert got == want
