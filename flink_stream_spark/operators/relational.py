@@ -1507,3 +1507,40 @@ def window_nth_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).cast("double").alias("second_price"),
         F.last("o_totalprice").over(w).cast("double").alias("last_price"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "agg_grouping_id",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY gid, status, priority
+    """,
+    group="aggregation",
+    doc="GROUPING()/grouping_id over ROLLUP: distinguishes a real NULL "
+    "group key from a rollup subtotal — the standard way BI layers "
+    "consume rollup output. Spark computes grouping_id() natively in "
+    "the expand+aggregate plan; the bit layout (first key = high bit) "
+    "matches the SQL standard on both engines.",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+        .orderBy("gid", "status", "priority")
+    )
