@@ -547,3 +547,100 @@ def events_throttle_per_key_window(spark: SparkSession, sf_dir: str) -> DataFram
         .select("user_id", "hour_ms", "event_id", "event_type")
         .orderBy("user_id", "hour_ms", "event_id")
     )
+
+
+@register(
+    "events_match_recognize",
+    """
+    WITH base AS (
+      SELECT user_id, event_id, event_type,
+             CAST(epoch_ms(ts) AS BIGINT) AS t_ms,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    seq AS (
+      SELECT *,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER (w ROWS UNBOUNDED PRECEDING) AS click_run,
+             MAX(CASE WHEN event_type = 'view' THEN rn END)
+               OVER (w ROWS UNBOUNDED PRECEDING) AS lv_rn
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn)),
+    p AS (SELECT * FROM seq WHERE event_type = 'purchase' AND lv_rn IS NOT NULL)
+    SELECT p.user_id,
+           v.event_id AS view_event_id,
+           p.event_id AS purchase_event_id,
+           CAST(p.click_run - v.click_run AS BIGINT) AS n_clicks,
+           CAST(p.t_ms - v.t_ms AS BIGINT) AS duration_ms
+    FROM p JOIN seq v ON v.user_id = p.user_id AND v.rn = p.lv_rn
+    WHERE p.click_run - v.click_run >= 1
+      AND p.t_ms - v.t_ms <= 86400000
+    ORDER BY p.user_id, purchase_event_id
+    """,
+    group="events-analytics",
+    doc="MATCH_RECOGNIZE-style CEP (Flink SQL's pattern matching, which "
+    "Spark lacks natively): pattern view ~> click+ ~> purchase with "
+    "relaxed contiguity (Flink followedBy) within 24 hours, compiled "
+    "to window functions — running row numbers, a latest-view marker, "
+    "and a click prefix sum turn the pattern test into O(1) arithmetic "
+    "per purchase. Every window and the "
+    "match join share the user_id partitioning (one shuffle); no "
+    "per-row state machine, no UDF. Match policy: each purchase pairs "
+    "with the latest qualifying view (at most one match per purchase, "
+    "deterministic).",
+)
+def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # rn IS the (ts, event_id) total order, so the prefix windows can
+    # order by it after ts is projected away
+    wp = (
+        W.partitionBy("user_id").orderBy("rn").rowsBetween(W.unboundedPreceding, 0)
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("t_ms"),
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "*",
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .over(wp)
+        .alias("click_run"),
+        F.max(F.when(F.col("event_type") == "view", F.col("rn")))
+        .over(wp)
+        .alias("lv_rn"),
+    )
+    p = seq.filter(
+        (F.col("event_type") == "purchase") & F.col("lv_rn").isNotNull()
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("t_ms").alias("p_ms"),
+        F.col("rn").alias("p_rn"),
+        F.col("click_run").alias("p_cr"),
+        "lv_rn",
+    )
+    v = seq.select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_event_id"),
+        F.col("t_ms").alias("v_ms"),
+        F.col("rn").alias("v_rn"),
+        F.col("click_run").alias("v_cr"),
+    )
+    return (
+        p.join(v, (F.col("p_user") == F.col("v_user")) & (F.col("lv_rn") == F.col("v_rn")))
+        .filter(
+            (F.col("p_cr") - F.col("v_cr") >= 1)
+            & (F.col("p_ms") - F.col("v_ms") <= 86_400_000)
+        )
+        .select(
+            F.col("p_user").alias("user_id"),
+            "view_event_id",
+            "purchase_event_id",
+            (F.col("p_cr") - F.col("v_cr")).cast("bigint").alias("n_clicks"),
+            (F.col("p_ms") - F.col("v_ms")).cast("bigint").alias("duration_ms"),
+        )
+        .orderBy("user_id", "purchase_event_id")
+    )
