@@ -471,6 +471,48 @@ class ManagedTable:
                 )
         return sorted(files)
 
+    # -- change data feed (Delta CDF / Iceberg changelog equivalent) ---------
+
+    def changes(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two committed versions:
+        the current state of every key that was inserted/updated/
+        deleted, tagged ``_change_type ∈ {insert, update, delete}``
+        (update rows carry the NEW image). Computed as a full outer
+        join of the two snapshots on the key — one shuffle on the key
+        on each side; rows identical in both versions are dropped
+        before anything wide is materialized. This is the read side of
+        CDC: downstream consumers resync from a version instead of
+        replaying the topic."""
+        if not self.key_columns:
+            raise ValueError(f"changes() on {self.name} requires key columns")
+        to_version = self.current_version() if to_version is None else to_version
+        keys = list(self.key_columns)
+        new = self.read(spark, to_version)
+        # align the old snapshot to the new schema so a null-filled
+        # evolved column never reads as a spurious update
+        old = self._align(self.read(spark, from_version), new.schema)
+        value_cols = [c for c in new.columns if c not in keys]
+        o = old.select(
+            *keys, F.struct(*[F.col(c) for c in value_cols]).alias("__ov")
+        )
+        n = new.select(*keys, F.struct(*[F.col(c) for c in value_cols]).alias("__nv"))
+        j = o.join(n, on=keys, how="full_outer")
+        classified = j.select(
+            *keys,
+            F.when(F.col("__ov").isNull(), F.lit("insert"))
+            .when(F.col("__nv").isNull(), F.lit("delete"))
+            .when(F.col("__ov").cast("string") != F.col("__nv").cast("string"), "update")
+            .otherwise(F.lit(None))
+            .alias("_change_type"),
+            "__nv",
+        ).filter(F.col("_change_type").isNotNull())
+        out_vals = [
+            F.col(f"__nv.{c}").alias(c) for c in value_cols
+        ]
+        return classified.select(*keys, *out_vals, "_change_type")
+
     # -- metadata tables (Iceberg $snapshots / $files equivalents) -----------
 
     def snapshots(self, spark: SparkSession) -> DataFrame:

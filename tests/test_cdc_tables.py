@@ -523,3 +523,29 @@ def test_metadata_tables_snapshots_and_files(spark, tmp_path):
     t.expire_snapshots(retain_last=1)
     snaps2 = {s["version"]: s["is_retained"] for s in t.snapshots(spark).collect()}
     assert snaps2 == {1: False, 2: True}
+
+
+def test_change_data_feed_between_versions(spark, tmp_path):
+    """changes(v1, v2) classifies insert/update/delete by key,
+    including across a schema evolution (null-filled new columns are
+    not spurious updates)."""
+    t = ManagedTable(str(tmp_path), "cdf_t", ["k"], num_buckets=4)
+    t.overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    )  # v1
+    t.merge(spark.createDataFrame([(2, "b2"), (4, "d")], "k int, v string"))  # v2
+    t.merge(
+        upserts=spark.createDataFrame([], "k int, v string"),
+        deletes=spark.createDataFrame([(3,)], "k int"),
+    )  # v3
+    ch = {
+        r["k"]: (r["_change_type"], r["v"])
+        for r in t.changes(spark, 1, 3).collect()
+    }
+    assert ch == {2: ("update", "b2"), 3: ("delete", None), 4: ("insert", "d")}
+    # no changes between identical versions
+    assert t.changes(spark, 3, 3).count() == 0
+    # schema evolution: adding a column does not flag untouched rows
+    t.merge(spark.createDataFrame([(5, "e", 9)], "k int, v string, extra int"))  # v4
+    ch2 = {r["k"]: r["_change_type"] for r in t.changes(spark, 3, 4).collect()}
+    assert ch2 == {5: "insert"}
