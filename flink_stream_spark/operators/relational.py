@@ -1544,3 +1544,97 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+@register(
+    "scalar_try_safe_arith",
+    """
+    SELECT o_orderkey,
+           CAST(ROUND(CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE CAST(o_totalprice AS DECIMAL(18,2))
+                     / CAST(o_orderkey % 7 AS DECIMAL(18,2)) END, 6)
+                AS DOUBLE) AS safe_div,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+           TRY_CAST(SUBSTR(o_orderpriority, 1, 1) AS INTEGER) AS first_digit
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    group="scalar",
+    doc="Error-safe expression family: try_divide (NULL on /0 instead "
+    "of job failure under ANSI), try_cast on non-numeric strings, and "
+    "a succeeding try_cast of the leading priority digit. At 100 TB "
+    "one malformed row must never kill a 10-hour job — NULL-on-error "
+    "keeps the scan whole-stage-codegen'd with no exception path. "
+    "DuckDB divides decimals exactly the same, so the oracle is a "
+    "plain CASE guard.",
+)
+def scalar_try_safe_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(
+                F.col("o_totalprice").cast("decimal(18,2)"),
+                (F.col("o_orderkey") % 7).cast("decimal(18,2)"),
+            ),
+            6,
+        )
+        .cast("double")
+        .alias("safe_div"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("first_digit"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_array_hof",
+    """
+    WITH t AS (
+      SELECT o_orderkey,
+             list_transform(generate_series(1, CAST(o_orderkey % 5 + 1 AS BIGINT)),
+                            i -> i * (o_orderkey % 3 + 1)) AS xs
+      FROM orders)
+    SELECT o_orderkey,
+           CAST(len(xs) AS INTEGER) AS n,
+           list_transform(xs, x -> CAST(x * x AS BIGINT)) AS squared,
+           list_filter(xs, x -> x % 2 = 0) AS evens,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+                            (acc, x) -> acc + x) AS BIGINT) AS total,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(list_zip(xs, list_reverse(xs)),
+                                 p -> p[1] * p[2])),
+                (acc, x) -> acc + x) AS BIGINT) AS dot_rev
+    FROM t
+    ORDER BY o_orderkey
+    """,
+    group="scalar",
+    doc="Higher-order array functions — transform / filter / aggregate "
+    "/ zip_with — over a synthesized integer array: the JVM-side "
+    "lambda surface that replaces row-at-a-time Python UDFs for "
+    "array-valued columns. All integer arithmetic, so both engines "
+    "fold identically; everything runs inside one codegen'd "
+    "projection, no shuffle before the presentation sort.",
+)
+def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    xs = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), (F.col("o_orderkey") % 5 + 1).cast("bigint")),
+        lambda i: i * (F.col("o_orderkey") % 3 + 1),
+    )
+    t = o.select("o_orderkey", xs.alias("xs"))
+    total = F.aggregate(
+        F.col("xs"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    dot_rev = F.aggregate(
+        F.zip_with(F.col("xs"), F.reverse(F.col("xs")), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return t.select(
+        "o_orderkey",
+        F.size("xs").alias("n"),
+        F.transform(F.col("xs"), lambda x: (x * x).cast("bigint")).alias("squared"),
+        F.filter(F.col("xs"), lambda x: x % 2 == 0).alias("evens"),
+        total.alias("total"),
+        dot_rev.alias("dot_rev"),
+    ).orderBy("o_orderkey")
