@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Tour of the managed-table (lakehouse) surface — the engine's
+equivalent of the reference's Iceberg v2 table lifecycle
+(flink/jobs/flink_json_to_iceberg.py:61-87 table DDL + upsert,
+snapshot_mgmt.py maintenance), exercised end to end on a local dir:
+
+  overwrite → append → bucket-scoped MERGE (+ delete) → time travel →
+  change data feed → zone-map pruned range read → bucket-pruned point
+  lookup → $snapshots/$files metadata → compact → expire_snapshots.
+
+Usage:  python examples/lakehouse_tour.py [--workdir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flink_stream_spark import get_spark
+from flink_stream_spark.tables.managed import ManagedTable
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+    work = args.workdir or tempfile.mkdtemp(prefix="lakehouse_tour_")
+    spark = get_spark("lakehouse-tour", cpus=8)
+
+    t = ManagedTable(work, "accounts", ["user_id"], num_buckets=8)
+
+    # 1. initial load (overwrite) + append-only batches
+    t.overwrite(
+        spark.range(0, 1000).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("user"), F.col("id"), F.lit("@example.com")).alias("email"),
+            (F.col("id") * 10).alias("score"),
+        )
+    )
+    t.append(
+        spark.range(1000, 1200).select(
+            F.col("id").alias("user_id"),
+            F.concat(F.lit("user"), F.col("id"), F.lit("@example.com")).alias("email"),
+            (F.col("id") * 10).alias("score"),
+        )
+    )
+    print("rows after overwrite+append:", t.read(spark).count())
+
+    # 2. bucket-scoped MERGE: upsert 3 keys, delete 2 — rewrites only
+    #    the buckets containing those 5 keys
+    files_before = set(t.data_files())
+    t.merge(
+        upserts=spark.createDataFrame(
+            [(7, "updated7@example.com", 700_000),
+             (42, "updated42@example.com", 420_000),
+             (5000, "new5000@example.com", 1)],
+            "user_id long, email string, score long",
+        ),
+        deletes=spark.createDataFrame([(13,), (999,)], "user_id long"),
+    )
+    files_after = set(t.data_files())
+    print(
+        f"merge kept {len(files_before & files_after)}/{len(files_before)} "
+        "data files untouched (bucket-scoped rewrite)"
+    )
+
+    # 3. time travel + change data feed
+    print("v1 rows:", t.read(spark, version=1).count(),
+          "| current rows:", t.read(spark).count())
+    print("changes v2 -> v3:")
+    t.changes(spark, 2, 3).orderBy("_change_type", "user_id").show(10, False)
+
+    # 4. zone-map pruned range read + bucket-pruned point lookup
+    pruned = t.read(spark, where=[("score", "between", (400_000, 500_000))])
+    print("zone-map read listed", len(pruned.inputFiles()), "of",
+          len(t.data_files()), "files; rows:", pruned.count())
+    print("lookup(42):", t.lookup(spark, {"user_id": 42}).collect())
+
+    # 5. metadata tables, maintenance
+    t.snapshots(spark).show(truncate=False)
+    print("live data files:", t.files(spark).count())
+    t.compact(spark)
+    expired = t.expire_snapshots(retain_last=1)
+    print("compacted; expired", expired, "snapshots;",
+          "final rows:", t.read(spark).count())
+
+    if args.workdir is None:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
