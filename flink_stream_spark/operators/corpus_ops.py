@@ -643,3 +643,72 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+PACK_WINDOW = 2048  # tokens per training sequence
+
+
+@register(
+    "corpus_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM toks)
+    SELECT doc_id, n_tokens,
+           CAST(off // {PACK_WINDOW} AS BIGINT) AS pack_id,
+           CAST(off % {PACK_WINDOW} AS BIGINT) AS pack_offset,
+           CAST((off + n_tokens - 1) // {PACK_WINDOW} > off // {PACK_WINDOW}
+                AS BOOLEAN) AS spans_boundary
+    FROM cum
+    ORDER BY doc_id
+    """,
+    group="corpus",
+    doc=f"Sequence packing for pre-training (concatenate the corpus in "
+    f"doc_id order, chunk into {PACK_WINDOW}-token windows): each doc "
+    "gets its pack id, offset inside the pack, and a boundary flag. "
+    "The global running offset is NOT a single-task window: it is "
+    "computed with the distributed global-cumsum pattern (range "
+    "partition on the order key -> per-partition cumsum -> broadcast "
+    "partition offsets), the same plan plans/scale.with_global_rank "
+    "uses — so packing parallelizes at scan width while matching the "
+    "sequential ORDER BY semantics exactly.",
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    n = spark.sparkContext.defaultParallelism
+    parted = toks.repartitionByRange(n, "doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = parted.groupBy("__pid").agg(F.sum("n_tokens").alias("__psum"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__psum").over(w_off), F.lit(0)).alias("__poff")
+    )
+    w_in = W.partitionBy("__pid").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cum = (
+        parted.withColumn("__local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("off", F.col("__local") + F.col("__poff"))
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"off div {PACK_WINDOW}").cast("bigint").alias("pack_id"),
+        (F.col("off") % PACK_WINDOW).cast("bigint").alias("pack_offset"),
+        (
+            F.expr(f"(off + n_tokens - 1) div {PACK_WINDOW}")
+            > F.expr(f"off div {PACK_WINDOW}")
+        ).alias("spans_boundary"),
+    ).orderBy("doc_id")

@@ -124,3 +124,43 @@ def sample_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("split", "lang")
     )
+
+
+@register(
+    "sample_mixture_weights",
+    """
+    WITH per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    m AS (SELECT MIN(n_docs) AS m_min FROM per_source)
+    SELECT source, n_docs,
+           CAST((1000000 * m_min) // n_docs AS BIGINT) AS rate_ppm,
+           CAST(n_docs * ((1000000 * m_min) // n_docs) // 1000000
+                AS BIGINT) AS expected_docs
+    FROM per_source CROSS JOIN m
+    ORDER BY source
+    """,
+    group="sampling",
+    doc="Mixture-weight solving: per-source downsampling rates that "
+    "equalize the source mixture at the largest achievable scale "
+    "(capped by the smallest source; no upsampling). The rate table "
+    "is |sources| rows from one map-side-combined count — at 100 TB "
+    "the rates then drive the hash-bernoulli predicate per source "
+    "(sample_hash_bernoulli), so the actual resample is a map-only "
+    "scan. Exact integer ppm arithmetic on both engines.",
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    m = per_source.agg(F.min("n_docs").alias("m_min"))
+    return (
+        per_source.crossJoin(F.broadcast(m))
+        .withColumn("rate_ppm", F.expr("(1000000 * m_min) div n_docs").cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            "rate_ppm",
+            F.expr("n_docs * rate_ppm div 1000000").cast("bigint").alias("expected_docs"),
+        )
+        .orderBy("source")
+    )
