@@ -549,3 +549,24 @@ def test_change_data_feed_between_versions(spark, tmp_path):
     t.merge(spark.createDataFrame([(5, "e", 9)], "k int, v string, extra int"))  # v4
     ch2 = {r["k"]: r["_change_type"] for r in t.changes(spark, 3, 4).collect()}
     assert ch2 == {5: "insert"}
+
+
+def test_crash_orphan_staging_recovery(spark, tmp_path):
+    """A commit that crashed after staging but before the pointer flip
+    leaves an orphan version dir; the next commit must discard it and
+    land cleanly, and reads never see uncommitted data."""
+    import os
+
+    t = ManagedTable(str(tmp_path), "crash_t", ["k"], num_buckets=4)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    # simulate the crash: v2 dir exists with garbage, pointer still at v1
+    orphan = t._version_dir(2)
+    os.makedirs(os.path.join(orphan, "b_00000"))
+    with open(os.path.join(orphan, "b_00000", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert t.current_version() == 1
+    assert {r["k"] for r in t.read(spark).collect()} == {1}
+    # next commit takes version 2, replacing the orphan
+    t.merge(spark.createDataFrame([(2, "b")], "k int, v string"))
+    assert t.current_version() == 2
+    assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
