@@ -26,6 +26,7 @@ import flink_stream_spark.operators.dedup  # noqa: F401,E402
 import flink_stream_spark.operators.text  # noqa: F401,E402
 import flink_stream_spark.operators.similarity  # noqa: F401,E402
 import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
+import flink_stream_spark.operators.quality  # noqa: F401,E402
 
 PROBES = [
     "dedup_exact_hash",
@@ -34,6 +35,9 @@ PROBES = [
     "dedup_simhash",
     "text_chunk_windows",
     "text_decontaminate_overlap",
+    "text_bpe_pair_merges",
+    "quality_classifier_score",
+    "corpus_pack_sequences",
 ]
 
 
