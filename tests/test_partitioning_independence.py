@@ -27,6 +27,11 @@ SENSITIVE = [
     "text_vocab_coverage",
     "simsearch_ivf_topk",
     "agg_salted_two_phase",
+    # round 3: global-cumsum packing (range-partition offsets must not
+    # depend on partition count), k-means argmin, CEP window compile
+    "corpus_pack_sequences",
+    "embedding_kmeans_assign",
+    "events_match_recognize",
 ]
 
 
