@@ -228,6 +228,12 @@ class ManagedTable:
         staged = os.path.join(self.dir, f"_staged_{uuid.uuid4().hex}")
         out = df.withColumn(_BUCKET_COL, self._bucket_expr())
         out = out.repartition(_BUCKET_COL)
+        if self.key_columns:
+            # cluster rows by key inside each bucket: parquet row
+            # groups then carry tight key ranges, so the residual
+            # predicate of lookup()/read(where=) prunes at row-group
+            # granularity inside the files zone maps couldn't skip
+            out = out.sortWithinPartitions(_BUCKET_COL, *self.key_columns)
         out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(staged)
         buckets: dict[int, str] = {}
         for d in os.listdir(staged):
@@ -859,6 +865,21 @@ class Warehouse:
         d = os.path.join(self.root, name)
         if os.path.exists(d):
             shutil.rmtree(d)
+
+    def register_views(self, spark: SparkSession, prefix: str = "") -> list[str]:
+        """Expose every managed table's CURRENT version as a SQL temp
+        view (`[prefix]<name>`) — the engine's stand-in for the
+        reference's Trino query layer over the Iceberg catalog
+        (snapshot_mgmt.py:13-14): after this, `spark.sql("SELECT ...
+        FROM <name>")` works. Views are lazy plans over the committed
+        manifest; re-register after new commits to see them."""
+        names = []
+        for t in self.list_tables():
+            mt = self.table(t)
+            if mt.exists():
+                mt.read(spark).createOrReplaceTempView(f"{prefix}{t}")
+                names.append(f"{prefix}{t}")
+        return names
 
     def expire_all(self, retain_last: int = 1, older_than_s: float | None = None) -> dict:
         """Fleet-wide snapshot expiry (reference snapshot_mgmt.py:13-19

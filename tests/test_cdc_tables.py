@@ -570,3 +570,25 @@ def test_crash_orphan_staging_recovery(spark, tmp_path):
     t.merge(spark.createDataFrame([(2, "b")], "k int, v string"))
     assert t.current_version() == 2
     assert {r["k"] for r in t.read(spark).collect()} == {1, 2}
+
+
+def test_warehouse_sql_views(spark, tmp_path):
+    """register_views exposes managed tables to spark.sql — the Trino
+    query-layer stand-in over committed snapshots."""
+    wh = Warehouse(str(tmp_path))
+    a = wh.table("account", ["user_id"])
+    a.merge(spark.createDataFrame([(1, "x@e.com"), (2, "y@e.com")],
+                                  "user_id int, email string"))
+    p = wh.table("product", ["product_id"])
+    p.merge(spark.createDataFrame([(10, "widget")],
+                                  "product_id int, product_name string"))
+    views = wh.register_views(spark)
+    assert set(views) == {"account", "product"}
+    got = spark.sql(
+        "SELECT a.user_id, p.product_name FROM account a "
+        "CROSS JOIN product p ORDER BY a.user_id"
+    ).collect()
+    assert [(r["user_id"], r["product_name"]) for r in got] == [
+        (1, "widget"), (2, "widget")]
+    spark.catalog.dropTempView("account")
+    spark.catalog.dropTempView("product")
