@@ -371,3 +371,88 @@ def events_window_cumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_ms", "window_end_ms")
     )
+
+
+@register(
+    "events_sessionize_dynamic_gap",
+    """
+    WITH base AS (
+      SELECT user_id, event_id,
+             CAST(epoch_ms(ts) AS BIGINT) AS t_ms,
+             CASE WHEN event_type = 'click' THEN 600000 ELSE 1800000 END AS gap_ms
+      FROM events),
+    marked AS (
+      SELECT user_id, event_id, t_ms, gap_ms,
+             CASE WHEN t_ms >= MAX(t_ms + gap_ms) OVER
+                    (PARTITION BY user_id ORDER BY t_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(t_ms + gap_ms) OVER
+                    (PARTITION BY user_id ORDER BY t_ms, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM base),
+    sess AS (
+      SELECT user_id, event_id, t_ms, gap_ms,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_ms, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(t_ms) AS BIGINT) AS session_start_ms,
+           CAST(MAX(t_ms + gap_ms) AS BIGINT) AS session_end_ms
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    group="streaming",
+    doc="Session windows with a DYNAMIC per-event gap (clicks time out "
+    "after 10 min, other events after 30 — Flink's dynamic session "
+    "gap extractor; Spark's session_window also accepts the gap "
+    "expression, see the streaming twin parity test). Batch semantics: "
+    "merge overlapping [t, t+gap) intervals per key — an event opens a "
+    "new session iff it starts at/after the running max end of all "
+    "prior intervals. One user_id-partitioned window chain, shuffle "
+    "shared across the mark/cumsum/aggregate stages.",
+)
+def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    t_ms = F.unix_millis("ts")
+    gap_ms = F.when(F.col("event_type") == "click", 600_000).otherwise(1_800_000)
+    base = e.select(
+        "user_id",
+        "event_id",
+        t_ms.alias("t_ms"),
+        gap_ms.alias("gap_ms"),
+    )
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("t_ms") + F.col("gap_ms")).over(w_prev)
+    marked = base.withColumn(
+        "new_session",
+        F.when(prev_end.isNull() | (F.col("t_ms") >= prev_end), 1).otherwise(0),
+    )
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("t_ms", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("session_id", F.sum("new_session").over(w_run))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("t_ms").cast("bigint").alias("session_start_ms"),
+            F.max(F.col("t_ms") + F.col("gap_ms")).cast("bigint").alias("session_end_ms"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("bigint").alias("session_id"),
+            "n_events",
+            "session_start_ms",
+            "session_end_ms",
+        )
+        .orderBy("user_id", "session_id")
+    )

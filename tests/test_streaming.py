@@ -584,3 +584,36 @@ def test_broadcast_state_rule_reconfiguration(spark, tmp_path):
     q.stop()
     got2 = {(r["event_id"], r["label"]) for r in out.read(spark).collect()}
     assert got2 == {(1, "engagement"), (4, "revenue")}
+
+
+def test_dynamic_gap_session_window_parity(spark, sf_small):
+    """session_window with a PER-EVENT gap expression (Flink's dynamic
+    session gap): streaming result equals the batch interval-merge
+    twin on (user, start, end, count)."""
+    from flink_stream_spark.operators.events import events_sessionize_dynamic_gap
+
+    s = stream_events(spark, sf_small)
+    gap = F.when(F.col("event_type") == "click", "10 minutes").otherwise(
+        "30 minutes"
+    )
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("session_start_ms"),
+            F.unix_millis(F.col("w.end")).alias("session_end_ms"),
+            "n_events",
+        )
+    )
+    _run_to_memory(agg, "t_dynsess", "complete")
+    got = sorted(
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_dynsess").collect()
+    )
+    want = sorted(
+        (r["user_id"], r["session_start_ms"], r["session_end_ms"], r["n_events"])
+        for r in events_sessionize_dynamic_gap(spark, sf_small).collect()
+    )
+    assert got == want
