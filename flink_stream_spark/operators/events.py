@@ -456,3 +456,36 @@ def events_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "events_window_tumbling_offset",
+    """
+    SELECT CAST(FLOOR((epoch_ms(ts) - 28800000) / 86400000) * 86400000
+                + 28800000 AS BIGINT) AS window_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 100 AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    ORDER BY window_start_ms
+    """,
+    group="streaming",
+    doc="Tumbling 1-day window with an 8h alignment OFFSET (Flink "
+    "TUMBLE(..., INTERVAL '8' HOUR) / Spark window(ts, '1 day', "
+    "startTime='8 hours')): day boundaries at 08:00 UTC, the business-"
+    "day rollup for a non-UTC timezone. Same single map-side-combined "
+    "aggregate as the unaligned form.",
+)
+def events_window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        e.groupBy(F.window("ts", "1 day", "1 day", "8 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents).cast("double") / 100).cast("double").alias("total_value"),
+        )
+        .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), "n", "total_value")
+        .orderBy("window_start_ms")
+    )

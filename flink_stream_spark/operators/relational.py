@@ -1638,3 +1638,43 @@ def scalar_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         total.alias("total"),
         dot_rev.alias("dot_rev"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "window_topn_paginated",
+    """
+    WITH ranked AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    SELECT o_custkey, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked
+    WHERE rn BETWEEN 3 AND 5
+    ORDER BY o_custkey, rn
+    """,
+    group="window",
+    doc="Paginated per-group Top-N (Flink Top-N with OFFSET: rows 3-5 "
+    "of each customer's orders by price): the rank lower bound cannot "
+    "use WindowGroupLimit's early exit, but the upper bound still "
+    "caps the per-group heap at 5 — page depth, not group size, "
+    "bounds the window state.",
+)
+def window_topn_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(3, 5))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("rn").cast("bigint").alias("rn"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
