@@ -1678,3 +1678,35 @@ def window_topn_paginated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "rn")
     )
+
+
+@register(
+    "scalar_variant_semistructured",
+    """
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS absent
+    FROM events
+    ORDER BY event_id
+    """,
+    group="scalar",
+    doc="Semi-structured access through Spark 4's VARIANT type "
+    "(parse_json once -> variant_get paths): the idiomatic model for "
+    "the reference's schemaless raw-JSON columns "
+    "(flink_json_to_iceberg.py:95-107 single-STRING tables + "
+    "JSON_VALUE) — VARIANT parses each document ONCE into a binary "
+    "encoding and every path access is a cheap traversal, vs "
+    "get_json_object re-parsing the text per path. Missing paths "
+    "yield NULL (try semantics), matching JSON_VALUE's lax mode.",
+)
+def scalar_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    v = e.select("event_id", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return v.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+        F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
+    ).orderBy("event_id")
