@@ -1,0 +1,94 @@
+"""Custom connector via the PySpark 4 Python Data Source API.
+
+The reference's ingestion edge is a custom-connector surface (Kafka
+raw format + Debezium source configs). Spark's idiomatic extension
+point for a source that has no built-in reader is the Python Data
+Source API (pyspark.sql.datasource, Spark 4.0+): declare schema,
+plan partitions, and read each partition independently on executors —
+the same contract as a DataSourceV2 connector, without JVM code.
+
+``JsonlDirDataSource`` reads a directory of ``*.jsonl`` files with
+one input partition PER FILE: partition planning happens driver-side
+from a cheap listing, and each executor task parses only its file —
+reads parallelize at file granularity exactly like the built-in file
+sources, and a 100 TB directory fans out across the cluster with no
+driver bottleneck beyond the listing itself.
+
+Registration + use::
+
+    spark.dataSource.register(JsonlDirDataSource)
+    df = (spark.read.format("jsonl_dir")
+          .schema("user_id int, email string")
+          .option("path", "/data/topic").load())
+
+Fields absent from a line are NULL (lax JSON semantics, matching the
+raw-JSON pipeline's JSON_VALUE behavior); unparseable lines yield an
+all-NULL row rather than failing the task (try semantics — one bad
+record must not kill a long ingest job).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class JsonlDirReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self.schema_fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir requires .option('path', <dir>)")
+
+    def partitions(self):
+        files = sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".jsonl")
+        )
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition):
+        def coerce(value, type_name):
+            if value is None:
+                return None
+            try:
+                if type_name in ("int", "bigint", "smallint", "tinyint"):
+                    return int(value)
+                if type_name in ("double", "float"):
+                    return float(value)
+                if type_name == "boolean":
+                    return bool(value)
+                return str(value)
+            except (TypeError, ValueError):
+                return None
+
+        with open(partition.path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    obj = json.loads(line)
+                except json.JSONDecodeError:
+                    yield tuple(None for _ in self.schema_fields)
+                    continue
+                yield tuple(
+                    coerce(obj.get(name), t) for name, t in self.schema_fields
+                )
+
+
+class JsonlDirDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def reader(self, schema) -> JsonlDirReader:
+        return JsonlDirReader(schema, self.options)

@@ -162,3 +162,37 @@ def test_jdbc_roundtrip_when_available(spark):
         pytest.skip("no JDBC endpoint: set SPARK_GRAFT_JDBC_URL")
     got = read_batch(spark, f"jdbc:{url}#{table}")
     assert got.count() >= 1
+
+
+def test_python_datasource_jsonl_dir(spark, tmp_path):
+    """PySpark 4 Python Data Source API: one input partition per file,
+    lax-JSON null semantics, bad lines yield NULL rows not task death."""
+    import json as _json
+
+    from flink_stream_spark.sources.python_datasource import JsonlDirDataSource
+
+    d = tmp_path / "topic"
+    d.mkdir()
+    for i, rows in enumerate(
+        [
+            [{"user_id": 1, "email": "a@x"}, {"user_id": 2}],
+            [{"user_id": 3, "email": "c@x", "extra": "ignored"}],
+            [],
+        ]
+    ):
+        with open(d / f"part{i}.jsonl", "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+            if i == 2:
+                f.write("not json at all\n")
+
+    spark.dataSource.register(JsonlDirDataSource)
+    df = (
+        spark.read.format("jsonl_dir")
+        .schema("user_id int, email string")
+        .option("path", str(d))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one per file
+    rows = {tuple(r) for r in df.collect()}
+    assert rows == {(1, "a@x"), (2, None), (3, "c@x"), (None, None)}
