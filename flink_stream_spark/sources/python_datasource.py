@@ -32,7 +32,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _FilePartition(InputPartition):
@@ -92,3 +97,55 @@ class JsonlDirDataSource(DataSource):
 
     def reader(self, schema) -> JsonlDirReader:
         return JsonlDirReader(schema, self.options)
+
+    def simpleStreamReader(self, schema) -> "JsonlDirStreamReader":
+        return JsonlDirStreamReader(schema, self.options)
+
+
+class JsonlDirStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming read of a growing jsonl directory —
+    the Kafka-source contract (monotonic offsets, replayable ranges)
+    in the Python Data Source API. The offset is the count of sorted
+    files consumed; each micro-batch reads the new suffix, and
+    ``readBetweenOffsets`` replays any committed range exactly, which
+    is what gives checkpoint recovery its exactly-once semantics
+    (files must be appended with lexicographically increasing names,
+    the standard file-topic layout)."""
+
+    def __init__(self, schema, options):
+        self.schema_fields = [
+            (f.name, f.dataType.simpleString()) for f in schema.fields
+        ]
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir requires .option('path', <dir>)")
+
+    def _files(self):
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith(".jsonl")
+        )
+
+    def initialOffset(self) -> dict:
+        return {"files": 0}
+
+    def _rows(self, paths):
+        rdr = JsonlDirReader.__new__(JsonlDirReader)
+        rdr.schema_fields = self.schema_fields
+        for p in paths:
+            yield from rdr.read(_FilePartition(p))
+
+    def read(self, start: dict):
+        files = self._files()
+        n0 = int(start.get("files", 0))
+        # iter() over a materialized list: the runner advances it as
+        # an iterator but pickles the remaining tuples (a bare
+        # generator can't pickle; a bare list can't next())
+        return iter(list(self._rows(files[n0:]))), {"files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return iter(
+            list(self._rows(files[int(start.get("files", 0)):int(end.get("files", 0))]))
+        )

@@ -196,3 +196,57 @@ def test_python_datasource_jsonl_dir(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 3  # one per file
     rows = {tuple(r) for r in df.collect()}
     assert rows == {(1, "a@x"), (2, None), (3, "c@x"), (None, None)}
+
+
+def test_python_datasource_streaming_offsets(spark, tmp_path):
+    """Streaming side of the Python data source: file-count offsets,
+    each file delivered exactly once across micro-batches and across a
+    checkpointed restart (foreachBatch sink, which supports
+    recovery)."""
+    import json as _json
+
+    from flink_stream_spark.sources.python_datasource import JsonlDirDataSource
+
+    d = tmp_path / "topic"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(JsonlDirDataSource)
+
+    def write(fname, ids):
+        with open(d / fname, "w") as f:
+            for i in ids:
+                f.write(_json.dumps({"user_id": i}) + "\n")
+
+    def start():
+        def sink(batch, epoch_id):
+            if batch.count():
+                batch.write.mode("append").parquet(out)
+
+        return (
+            spark.readStream.format("jsonl_dir")
+            .schema("user_id int")
+            .option("path", str(d))
+            .load()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    write("f0.jsonl", [1, 2])
+    q = start()
+    q.processAllAvailable()
+    write("f1.jsonl", [3])
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+
+    # restart from the checkpoint: only NEW files are delivered, no
+    # replay of f0/f1 (exactly-once over the offset log)
+    write("f2.jsonl", [4, 5])
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    got2 = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
+    assert got2 == [1, 2, 3, 4, 5]
