@@ -32,11 +32,15 @@ from __future__ import annotations
 import json
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -101,6 +105,9 @@ class JsonlDirDataSource(DataSource):
     def simpleStreamReader(self, schema) -> "JsonlDirStreamReader":
         return JsonlDirStreamReader(schema, self.options)
 
+    def streamWriter(self, schema, overwrite: bool) -> "JsonlDirStreamWriter":
+        return JsonlDirStreamWriter(schema, self.options)
+
 
 class JsonlDirStreamReader(SimpleDataSourceStreamReader):
     """Offset-tracked streaming read of a growing jsonl directory —
@@ -149,3 +156,69 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
         return iter(
             list(self._rows(files[int(start.get("files", 0)):int(end.get("files", 0))]))
         )
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str | None
+
+
+class JsonlDirStreamWriter(DataSourceStreamWriter):
+    """Exactly-once custom streaming SINK with the two-phase commit
+    protocol — the contract the reference's Iceberg sink gets from
+    Flink checkpoints (flink_json_to_iceberg.py:20-23 10s checkpoint
+    -> Iceberg commit): executors write each partition to a staged
+    temp file and return its path as the commit message; the driver's
+    ``commit`` atomically publishes the staged files under the epoch
+    and appends the batchId to a commit log, and a REPLAYED batchId
+    (at-least-once re-execution after failure) is a no-op because the
+    log already contains it. ``abort`` discards staged files, so a
+    failed epoch leaves no partial output."""
+
+    def __init__(self, schema, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires .option('path', <dir>)")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, rows):
+        import uuid as _uuid
+
+        os.makedirs(os.path.join(self.path, "_staged"), exist_ok=True)
+        tmp = os.path.join(self.path, "_staged", f"{_uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in rows:
+                f.write(json.dumps({k: row[k] for k in self.fields}) + "\n")
+                n += 1
+        if n == 0:
+            os.remove(tmp)
+            return _PartFile(None)
+        return _PartFile(tmp)
+
+    def _log(self) -> str:
+        return os.path.join(self.path, "_commits.log")
+
+    def _committed(self) -> set[int]:
+        try:
+            with open(self._log()) as f:
+                return {int(x) for x in f.read().split() if x}
+        except FileNotFoundError:
+            return set()
+
+    def commit(self, messages, batchId: int) -> None:
+        staged = [m.path for m in messages if m is not None and m.path]
+        if batchId in self._committed():
+            for p in staged:  # replayed epoch: drop the duplicate work
+                if os.path.exists(p):
+                    os.remove(p)
+            return
+        for i, p in enumerate(staged):
+            os.replace(p, os.path.join(self.path, f"batch{batchId:010d}_{i:05d}.jsonl"))
+        with open(self._log(), "a") as f:
+            f.write(f"{batchId}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.path and os.path.exists(m.path):
+                os.remove(m.path)

@@ -250,3 +250,44 @@ def test_python_datasource_streaming_offsets(spark, tmp_path):
     q.stop()
     got2 = sorted(r["user_id"] for r in spark.read.parquet(out).collect())
     assert got2 == [1, 2, 3, 4, 5]
+
+
+def test_python_datasource_stream_writer_two_phase_commit(spark, tmp_path):
+    """Custom streaming sink: staged-file two-phase commit, atomic
+    publish per epoch, replayed batchIds no-op (commit log)."""
+    import json as _json
+
+    from flink_stream_spark.sources.python_datasource import JsonlDirDataSource
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    spark.dataSource.register(JsonlDirDataSource)
+
+    with open(src / "f0.jsonl", "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"user_id": i}) + "\n")
+
+    q = (
+        spark.readStream.format("jsonl_dir")
+        .schema("user_id int")
+        .option("path", str(src))
+        .load()
+        .writeStream.format("jsonl_dir")
+        .option("path", str(out))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    import os
+
+    published = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    rows = []
+    for f in published:
+        with open(out / f) as fh:
+            rows += [_json.loads(line)["user_id"] for line in fh if line.strip()]
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    assert (out / "_commits.log").exists()
+    assert not any(os.scandir(out / "_staged")), "staged files must be cleaned"
