@@ -81,6 +81,10 @@ HEADLINE = [
     "embedding_kmeans_assign",
     "quality_classifier_score",
     "text_bpe_pair_merges",
+    "cdc_temporal_join",
+    "events_match_recognize",
+    "events_sessionize_dynamic_gap",
+    "corpus_pack_sequences",
 ]
 
 
