@@ -25,6 +25,9 @@ from flink_stream_spark.cdc.envelope import last_per_key
 from flink_stream_spark.tables.managed import ManagedTable
 
 
+_OBS_SEQ = 0  # unique observation names (Spark rejects duplicates per query)
+
+
 @dataclass
 class JsonField:
     """One extracted field: JSON path → typed column."""
@@ -76,6 +79,19 @@ def raw_json_transform(
                 for f in fields
             ]
         )
+    # data-quality observability: per-(micro-)batch row and
+    # malformed-drop counts ride the existing scan via observe() — no
+    # extra pass, surfaced in StreamingQueryProgress.observedMetrics
+    # (the monitoring hook the reference leaves to Flink's metrics).
+    # Named uniquely per call: Spark rejects duplicate observation
+    # names in one query.
+    global _OBS_SEQ
+    _OBS_SEQ += 1
+    out = out.observe(
+        f"ingest_quality_{_OBS_SEQ}",
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(F.col(key).isNull(), 1).otherwise(0)).alias("rows_dropped"),
+    )
     out = out.filter(F.col(key).isNotNull())
     if stamp_ts:
         # CURRENT_TIMESTAMP per micro-batch — the reference stores the
@@ -112,9 +128,16 @@ def start_raw_json_ingest(
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.columns:
             return
-        batch = batch.withColumn("__seq", F.monotonically_increasing_id())
-        reduced = last_per_key(batch, [key], ["__seq"]).drop("__seq")
-        table.merge(reduced, keys=[key])
+        # cache the micro-batch: merge() runs two actions (touched-
+        # bucket aggregate + staged write) and would otherwise re-parse
+        # every JSON document per action — and double-fire the
+        # observe() quality metrics
+        batch = batch.withColumn("__seq", F.monotonically_increasing_id()).persist()
+        try:
+            reduced = last_per_key(batch, [key], ["__seq"]).drop("__seq")
+            table.merge(reduced, keys=[key])
+        finally:
+            batch.unpersist()
 
     return (
         typed.writeStream.foreachBatch(_apply)

@@ -617,3 +617,41 @@ def test_dynamic_gap_session_window_parity(spark, sf_small):
         for r in events_sessionize_dynamic_gap(spark, sf_small).collect()
     )
     assert got == want
+
+
+def test_ingest_observed_quality_metrics(spark, tmp_path):
+    """observe() metrics ride the ingest scan: per-micro-batch row and
+    malformed-drop counts appear in StreamingQueryProgress without an
+    extra pass over the data."""
+    import json as _json
+
+    from flink_stream_spark.streaming.ingest import JsonField, start_raw_json_ingest
+    from flink_stream_spark.tables.managed import ManagedTable
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    with open(src / "b1.jsonl", "w") as f:
+        for i in range(8):
+            f.write(_json.dumps({"user_id": i, "email": f"u{i}@x"}) + "\n")
+        f.write('{"email": "nokey@x"}\n')  # malformed: key missing
+        f.write("garbage line\n")          # malformed: not json
+
+    t = ManagedTable(str(tmp_path / "wh"), "acct", ["user_id"])
+    q = start_raw_json_ingest(
+        spark,
+        str(src),
+        t,
+        [JsonField("user_id", "$.user_id", "int"),
+         JsonField("email", "$.email", "string")],
+        key="user_id",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    metrics = {}
+    for p in q.recentProgress:
+        for name, row in (p.get("observedMetrics") or {}).items():
+            if name.startswith("ingest_quality"):
+                metrics = row
+    q.stop()
+    assert metrics["rows_in"] == 10 and metrics["rows_dropped"] == 2
+    assert t.read(spark).count() == 8
