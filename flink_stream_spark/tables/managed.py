@@ -270,12 +270,16 @@ class ManagedTable:
         mode: str,
         touched: set[int] | None = None,
         token: str | None = None,
+        carry: dict[int, list[str]] | None = None,
     ) -> int:
         """Publish staged bucket dirs as the next version.
 
         mode: 'replace_all' (overwrite / first commit), 'replace'
         (merge — ``touched`` buckets take the staged files, others carry
         forward), 'append' (staged files are added to their buckets).
+        ``carry``: for 'replace', per-bucket dir lists to RETAIN next
+        to the staged files (dir-granular rewrites: delete_where keeps
+        a touched bucket's provably-clean dirs).
         """
         cur = self.current_version()
         new_v = cur + 1
@@ -297,8 +301,11 @@ class ManagedTable:
             buckets = {b: list(ps) for b, ps in prev["buckets"].items()}
             if mode == "replace":
                 for b in touched or set():
+                    entries = list((carry or {}).get(b, []))
                     if b in new_paths:
-                        buckets[str(b)] = [new_paths[b]]
+                        entries.append(new_paths[b])
+                    if entries:
+                        buckets[str(b)] = entries
                     else:
                         buckets.pop(str(b), None)  # bucket fully deleted
             else:  # append
@@ -751,6 +758,57 @@ class ManagedTable:
         staged, sb = self._stage_bucketed(merged)
         return self._commit(
             staged, sb, "merge", schema, "replace", touched, token=token
+        )
+
+    def delete_where(self, spark: SparkSession, where: list[tuple]) -> int:
+        """Row-level predicate delete (Iceberg ``DELETE FROM ... WHERE``):
+        only data dirs whose zone map INTERSECTS the predicate are read
+        and rewritten; provably-unmatched dirs — even inside a touched
+        bucket — carry forward verbatim. A retention delete
+        (``ts < cutoff``) on a time-correlated table therefore rewrites
+        only the old commits' files. Returns the new version (current
+        version if nothing can match)."""
+        bad = [w for w in where if len(w) != 3 or w[1] not in _PRUNE_OPS]
+        if bad:
+            raise ValueError(f"unsupported where conjuncts: {bad}")
+        if not self.exists():
+            return 0
+        manifest = self._load_manifest(self.current_version())
+        stats = manifest.get("stats", {})
+        # DIR-granular scoping: only dirs whose zone map intersects the
+        # predicate are read/rewritten; a touched bucket's clean dirs
+        # are carried forward verbatim in the new manifest
+        hit: dict[int, list[str]] = {}
+        carry: dict[int, list[str]] = {}
+        for b, ps in manifest["buckets"].items():
+            hits = [p for p in ps if self._zone_keep(stats.get(p), where)]
+            if hits:
+                hit[int(b)] = hits
+                carry[int(b)] = [p for p in ps if p not in hits]
+        touched = set(hit)
+        if not touched:
+            return self.current_version()
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        hit_manifest = {"schema": manifest["schema"], "buckets": {str(b): ps for b, ps in hit.items()}}
+        cur = self._read_manifest_buckets(spark, hit_manifest)
+        cond = None
+        for col, op, value in where:
+            c = F.col(col)
+            conj = {
+                "=": lambda: c == value,
+                "<": lambda: c < value,
+                "<=": lambda: c <= value,
+                ">": lambda: c > value,
+                ">=": lambda: c >= value,
+                "between": lambda: c.between(value[0], value[1]),
+            }[op]()
+            cond = conj if cond is None else (cond & conj)
+        # survivors = rows NOT matching; NULL predicate values don't
+        # match a comparison, so they survive (SQL DELETE semantics)
+        survivors = cur.filter(~cond | cond.isNull())
+        staged, sb = self._stage_bucketed(self._align(survivors, schema))
+        return self._commit(
+            staged, sb, "delete", schema, "replace", touched, carry=carry
         )
 
     def compact(self, spark: SparkSession, min_files: int = 2) -> int:

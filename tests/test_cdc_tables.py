@@ -646,3 +646,35 @@ def test_incremental_view_refresh_touches_only_changed_buckets(spark, tmp_path):
     v_before = view.current_version()
     incremental_count_sum_refresh(spark, base, view, "grp", "val", v1, v1)
     assert view.current_version() == v_before
+
+
+def test_delete_where_zone_scoped_rewrite(spark, tmp_path):
+    """Predicate DELETE rewrites only buckets whose zone maps intersect
+    the predicate; unmatched commits' files carry forward untouched,
+    and NULL predicate values survive (SQL semantics)."""
+    t = ManagedTable(str(tmp_path), "retention_t", ["k"], num_buckets=4)
+    # two time-disjoint appends
+    t.append(
+        spark.range(0, 100).select(
+            F.col("id").alias("k"), (F.col("id")).alias("age_days")
+        )
+    )
+    t.append(
+        spark.range(100, 200).select(
+            F.col("id").alias("k"), (F.col("id") + 10_000).alias("age_days")
+        )
+    )
+    t.merge(
+        spark.createDataFrame([(500, None)], "k long, age_days long")
+    )  # a NULL row
+    files_before = set(t.data_files())
+    v = t.delete_where(spark, [("age_days", ">=", 10_000)])
+    assert v == t.current_version()
+    got = sorted(r["k"] for r in t.read(spark).collect())
+    assert got == list(range(0, 100)) + [500]  # old rows + NULL survive
+    # provably-unmatched dirs (first append: age_days < 100) were not
+    # all rewritten: some pre-delete files survive in the new manifest
+    assert files_before & set(t.data_files())
+    # a predicate matching nothing is a no-op commit
+    v2 = t.delete_where(spark, [("age_days", ">", 10**9)])
+    assert v2 == v
