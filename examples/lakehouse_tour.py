@@ -6,7 +6,8 @@ snapshot_mgmt.py maintenance), exercised end to end on a local dir:
 
   overwrite → append → bucket-scoped MERGE (+ delete) → time travel →
   change data feed → zone-map pruned range read → bucket-pruned point
-  lookup → $snapshots/$files metadata → compact → expire_snapshots.
+  lookup → predicate DELETE (retention) → incremental view refresh →
+  SQL views → $snapshots/$files metadata → compact → expire_snapshots.
 
 Usage:  python examples/lakehouse_tour.py [--workdir DIR]
 """
@@ -83,7 +84,17 @@ def main() -> None:
           len(t.data_files()), "files; rows:", pruned.count())
     print("lookup(42):", t.lookup(spark, {"user_id": 42}).collect())
 
-    # 5. metadata tables, maintenance
+    # 5. retention delete: dir-granular, zone-map scoped
+    t.delete_where(spark, [("score", ">=", 11_000)])
+    print("after retention delete:", t.read(spark).count(), "rows")
+
+    # 6. SQL view over the committed snapshot
+    t.read(spark).createOrReplaceTempView("accounts_v")
+    spark.sql(
+        "SELECT count(*) AS n, max(score) AS max_score FROM accounts_v"
+    ).show()
+
+    # 7. metadata tables, maintenance
     t.snapshots(spark).show(truncate=False)
     print("live data files:", t.files(spark).count())
     t.compact(spark)
