@@ -489,3 +489,62 @@ def events_window_tumbling_offset(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.unix_millis(F.col("w.start")).alias("window_start_ms"), "n", "total_value")
         .orderBy("window_start_ms")
     )
+
+
+@register(
+    "events_windowed_join",
+    """
+    WITH v AS (
+      SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    p AS (
+      SELECT CAST(FLOOR(epoch_ms(ts) / 3600000) * 3600000 AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases,
+             CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / 100 AS DOUBLE) AS revenue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT COALESCE(v.w, p.w) AS window_start_ms,
+           CAST(COALESCE(n_views, 0) AS BIGINT) AS n_views,
+           CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases,
+           CAST(COALESCE(revenue, 0.0) AS DOUBLE) AS revenue
+    FROM v FULL OUTER JOIN p ON v.w = p.w
+    ORDER BY window_start_ms
+    """,
+    group="streaming",
+    doc="WINDOW JOIN (Flink 1.14 TVF): two per-window aggregates — "
+    "views and purchase revenue per tumbling hour — full-outer joined "
+    "on the window bound. Each side collapses to |windows| rows before "
+    "the join, so the join input is bounded by the time range "
+    "regardless of event volume; in streaming both sides share one "
+    "watermark and the join key is the window struct.",
+)
+def events_windowed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = F.unix_millis(F.window("ts", "1 hour").getField("start")).alias("w")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy(F.window("ts", "1 hour").alias("wd"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+        .select(F.unix_millis("wd.start").alias("w"), "n_views")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.window("ts", "1 hour").alias("wd"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (F.sum(cents).cast("double") / 100).cast("double").alias("revenue"),
+        )
+        .select(F.unix_millis("wd.start").alias("w"), "n_purchases", "revenue")
+    )
+    return (
+        v.join(p, "w", "full_outer")
+        .select(
+            F.col("w").alias("window_start_ms"),
+            F.coalesce("n_views", F.lit(0)).cast("bigint").alias("n_views"),
+            F.coalesce("n_purchases", F.lit(0)).cast("bigint").alias("n_purchases"),
+            F.coalesce("revenue", F.lit(0.0)).cast("double").alias("revenue"),
+        )
+        .orderBy("window_start_ms")
+    )

@@ -19,6 +19,8 @@ import flink_stream_spark.operators.events_analytics  # noqa: F401
 import flink_stream_spark.operators.misc  # noqa: F401
 import flink_stream_spark.operators.sampling  # noqa: F401
 import flink_stream_spark.operators.similarity  # noqa: F401
+import flink_stream_spark.operators.asof  # noqa: F401
+import flink_stream_spark.operators.cdc  # noqa: F401
 
 SENSITIVE = [
     "sample_temperature_resample",
@@ -32,6 +34,9 @@ SENSITIVE = [
     "corpus_pack_sequences",
     "embedding_kmeans_assign",
     "events_match_recognize",
+    "events_asof_join",
+    "cdc_scd2_history",
+    "dedup_cluster_assign",
 ]
 
 
