@@ -655,3 +655,80 @@ def test_ingest_observed_quality_metrics(spark, tmp_path):
     q.stop()
     assert metrics["rows_in"] == 10 and metrics["rows_dropped"] == 2
     assert t.read(spark).count() == 8
+
+
+def test_windowed_join_streaming_parity(spark, sf_small, tmp_path):
+    """WINDOW JOIN on streams (Spark 3.4+ chained stateful operators:
+    two watermarked windowed aggregates joined on the window): with a
+    tail flush, the append-mode result equals the batch windowed join
+    restricted to windows where both sides have rows."""
+    import datetime
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+    from flink_stream_spark.catalog import table_path
+    from flink_stream_spark.operators.events import events_windowed_join
+
+    tbl = pq.read_table(table_path(sf_small, "events"))
+    ts = tbl.column("ts").cast(pa.timestamp("us"))
+    tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts)
+    sdir = tmp_path / "stream"
+    sdir.mkdir()
+    pq.write_table(tbl, str(sdir / "ev_000.parquet"))
+    flush_ts = pa.compute.max(ts).as_py() + datetime.timedelta(hours=6)
+    flush = pa.table(
+        {
+            "event_id": pa.array([-1, -2], pa.int64()),
+            "ts": pa.array([flush_ts, flush_ts], pa.timestamp("us")),
+            "user_id": pa.array([-1, -1], pa.int64()),
+            "event_type": pa.array(["view", "purchase"]),
+            "value": pa.array([0.0, 0.0]),
+            "props": pa.array(["{}", "{}"]),
+        }
+    )
+    pq.write_table(flush, str(sdir / "ev_001.parquet"))
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    s = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(sdir))
+    )
+    v = (
+        s.filter((F.col("event_type") == "view") & (F.col("event_id") >= 0))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("wd"))
+        .agg(F.count(F.lit(1)).alias("n_views"))
+    )
+    p = (
+        s.filter((F.col("event_type") == "purchase") & (F.col("event_id") >= 0))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("wd"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    j = v.join(p, "wd").select(
+        F.unix_millis(F.col("wd.start")).alias("window_start_ms"),
+        "n_views",
+        "n_purchases",
+    )
+    _run_to_memory(j, "t_wjoin_par", "append")
+    got = sorted(
+        (r["window_start_ms"], r["n_views"], r["n_purchases"])
+        for r in spark.sql("SELECT * FROM t_wjoin_par").collect()
+    )
+    want = sorted(
+        (r["window_start_ms"], r["n_views"], r["n_purchases"])
+        for r in events_windowed_join(spark, sf_small)
+        .filter((F.col("n_views") > 0) & (F.col("n_purchases") > 0))
+        .collect()
+    )
+    assert got == want
