@@ -133,3 +133,136 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "pipeline_pretraining_batch",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, source, text,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             (1000000 * CAST(length(text) - length(replace(text, ' ', ''))
+                        AS BIGINT)) // greatest(CAST(length(text) AS BIGINT), 1)
+               AS space_ppm,
+             (1000000 * CAST((length(text) - length(replace(lower(text), ' the ', '')))
+                             // 5 AS BIGINT))
+               // greatest(CAST(length(text) AS BIGINT), 1) AS stop_ppm
+      FROM documents),
+    kept AS (
+      SELECT doc_id, source, text FROM feats
+      WHERE 2 * space_ppm + 40 * stop_ppm + least(n_chars, 2000) * 100
+            - 400000 > 0),
+    exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+    surv AS (
+      SELECT k.doc_id, k.source, k.text
+      FROM kept k JOIN exact_keep e ON k.doc_id = e.doc_id),
+    per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM surv GROUP BY source),
+    m AS (SELECT MIN(n_docs) AS m_min FROM per_source),
+    rates AS (
+      SELECT source, CAST((1000000 * m_min) // n_docs AS BIGINT) AS rate_ppm
+      FROM per_source CROSS JOIN m),
+    mixed AS (
+      SELECT s.doc_id, s.source, s.text
+      FROM surv s JOIN rates r ON r.source = s.source
+      WHERE {tok_hash_duck("CAST(s.doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM mixed),
+    cum AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS off
+      FROM toks)
+    SELECT doc_id, source, n_tokens,
+           CAST(off // 2048 AS BIGINT) AS pack_id,
+           CAST(off % 2048 AS BIGINT) AS pack_offset
+    FROM cum
+    ORDER BY doc_id
+    """,
+    group="pipeline",
+    doc="End-to-end pretraining data preparation: quality-classifier "
+    "gate (scaled-logit threshold, scan-local) -> exact dedup "
+    "(32-byte hash shuffle) -> mixture-equalizing downsample (hash-"
+    "bernoulli at per-source ppm rates, map-side after a tiny rate "
+    "broadcast) -> sequence packing (distributed global token cumsum). "
+    "Every stage is one of the registry's audited scale shapes; the "
+    "composition adds no new shuffle beyond its parts, and the output "
+    "is the (doc -> pack, offset) map a tokenizer shard-writer "
+    "consumes.",
+)
+def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flink_stream_spark.operators.sampling import hash_bucket
+
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("bigint")
+    feats = d.select(
+        "doc_id",
+        "source",
+        "text",
+        n_chars.alias("n_chars"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))))
+        .cast("bigint")
+        .alias("n_spaces"),
+        F.expr(
+            "CAST((length(text) - length(replace(lower(text), ' the ', ''))) div 5 AS BIGINT)"
+        ).alias("n_stop"),
+    )
+    ppm = feats.select(
+        "doc_id",
+        "source",
+        "text",
+        "n_chars",
+        F.expr("(1000000 * n_spaces) div greatest(n_chars, 1)").alias("space_ppm"),
+        F.expr("(1000000 * n_stop) div greatest(n_chars, 1)").alias("stop_ppm"),
+    )
+    logit = (
+        2 * F.col("space_ppm")
+        + 40 * F.col("stop_ppm")
+        + F.least(F.col("n_chars"), F.lit(2000)) * 100
+        - 400_000
+    )
+    kept = ppm.filter(logit > 0).select("doc_id", "source", "text")
+    exact_keep = kept.groupBy(F.sha2("text", 256)).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    surv = kept.join(exact_keep, "doc_id")
+    per_source = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    m = per_source.agg(F.min("n_docs").alias("m_min"))
+    rates = per_source.crossJoin(F.broadcast(m)).select(
+        "source", F.expr("(1000000 * m_min) div n_docs").cast("bigint").alias("rate_ppm")
+    )
+    mixed = surv.join(F.broadcast(rates), "source").filter(
+        hash_bucket(F.col("doc_id"), 1_000_000) < F.col("rate_ppm")
+    )
+    toks = mixed.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    n = spark.sparkContext.defaultParallelism
+    parted = toks.repartitionByRange(n, "doc_id").withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    sizes = parted.groupBy("__pid").agg(F.sum("n_tokens").alias("__psum"))
+    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "__pid", F.coalesce(F.sum("__psum").over(w_off), F.lit(0)).alias("__poff")
+    )
+    w_in = W.partitionBy("__pid").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cum = (
+        parted.withColumn("__local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn("off", F.col("__local") + F.col("__poff"))
+    )
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("off div 2048").cast("bigint").alias("pack_id"),
+        (F.col("off") % 2048).cast("bigint").alias("pack_offset"),
+    ).orderBy("doc_id")
