@@ -1710,3 +1710,61 @@ def scalar_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame
         (k % 10).alias("k_mod"),
         F.try_variant_get("v", "$.missing", "bigint").alias("absent"),
     ).orderBy("event_id")
+
+
+@register(
+    "agg_regression_exact",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(ROUND(
+             (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS DOUBLE) AS slope,
+           CAST(ROUND(
+             (CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+                * ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+             / n, 6) AS DOUBLE) AS intercept
+    FROM m
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+    doc="OLS regression aggregates (regr_slope / regr_intercept of "
+    "price on quantity) via exact decimal moment sums — the builtin "
+    "regr_* aggregates accumulate doubles whose partial-merge order "
+    "varies run to run; decimal moments make the fit deterministic "
+    "under any partitioning, with one float expression at the end.",
+)
+def agg_regression_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    from flink_stream_spark.operators.money import _cents as _c, _sum_scaled as _s
+
+    xc = _c("l_quantity")
+    yc = _c("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        _s(xc, 2).alias("sx"),
+        _s(yc, 2).alias("sy"),
+        _s(xc * xc, 4).alias("sxx"),
+        _s(xc * yc, 4).alias("sxy"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - F.col("sx") * slope) / n
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(slope, 6).cast("double").alias("slope"),
+        F.round(intercept, 6).cast("double").alias("intercept"),
+    ).orderBy("l_returnflag")
