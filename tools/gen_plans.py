@@ -25,6 +25,7 @@ import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
 import flink_stream_spark.operators.multimodal  # noqa: F401,E402
 import flink_stream_spark.operators.cdc  # noqa: F401,E402
 import flink_stream_spark.operators.quality  # noqa: F401,E402
+import flink_stream_spark.operators.pipeline  # noqa: F401,E402
 
 NOTES = {
     "q1_pricing_summary": (
@@ -184,6 +185,13 @@ NOTES = {
         "and the scaled-logit threshold evaluate inside one map stage over "
         "the scan — the 100 TB posture is a single pass with no exchange "
         "before the presentation sort."
+    ),
+    "pipeline_pretraining_batch": (
+        "The full pretraining pipeline in one plan: classifier gate is a "
+        "scan-local filter, exact dedup shuffles 32-byte hashes, the "
+        "mixture rate table broadcasts (|sources| rows), and packing's "
+        "global cumsum range-partitions with broadcast offsets — no "
+        "stage reads document bodies after the dedup join."
     ),
     "text_bpe_pair_merges": (
         "Bounded per-word explode → 26²-key histogram with map-side "
