@@ -59,6 +59,23 @@ def incremental_count_sum_refresh(
         return view.current_version()
     old_m = base._load_manifest(from_version)
     new_m = base._load_manifest(to_version)
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    base_schema = T.StructType.fromJson(_json.loads(new_m["schema"]))
+    by_name = {f.name: f.dataType for f in base_schema.fields}
+    # delta application is exact only for integral measures; a double
+    # sum would silently truncate under the long cast
+    if not isinstance(
+        by_name.get(sum_col), (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise ValueError(
+            f"incremental refresh requires an integral sum column; "
+            f"{sum_col} is {by_name.get(sum_col)} — store exact units "
+            "(e.g. cents) or widen the view to carry decimals"
+        )
+    group_type = by_name[group_col].simpleString()
 
     def slice_agg(manifest, sign: int) -> DataFrame:
         df = base._read_manifest_buckets(spark, manifest, touched)
@@ -77,7 +94,7 @@ def incremental_count_sum_refresh(
     current = (
         view.read(spark)
         if view.exists()
-        else spark.createDataFrame([], f"{group_col} string, n long, s long")
+        else spark.createDataFrame([], f"{group_col} {group_type}, n long, s long")
     )
     refreshed = (
         current.join(delta, group_col, "full_outer")

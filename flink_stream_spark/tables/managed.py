@@ -152,7 +152,17 @@ class ManagedTable:
         self.meta_dir = os.path.join(self.dir, "_meta")
         os.makedirs(self.meta_dir, exist_ok=True)
         persisted = self._load_table_meta()
-        self.key_columns = key_columns or persisted.get("key_columns") or []
+        # persisted bucketing keys WIN: data already lives in buckets
+        # hashed on them (xxhash64 is order-sensitive), so silently
+        # adopting different caller keys would make every bucket-pruned
+        # path (merge/lookup) read the wrong buckets
+        stored_keys = persisted.get("key_columns")
+        if stored_keys and key_columns and list(key_columns) != list(stored_keys):
+            raise ValueError(
+                f"table {name} is bucketed on {stored_keys}; cannot reopen "
+                f"with key_columns={list(key_columns)}"
+            )
+        self.key_columns = stored_keys or key_columns or []
         # bucket count is fixed at table creation — rows must stay in
         # their bucket across commits for pruning to be sound
         self.num_buckets = int(
@@ -199,13 +209,29 @@ class ManagedTable:
         with open(self._manifest_path(v)) as f:
             return json.load(f)
 
-    def versions(self) -> list[dict]:
-        """Commit log (the `snapshots` metadata table equivalent)."""
+    def _raw_commit_log(self) -> list[dict]:
         log = os.path.join(self.meta_dir, "commits.jsonl")
         if not os.path.exists(log):
             return []
         with open(log) as f:
             return [json.loads(line) for line in f if line.strip()]
+
+    def versions(self) -> list[dict]:
+        """Commit log (the `snapshots` metadata table equivalent).
+
+        The log line is appended BEFORE the pointer flip (tokens must
+        be durable before the commit becomes visible), so a crash in
+        between can leave an entry for a version that never became
+        visible and a retry re-appends the same version. Both are
+        resolved at read time: entries above the pointer are hidden,
+        and the LAST entry per version wins."""
+        cur = self.current_version()
+        by_version: dict[int, dict] = {}
+        for c in self._raw_commit_log():
+            v = int(c["version"])
+            if v <= cur:
+                by_version[v] = c
+        return [by_version[v] for v in sorted(by_version)]
 
     # -- staging -------------------------------------------------------------
 
@@ -250,13 +276,24 @@ class ManagedTable:
         """Idempotency tokens of all COMMITTED (pointer-visible)
         versions. A replayed at-least-once micro-batch checks its epoch
         token here and no-ops if the commit already landed — the same
-        contract Iceberg gives Flink via checkpointed commit metadata."""
-        out = set()
-        for v in range(1, self.current_version() + 1):
+        contract Iceberg gives Flink via checkpointed commit metadata.
+
+        Tokens live in the append-only commit log (one sequential read
+        regardless of version count) and SURVIVE snapshot expiry — a
+        replay after maintenance must still no-op. Retained manifests
+        are unioned in for tables written before the log carried
+        tokens."""
+        cur = self.current_version()
+        out = {
+            c["token"]
+            for c in self._raw_commit_log()
+            if c.get("token") and int(c["version"]) <= cur
+        }
+        for v in range(1, cur + 1):
             try:
                 tok = self._load_manifest(v).get("token")
             except FileNotFoundError:
-                continue  # expired snapshot
+                continue  # expired snapshot: its token is in the log
             if tok:
                 out.add(tok)
         return out
@@ -332,13 +369,11 @@ class ManagedTable:
         with open(tmp, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(new_v))
+        entry = {"version": new_v, "operation": operation, "committed_at": time.time()}
+        if token is not None:
+            entry["token"] = token  # durable pre-flip; survives expiry
         with open(os.path.join(self.meta_dir, "commits.jsonl"), "a") as f:
-            f.write(
-                json.dumps(
-                    {"version": new_v, "operation": operation, "committed_at": time.time()}
-                )
-                + "\n"
-            )
+            f.write(json.dumps(entry) + "\n")
         self._save_table_meta()
         tmp = self._current_pointer() + ".tmp"
         with open(tmp, "w") as f:
@@ -516,7 +551,9 @@ class ManagedTable:
             *keys,
             F.when(F.col("__ov").isNull(), F.lit("insert"))
             .when(F.col("__nv").isNull(), F.lit("delete"))
-            .when(F.col("__ov").cast("string") != F.col("__nv").cast("string"), "update")
+            # native null-safe struct comparison: a string render would
+            # collide NULL with 'null' and on separator-bearing values
+            .when(~F.col("__ov").eqNullSafe(F.col("__nv")), "update")
             .otherwise(F.lit(None))
             .alias("_change_type"),
             "__nv",
@@ -698,67 +735,93 @@ class ManagedTable:
             raise ValueError(f"merge into {self.name} requires key columns")
         if token is not None and token in self.committed_tokens():
             return self.current_version()
+        rebucket = False
         if not self.key_columns:
             # first keyed write into a keyless table: adopt the merge
-            # keys as the bucketing keys (persisted at commit)
+            # keys as the bucketing keys (persisted at commit). If the
+            # table already HAS data, it all lives in bucket 0 under
+            # the keyless layout — the whole table must be re-bucketed
+            # in this commit, or old rows would survive in bucket 0
+            # next to their hashed upserts (duplicate keys)
             self.key_columns = list(keys)
+            rebucket = self.exists()
         # bucket pruning is sound only when merging on the bucketing
         # keys; merging on other columns falls back to all-buckets
-        pruned = list(keys) == list(self.key_columns)
+        pruned = list(keys) == list(self.key_columns) and not rebucket
         spark = upserts.sparkSession
+        # the upserts plan is consumed by 2-3 actions (touched-bucket
+        # aggregate, optional dup probe, staging write): cache it so a
+        # non-deterministic or expensive input cannot desync the
+        # touched set from the staged data
+        upserts = upserts.persist()
+        if deletes is not None:
+            deletes = deletes.persist()
         bucket_of_keys = F.pmod(
             F.xxhash64(*[F.col(k) for k in keys]), F.lit(self.num_buckets)
         )
 
-        # one small aggregate: touched buckets + max duplication per bucket
-        per_bucket = (
-            upserts.groupBy(bucket_of_keys.alias("__b"), *keys)
-            .count()
-            .groupBy("__b")
-            .agg(F.max("count").alias("max_dup"))
-            .collect()
-        )
-        if validate_unique_keys and any(r["max_dup"] > 1 for r in per_bucket):
-            dup = (
-                upserts.groupBy(*keys)
+        try:
+            # one small aggregate: touched buckets + max duplication per bucket
+            per_bucket = (
+                upserts.groupBy(bucket_of_keys.alias("__b"), *keys)
                 .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
+                .groupBy("__b")
+                .agg(F.max("count").alias("max_dup"))
                 .collect()
             )
-            kv = {k: dup[0][k] for k in keys}
-            raise ValueError(
-                f"merge into {self.name}: upserts contain >1 row for key "
-                f"{kv}; reduce with cdc.last_per_key first"
-            )
-        touched = {int(r["__b"]) for r in per_bucket}
-        touched_keys = upserts.select(*keys)
-        if deletes is not None:
-            touched |= {
-                int(r["__b"])
-                for r in deletes.select(bucket_of_keys.alias("__b")).distinct().collect()
-            }
-            touched_keys = touched_keys.unionByName(deletes.select(*keys))
+            if validate_unique_keys and any(r["max_dup"] > 1 for r in per_bucket):
+                dup = (
+                    upserts.groupBy(*keys)
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .collect()
+                )
+                kv = {k: dup[0][k] for k in keys}
+                raise ValueError(
+                    f"merge into {self.name}: upserts contain >1 row for key "
+                    f"{kv}; reduce with cdc.last_per_key first"
+                )
+            touched = {int(r["__b"]) for r in per_bucket}
+            touched_keys = upserts.select(*keys)
+            if deletes is not None:
+                touched |= {
+                    int(r["__b"])
+                    for r in deletes.select(bucket_of_keys.alias("__b")).distinct().collect()
+                }
+                touched_keys = touched_keys.unionByName(deletes.select(*keys))
 
-        if not self.exists():
-            staged, sb = self._stage_bucketed(upserts)
+            if not self.exists():
+                staged, sb = self._stage_bucketed(upserts)
+                return self._commit(
+                    staged, sb, "merge", upserts.schema, "replace_all", token=token
+                )
+
+            manifest = self._load_manifest(self.current_version())
+            old_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+            schema = self._evolved_schema(old_schema, upserts.schema)
+            if not pruned:
+                touched = {int(b) for b in manifest["buckets"]} | touched
+            # read ONLY the touched buckets' current data
+            cur = self._read_manifest_buckets(spark, manifest, touched)
+            survivors = cur.join(touched_keys, on=keys, how="left_anti")
+            merged = self._align(survivors, schema).unionByName(
+                self._align(upserts, schema)
+            )
+            staged, sb = self._stage_bucketed(merged)
+            if rebucket:
+                # adopting keys on a non-empty keyless table: the whole
+                # table was just re-bucketed; publish a fresh bucket map
+                return self._commit(
+                    staged, sb, "merge", schema, "replace_all", token=token
+                )
             return self._commit(
-                staged, sb, "merge", upserts.schema, "replace_all", token=token
+                staged, sb, "merge", schema, "replace", touched, token=token
             )
-
-        manifest = self._load_manifest(self.current_version())
-        old_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        schema = self._evolved_schema(old_schema, upserts.schema)
-        if not pruned:
-            touched = {int(b) for b in manifest["buckets"]} | touched
-        # read ONLY the touched buckets' current data
-        cur = self._read_manifest_buckets(spark, manifest, touched)
-        survivors = cur.join(touched_keys, on=keys, how="left_anti")
-        merged = self._align(survivors, schema).unionByName(self._align(upserts, schema))
-        staged, sb = self._stage_bucketed(merged)
-        return self._commit(
-            staged, sb, "merge", schema, "replace", touched, token=token
-        )
+        finally:
+            upserts.unpersist()
+            if deletes is not None:
+                deletes.unpersist()
 
     def delete_where(self, spark: SparkSession, where: list[tuple]) -> int:
         """Row-level predicate delete (Iceberg ``DELETE FROM ... WHERE``):
@@ -838,7 +901,12 @@ class ManagedTable:
         travel to them) and garbage-collect data files no retained
         manifest references. Keeps the newest ``retain_last`` versions
         and anything newer than ``older_than_s`` seconds ago. Returns
-        the number of snapshots expired."""
+        the number of snapshots expired.
+
+        ``retain_last`` is clamped to >= 1: the CURRENT snapshot is
+        never expirable (retain_last=0 would GC every live data file —
+        Iceberg clamps identically)."""
+        retain_last = max(1, retain_last)
         cur = self.current_version()
         removed = 0
         now = time.time()

@@ -678,3 +678,64 @@ def test_delete_where_zone_scoped_rewrite(spark, tmp_path):
     # a predicate matching nothing is a no-op commit
     v2 = t.delete_where(spark, [("age_days", ">", 10**9)])
     assert v2 == v
+
+
+def test_reopen_with_different_keys_rejected(tmp_path, spark):
+    """Persisted bucketing keys win; conflicting reopen keys are an
+    error (xxhash64 is order-sensitive — wrong keys would make every
+    bucket-pruned path read the wrong buckets)."""
+    t = ManagedTable(str(tmp_path), "kguard", ["a", "b"])
+    t.merge(spark.createDataFrame([(1, 2, "x")], "a int, b int, v string"))
+    with pytest.raises(ValueError, match="bucketed on"):
+        ManagedTable(str(tmp_path), "kguard", ["b", "a"])
+    # same keys reopen fine
+    t2 = ManagedTable(str(tmp_path), "kguard", ["a", "b"])
+    assert t2.read(spark).count() == 1
+
+
+def test_keyed_merge_into_nonempty_keyless_table_rebuckets(spark, tmp_path):
+    """Adopting keys on a table that already holds keyless (bucket-0)
+    data must re-bucket everything — no duplicate keys, and lookup
+    finds rows written before the adoption."""
+    t = ManagedTable(str(tmp_path), "adopt", num_buckets=8)
+    t.append(spark.createDataFrame([(7, "old7"), (8, "old8")], "id int, v string"))
+    t.merge(
+        spark.createDataFrame([(7, "new7"), (9, "new9")], "id int, v string"),
+        keys=["id"],
+    )
+    got = {r["id"]: r["v"] for r in t.read(spark).collect()}
+    assert got == {7: "new7", 8: "old8", 9: "new9"}  # no duplicate id=7
+    t2 = ManagedTable(str(tmp_path), "adopt")
+    assert {r["v"] for r in t2.lookup(spark, {"id": 8}).collect()} == {"old8"}
+
+
+def test_expire_retain_zero_clamps_to_current(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "clamp", ["k"])
+    t.merge(spark.createDataFrame([(1, "a")], "k int, v string"))
+    t.merge(spark.createDataFrame([(2, "b")], "k int, v string"))
+    t.expire_snapshots(retain_last=0)
+    assert t.read(spark).count() == 2  # current snapshot survived
+
+
+def test_tokens_survive_snapshot_expiry(spark, tmp_path):
+    """A replayed micro-batch must no-op even after maintenance
+    expired the snapshot that carried its token."""
+    t = ManagedTable(str(tmp_path), "tok", ["k"])
+    t.append(spark.createDataFrame([(1, "a")], "k int, v string"), token="epoch:1")
+    t.append(spark.createDataFrame([(2, "b")], "k int, v string"), token="epoch:2")
+    t.expire_snapshots(retain_last=1)
+    assert "epoch:1" in t.committed_tokens()
+    t.append(spark.createDataFrame([(1, "dup")], "k int, v string"), token="epoch:1")
+    assert t.read(spark).count() == 2  # replay was a no-op
+
+
+def test_changes_null_vs_null_string(spark, tmp_path):
+    """CDF update detection is null-safe structural, not string render:
+    'null' <-> NULL flips ARE updates; unchanged rows are not."""
+    t = ManagedTable(str(tmp_path), "cdfnull", ["k"])
+    t.overwrite(
+        spark.createDataFrame([(1, "null"), (2, None), (3, "x")], "k int, v string")
+    )
+    t.merge(spark.createDataFrame([(1, None), (2, "null")], "k int, v string"))
+    ch = {r["k"]: r["_change_type"] for r in t.changes(spark, 1, 2).collect()}
+    assert ch == {1: "update", 2: "update"}  # 3 unchanged -> absent
