@@ -57,8 +57,14 @@ def parse_envelopes(raw: DataFrame, row_schema: T.StructType, value_col: str = "
         F.from_json(F.col(value_col), debezium_envelope_schema(row_schema)).alias("e")
     )
     p = F.col("e.payload")
+    # before-image fallback ONLY for deletes (after is null there; the
+    # key must survive for the MERGE delete). A blanket coalesce would
+    # resurrect the pre-image for any field an UPDATE legitimately set
+    # to NULL (Debezium REPLICA IDENTITY FULL sends both images).
     row_cols = [
-        F.coalesce(p["after"][f.name], p["before"][f.name]).alias(f.name)
+        F.when(p["op"] == "d", p["before"][f.name])
+        .otherwise(p["after"][f.name])
+        .alias(f.name)
         for f in row_schema.fields
     ]
     return (

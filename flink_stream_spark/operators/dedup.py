@@ -135,7 +135,9 @@ def _perm_params(j: int) -> tuple[int, int]:
     return 2 * j + 1, (j * 40503) % P31
 
 
-def minhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_wide(
+    docs: DataFrame, text_col: str = "text", shingled: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, mh_1 .. mh_K) — MinHash signatures, one column per
     permutation (the codegen-friendly wide form; see
     minhash_signature_arrays for the array form).
@@ -155,7 +157,7 @@ def minhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # the single-split scan task AND computing it twice. explode_outer
     # carries no such constraint; the null row is dropped after.
     sh = (
-        shingled_docs(docs, text_col)
+        (shingled if shingled is not None else shingled_docs(docs, text_col))
         .select("doc_id", F.explode_outer("shingles").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
     )

@@ -37,9 +37,9 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
     InputPartition,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -102,22 +102,24 @@ class JsonlDirDataSource(DataSource):
     def reader(self, schema) -> JsonlDirReader:
         return JsonlDirReader(schema, self.options)
 
-    def simpleStreamReader(self, schema) -> "JsonlDirStreamReader":
+    def streamReader(self, schema) -> "JsonlDirStreamReader":
         return JsonlDirStreamReader(schema, self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> "JsonlDirStreamWriter":
         return JsonlDirStreamWriter(schema, self.options)
 
 
-class JsonlDirStreamReader(SimpleDataSourceStreamReader):
+class JsonlDirStreamReader(DataSourceStreamReader):
     """Offset-tracked streaming read of a growing jsonl directory —
-    the Kafka-source contract (monotonic offsets, replayable ranges)
-    in the Python Data Source API. The offset is the count of sorted
-    files consumed; each micro-batch reads the new suffix, and
-    ``readBetweenOffsets`` replays any committed range exactly, which
-    is what gives checkpoint recovery its exactly-once semantics
-    (files must be appended with lexicographically increasing names,
-    the standard file-topic layout)."""
+    the Kafka-source contract (monotonic offsets, replayable ranges,
+    partitioned executor-side reads) in the Python Data Source API.
+    The offset is the count of sorted files consumed; ``partitions``
+    plans ONE InputPartition per new file between two offsets, so the
+    driver only ever lists file names (never parses rows — the driver-
+    prefetching SimpleDataSourceStreamReader variant would hold every
+    pending row in driver memory) and each executor task parses only
+    its file. Files must be appended with lexicographically increasing
+    names — the standard file-topic layout."""
 
     def __init__(self, schema, options):
         self.schema_fields = [
@@ -137,25 +139,23 @@ class JsonlDirStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"files": 0}
 
-    def _rows(self, paths):
+    def latestOffset(self) -> dict:
+        return {"files": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()
+        lo, hi = int(start.get("files", 0)), int(end.get("files", 0))
+        return [_FilePartition(p) for p in files[lo:hi]] or [_FilePartition(None)]
+
+    def read(self, partition):
+        if partition.path is None:  # empty range placeholder
+            return iter(())
         rdr = JsonlDirReader.__new__(JsonlDirReader)
         rdr.schema_fields = self.schema_fields
-        for p in paths:
-            yield from rdr.read(_FilePartition(p))
+        return rdr.read(partition)
 
-    def read(self, start: dict):
-        files = self._files()
-        n0 = int(start.get("files", 0))
-        # iter() over a materialized list: the runner advances it as
-        # an iterator but pickles the remaining tuples (a bare
-        # generator can't pickle; a bare list can't next())
-        return iter(list(self._rows(files[n0:]))), {"files": len(files)}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return iter(
-            list(self._rows(files[int(start.get("files", 0)):int(end.get("files", 0))]))
-        )
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the query checkpoint; nothing to GC
 
 
 @dataclass
@@ -213,8 +213,16 @@ class JsonlDirStreamWriter(DataSourceStreamWriter):
                 if os.path.exists(p):
                     os.remove(p)
             return
+        # self-heal a crashed prior attempt: if this batchId published
+        # files but died before the log append, those files are stale
+        # (the replay may produce a different partitioning) — remove
+        # them BEFORE publishing so the epoch is all-or-nothing
+        prefix = f"batch{batchId:010d}_"
+        for f in os.listdir(self.path):
+            if f.startswith(prefix) and f.endswith(".jsonl"):
+                os.remove(os.path.join(self.path, f))
         for i, p in enumerate(staged):
-            os.replace(p, os.path.join(self.path, f"batch{batchId:010d}_{i:05d}.jsonl"))
+            os.replace(p, os.path.join(self.path, f"{prefix}{i:05d}.jsonl"))
         with open(self._log(), "a") as f:
             f.write(f"{batchId}\n")
 

@@ -34,10 +34,10 @@ from flink_stream_spark.tables.managed import ManagedTable
 JACCARD_THRESHOLD = 0.5
 
 
-def banded_signatures(docs: DataFrame) -> DataFrame:
+def banded_signatures(docs: DataFrame, shingled: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, sig) — shared banding layout (dedup.banded_frame),
     so the streaming index can never drift from the batch pipeline."""
-    return banded_frame(minhash_wide(docs))
+    return banded_frame(minhash_wide(docs, shingled=shingled))
 
 
 def _verified_dup_pairs(
@@ -159,7 +159,9 @@ def process_batch(
     spark = batch.sparkSession
     token = None if epoch_id is None else f"epoch:{epoch_id}"
     sh_new = shingled_docs(batch).localCheckpoint(eager=True)
-    bands_new = banded_signatures(batch).localCheckpoint(eager=True)
+    # reuse the checkpointed shingles: tokenization+shingling is the
+    # CPU-heaviest stage and would otherwise run twice per batch
+    bands_new = banded_signatures(batch, shingled=sh_new).localCheckpoint(eager=True)
 
     if bands_table.exists():
         idx_bands = bands_table.read(spark)

@@ -38,6 +38,8 @@ def start_rule_routed_ingest(
     so at-least-once replays no-op."""
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if not rules_table.exists():
+            return  # no committed rules yet: route nothing, don't fail
         rules = rules_table.read(spark).filter(F.col("enabled"))
         kept = batch.join(
             F.broadcast(rules.select(rule_key, "label")), rule_key, "inner"

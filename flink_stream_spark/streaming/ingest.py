@@ -131,10 +131,23 @@ def start_raw_json_ingest(
         # cache the micro-batch: merge() runs two actions (touched-
         # bucket aggregate + staged write) and would otherwise re-parse
         # every JSON document per action — and double-fire the
-        # observe() quality metrics
-        batch = batch.withColumn("__seq", F.monotonically_increasing_id()).persist()
+        # observe() quality metrics.
+        # Arrival order within the batch: (file name, within-split id).
+        # Spark bin-packs file splits LARGEST-FIRST into partitions, so
+        # a bare monotonically_increasing_id is NOT cross-file arrival
+        # order; the file name (topic files are appended with
+        # lexicographically increasing names) is the real order, with
+        # the monotonic id exact within a split — the per-partition
+        # offset contract of the Kafka topic this stands in for.
+        batch = (
+            batch.withColumn("__file", F.input_file_name())
+            .withColumn("__seq", F.monotonically_increasing_id())
+            .persist()
+        )
         try:
-            reduced = last_per_key(batch, [key], ["__seq"]).drop("__seq")
+            reduced = last_per_key(batch, [key], ["__file", "__seq"]).drop(
+                "__file", "__seq"
+            )
             table.merge(reduced, keys=[key])
         finally:
             batch.unpersist()

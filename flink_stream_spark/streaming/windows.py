@@ -43,10 +43,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_field = pq.read_schema(table_path(sf_dir, "events")).field("ts")
     ts_is_ns = pa.types.is_timestamp(ts_field.type) and ts_field.type.unit == "ns"
     if ts_is_ns:
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        # no try/except: if this conf is ever rejected (it is a legacy
+        # knob slated for removal), fail HERE with the actionable error
+        # instead of an opaque 'Illegal Parquet type' at scan time
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.format("parquet")
         .schema(_events_schema(T.LongType() if ts_is_ns else T.TimestampType()))

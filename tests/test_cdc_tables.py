@@ -739,3 +739,26 @@ def test_changes_null_vs_null_string(spark, tmp_path):
     t.merge(spark.createDataFrame([(1, None), (2, "null")], "k int, v string"))
     ch = {r["k"]: r["_change_type"] for r in t.changes(spark, 1, 2).collect()}
     assert ch == {1: "update", 2: "update"}  # 3 unchanged -> absent
+
+
+def test_update_setting_field_null_not_resurrected(spark, tmp_path):
+    """An UPDATE that sets a field to NULL must persist the NULL — the
+    before-image fallback applies only to deletes (a blanket coalesce
+    would resurrect the pre-image value)."""
+    t = ManagedTable(str(tmp_path), "nullupd", ["user_id"])
+    batch = [
+        env("account", "c", after={"user_id": 1, "email": "x@y", "created_at": 5}),
+        env(
+            "account",
+            "u",
+            before={"user_id": 1, "email": "x@y", "created_at": 5},
+            after={"user_id": 1, "email": None, "created_at": 5},
+            lsn=2,
+        ),
+    ]
+    changes = parse_envelopes(
+        spark.createDataFrame([(b,) for b in batch], "value string"), ACCOUNT
+    )
+    apply_cdc_batch(t, changes, ["user_id"])
+    got = t.read(spark).collect()
+    assert len(got) == 1 and got[0]["email"] is None  # NULL persisted
