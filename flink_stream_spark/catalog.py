@@ -90,7 +90,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             pass
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS BIGINT))"))
+        # backticks: the column name is an identifier, not parse text.
+        # floor-to-µs via pmod (DIV truncates toward zero, which would
+        # round pre-epoch nanos the wrong way vs DuckDB's exact values)
+        df = df.withColumn(
+            c,
+            F.expr(
+                f"timestamp_micros(CAST((`{c}` - pmod(`{c}`, 1000)) DIV 1000 AS BIGINT))"
+            ),
+        )
     return df
 
 

@@ -128,17 +128,19 @@ def apply_cdc_batch(
     equivalent; reference exercises I/U/D via
     postgres/scripts/manual/001-003*.sql)."""
     order_cols = order_cols or ["_ts_ms", "_lsn"]
+    # null-key envelopes (op set but both images null/missing —
+    # truncated producer output) must not become null-key table rows:
+    # the reference's key-not-null discipline
+    # (flink_json_to_iceberg.py:117,144)
+    for k in keys:
+        batch = batch.filter(F.col(k).isNotNull())
     reduced = last_per_key(batch, keys, order_cols)
-    data_cols = [c for c in reduced.columns if not c.startswith("_")]
+    # exclude exactly the envelope metadata — a source column that
+    # happens to start with '_' (legal in Postgres) is data
+    meta = {OP_COL, "_table", "_lsn", "_ts_ms"}
+    data_cols = [c for c in reduced.columns if c not in meta]
     upserts = reduced.filter(F.col(OP_COL) != "d").select(*data_cols)
     deletes = reduced.filter(F.col(OP_COL) == "d").select(*keys)
     # last_per_key already guarantees ≤1 row per key — skip merge's
     # duplicate-key aggregate (one Spark job per micro-batch saved)
     return table.merge(upserts, keys=keys, deletes=deletes, validate_unique_keys=False)
-
-
-def route_tables(changes: DataFrame) -> list[str]:
-    """Distinct routing targets in a batch (dynamic multi-table routing,
-    reference connect-iceberg-sink.json:10-12). One small distinct on
-    the metadata column — never collects row data."""
-    return [r["_table"] for r in changes.select("_table").distinct().collect()]

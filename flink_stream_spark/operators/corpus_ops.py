@@ -686,8 +686,13 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
     )
     n = spark.sparkContext.defaultParallelism
-    parted = toks.repartitionByRange(n, "doc_id").withColumn(
-        "__pid", F.spark_partition_id()
+    # lazy localCheckpoint pins ONE range partitioning for both the
+    # offsets branch and the cumsum branch (see plans/scale.py
+    # with_global_rank for the reuse-dependence rationale)
+    parted = (
+        toks.repartitionByRange(n, "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     sizes = parted.groupBy("__pid").agg(F.sum("n_tokens").alias("__psum"))
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)

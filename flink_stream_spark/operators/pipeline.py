@@ -243,8 +243,10 @@ def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
     )
     n = spark.sparkContext.defaultParallelism
-    parted = toks.repartitionByRange(n, "doc_id").withColumn(
-        "__pid", F.spark_partition_id()
+    parted = (
+        toks.repartitionByRange(n, "doc_id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)  # pin one range partitioning
     )
     sizes = parted.groupBy("__pid").agg(F.sum("n_tokens").alias("__psum"))
     w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)

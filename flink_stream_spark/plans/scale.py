@@ -76,6 +76,11 @@ def salted_join(
             f"salted_join supports inner/left joins only, got {how!r}: "
             "unmatched right rows would appear once per salt replica"
         )
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError(
+            "salted_join reserves the column name '__salt'; rename it on "
+            "the input (a silent overwrite would drop the user column)"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("__salt")
     right_rep = right.select("*", salts)
     left_salted = left.withColumn(
@@ -111,8 +116,16 @@ def with_global_rank(
     """
     spark = df.sparkSession
     n = partitions or spark.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # lazy localCheckpoint: the size/offset branch and the window
+    # branch below both consume `parted`; without it, correctness
+    # depends on ReuseExchange deduplicating the two range exchanges —
+    # if it didn't (conf off, future planner change), each branch could
+    # sample DIFFERENT range boundaries and the ranks would be wrong.
+    # The checkpoint pins one materialization both branches read.
+    parted = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     from pyspark.sql.window import Window as _W
 
