@@ -85,6 +85,8 @@ HEADLINE = [
     "events_match_recognize",
     "events_sessionize_dynamic_gap",
     "corpus_pack_sequences",
+    "agg_approx_percentile",
+    "events_histogram_width_bucket",
 ]
 
 

@@ -644,3 +644,49 @@ def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "purchase_event_id")
     )
+
+
+@register(
+    "events_histogram_width_bucket",
+    """
+    WITH b AS (
+      SELECT CASE WHEN value < 0 THEN 0
+                  WHEN value >= 100 THEN 11
+                  ELSE 1 + CAST(floor(value / 10) AS BIGINT) END AS bucket,
+             value
+      FROM events)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_total
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket ASC NULLS FIRST
+    """,
+    group="events-analytics",
+    doc="Fixed-bin value histogram via width_bucket(value, 0, 100, 10) "
+    "with under/overflow buckets 0 and 11 — the one-pass distribution "
+    "profile a monitoring layer draws per metric. The bucket id is a "
+    "codegen'd arithmetic expression, so the whole histogram is one "
+    "map-side-combined aggregate over ≤12 keys: shuffle volume is "
+    "O(buckets), independent of row count — the 100 TB posture. Sums "
+    "ride as exact cents (floor(v*100+0.5), the engine-wide money "
+    "convention) so the hash is float-order-insensitive.",
+)
+def events_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return (
+        e.select(
+            F.width_bucket(
+                F.col("value"), F.lit(0.0), F.lit(100.0), F.lit(10)
+            ).alias("bucket"),
+            cents.alias("cents"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .orderBy(F.col("bucket").asc_nulls_first())
+    )

@@ -639,6 +639,48 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    group="aggregation",
+    doc="GK-sketch quantiles (approx_percentile, accuracy=1000 → rank "
+    "error ≤ 0.001): at 100 TB this replaces an exact global sort per "
+    "percentile with a mergeable fixed-size sketch — map-side partial "
+    "sketches, one tiny shuffle. The gate form emits the rank-error "
+    "CONTRACT as a hashable boolean: each sketch estimate must land "
+    "between the exact percentiles ±0.02 rank around its target (a "
+    "20× margin over the sketch guarantee, so the boolean is stable "
+    "under any partitioning / merge order); the exact row count rides "
+    "along to keep the check deterministic.",
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)"
+        ).alias("approx"),
+        # exact bracketing percentiles (single-pass, same shuffle)
+        F.expr(
+            "percentile(l_extendedprice, array(0.48D, 0.52D, 0.93D, 0.97D))"
+        ).alias("exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ok = (
+        F.col("approx")[0].between(F.col("exact")[0], F.col("exact")[1])
+        & F.col("approx")[1].between(F.col("exact")[2], F.col("exact")[3])
+    )
+    return agg.select(
+        "l_returnflag", "n_rows", ok.alias("within_tol")
+    ).orderBy("l_returnflag")
+
+
+@register(
     "agg_pivot",
     """
     SELECT l_returnflag,
@@ -1135,6 +1177,46 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_type", "[aeiou]", "_").alias("type_novowel"),
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
     ).orderBy("p_partkey")
+
+
+@register(
+    "scalar_url_parse",
+    """
+    SELECT doc_id,
+           COALESCE(source, 'unk') || '.example.org' AS url_host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS url_path,
+           'lang=' || COALESCE(lang, 'und') AS url_query,
+           COALESCE(lang, 'und') AS lang_param
+    FROM documents
+    ORDER BY doc_id
+    """,
+    group="scalar",
+    doc="URL component extraction (parse_url HOST/PATH/QUERY + query "
+    "parameter) — the per-record projection a web-corpus pipeline runs "
+    "to derive domain keys for per-site dedup/rate stats. Pure codegen "
+    "expressions; the oracle reconstructs the components positionally "
+    "from the same fields, so the check validates parse_url's component "
+    "grammar bit-for-bit. Scale: map-only, no shuffle before the "
+    "ordering exchange.",
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.coalesce(F.col("source"), F.lit("unk")),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.coalesce(F.col("lang"), F.lit("und")),
+    )
+    d = d.select("doc_id", url.alias("u"))
+    return d.select(
+        "doc_id",
+        F.parse_url("u", F.lit("HOST")).alias("url_host"),
+        F.parse_url("u", F.lit("PATH")).alias("url_path"),
+        F.parse_url("u", F.lit("QUERY")).alias("url_query"),
+        F.parse_url("u", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    ).orderBy("doc_id")
 
 
 @register(

@@ -168,6 +168,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                               t -> {tok_hash_duck('t')} % {_MOD})),
              (acc, h) -> (acc * 31 + h) % {_MOD}) AS fingerprint
     FROM documents
+    ORDER BY doc_id
     """,
     group="text",
     doc="Order-sensitive document fingerprint: polynomial rolling hash "
@@ -176,20 +177,19 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    # spread the scan before the per-token md5 fold: a small compressed
-    # parquet file arrives as ONE input split, serializing the hash
-    # work onto one core (same fix as dedup.shingled_docs — per-file
-    # split parallelism caps per-row CPU work at any scale)
+    # one fused exchange does double duty: RANGE-partitioning on doc_id
+    # spreads the per-token md5 fold across every core (a small
+    # compressed parquet file arrives as ONE input split — same fix as
+    # dedup.shingled_docs), and because range partitions are ordered,
+    # a partition-LOCAL sort after the fold yields the totally-ordered
+    # result the determinism contract requires (FIXTURES.md) without a
+    # second, global sort exchange of the folded rows
     par = spark.sparkContext.defaultParallelism
-    d = d.repartition(par, "doc_id")
+    d = d.repartitionByRange(par, "doc_id")
     tok_hashes = F.transform(F.split("text", " "), lambda t: _tok_hash_spark(t) % _MOD)
     fp = F.aggregate(
         tok_hashes,
         F.lit(0).cast("bigint"),
         lambda acc, h: (acc * 31 + h) % _MOD,
     )
-    # no trailing ORDER BY: the result is one row per doc with no LIMIT,
-    # so ordering is not part of the semantics — the correctness gate
-    # hashes order-insensitively, and a global range-sort would cost
-    # more than the entire hash fold
-    return d.select("doc_id", fp.alias("fingerprint"))
+    return d.select("doc_id", fp.alias("fingerprint")).sortWithinPartitions("doc_id")
