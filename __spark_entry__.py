@@ -80,6 +80,10 @@ try:
     import flink_stream_spark.operators.corpus_ops  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.graph  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,216 @@
+"""Graph analytics over the relational fixtures.
+
+The reference's query layer (Flink SQL / Trino — reference
+README.md:175-179) has no graph operators; these are north-star
+extensions for corpus curation: link-graph importance (PageRank is
+the classic page-quality prior used to weight web-crawl documents)
+and degree statistics, both expressed as plain DataFrame joins and
+aggregates so Catalyst/AQE handle the physical plan.
+
+Graph: the bipartite part <-> supplier sourcing graph from
+``lineitem`` (an edge per DISTINCT (part, supplier) pair, both
+directions, so every node has out-degree >= 1). Node ids live in one
+integer space: part p -> 2p, supplier s -> 2s+1.
+
+Determinism: ranks are integer micro-mass (total mass 1e12) and every
+update is integer multiply/divide — truncation is identical in Spark
+and DuckDB, so five PageRank iterations are bit-deterministic under
+any partitioning or aggregation order (no float summation order
+anywhere).
+
+Scale posture: the edge list / out-degrees / node set are
+materialized ONCE (localCheckpoint here; a checkpoint dir or a
+bucketed table on a cluster) — the naive unrolled lineage re-derives
+the distinct-edge scan inside every iteration's joins (measured: 10
+redundant scans, no exchange reuse under AQE). Each iteration is then
+one join + one aggregate hashing on the node key; per-iteration
+shuffle volume is O(|edges|) 16-byte contribution rows, never the
+underlying fact table; rank vectors are checkpointed per round to
+keep lineage depth constant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.registry import register
+
+TOTAL_MASS = 1_000_000_000_000  # 1e12 integer micro-mass units
+N_ITER = 5
+TOP_K = 20
+
+_EDGES_SQL = """
+    edges AS (
+      SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      UNION ALL
+      SELECT l_suppkey * 2 + 1 AS src, l_partkey * 2 AS dst
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    outdeg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+    params AS (SELECT COUNT(*) AS n FROM nodes)
+"""
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    base = f"(SELECT {TOTAL_MASS} // n FROM params)"
+    return f"""
+    {cur} AS (
+      SELECT n.node,
+             CAST((15 * {base} + 85 * COALESCE(c.s, 0)) // 100 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS s
+        FROM {prev} p
+        JOIN edges e ON p.node = e.src
+        JOIN outdeg d ON d.node = p.node
+        GROUP BY e.dst) c ON n.node = c.node)
+    """
+
+
+def _pagerank_oracle() -> str:
+    its = ",".join(
+        _pagerank_iter_sql(f"it{i}", f"it{i + 1}") for i in range(N_ITER)
+    )
+    return f"""
+    WITH {_EDGES_SQL},
+    it0 AS (SELECT node, CAST({TOTAL_MASS} // n AS BIGINT) AS r
+            FROM nodes CROSS JOIN params),
+    {its}
+    SELECT CAST(node AS BIGINT) AS node,
+           CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+           r AS rank_micromass
+    FROM it{N_ITER}
+    ORDER BY rank_micromass DESC, node
+    LIMIT {TOP_K}
+    """
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    fwd = pairs.select(
+        (F.col("l_partkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    rev = pairs.select(
+        (F.col("l_suppkey") * 2 + 1).alias("src"),
+        (F.col("l_partkey") * 2).alias("dst"),
+    )
+    return fwd.unionByName(rev)
+
+
+@register(
+    "graph_pagerank_bipartite",
+    _pagerank_oracle(),
+    group="graph",
+    doc="PageRank (5 iterations, damping 0.85) over the bipartite "
+    "part<->supplier sourcing graph — the link-importance prior a "
+    "web-corpus curation pipeline attaches to crawled documents, "
+    "exercised here on the fixture's natural graph. Ranks are integer "
+    "micro-mass (1e12 total) and every update is integer mul/div, so "
+    "all five iterations are bit-deterministic under any partitioning; "
+    "the DuckDB oracle unrolls the same five updates as chained CTEs. "
+    "Scale: graph structure (edges/out-degrees/nodes) is materialized "
+    "once and each iteration joins the checkpointed rank vector to it "
+    "on the node key — one join + one aggregate per round, shuffle "
+    "volume O(|edges|) 16-byte rows, independent of the fact-table "
+    "width; lineage is truncated per round so plan depth stays "
+    "constant across iterations.",
+)
+def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # static graph structure is materialized ONCE (localCheckpoint —
+    # on a cluster, a checkpoint dir or a bucketed table): the naive
+    # unrolled lineage would re-derive the distinct edge list in every
+    # iteration's two joins (measured 10 redundant scans / no exchange
+    # reuse under AQE), turning 5 iterations into O(iter × scan)
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    outdeg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()  # one scalar to the driver: the graph size
+    base = TOTAL_MASS // n
+    ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r"))
+    for _ in range(N_ITER):
+        contribs = (
+            ranks.join(edges, ranks["node"] == edges["src"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # integer `div`, NOT `/`: long/long in Spark is DOUBLE
+                # division, whose 0.5-ulp error near 1e12 truncates to
+                # a different integer than exact division — DuckDB's
+                # `//` is exact, so the engines would diverge
+                F.expr("r div deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        num = F.lit(15 * base).cast("bigint") + F.lit(85).cast(
+            "bigint"
+        ) * F.coalesce(F.col("s"), F.lit(0))
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select("node", num.alias("__num"))
+            .select("node", F.expr("__num div 100").alias("r"))
+            # truncate lineage each round, as connected_components does
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select(
+            F.col("node").cast("bigint").alias("node"),
+            F.when(F.col("node") % 2 == 0, F.lit("part"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.col("r").alias("rank_micromass"),
+        )
+        .orderBy(F.col("rank_micromass").desc(), F.col("node"))
+        .limit(TOP_K)
+    )
+
+
+@register(
+    "graph_degree_stats",
+    f"""
+    WITH {_EDGES_SQL}
+    SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(deg) AS BIGINT) AS min_deg,
+           CAST(MAX(deg) AS BIGINT) AS max_deg,
+           CAST(SUM(deg) AS BIGINT) AS total_edges
+    FROM outdeg
+    GROUP BY node_type
+    ORDER BY node_type
+    """,
+    group="graph",
+    doc="Degree statistics per node class of the bipartite sourcing "
+    "graph — the skew probe run before any graph algorithm: max_deg "
+    "bounds the hottest key an iteration will shuffle (the input to a "
+    "salting decision at scale). One distinct + one count aggregate; "
+    "shuffle volume O(|edges|).",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    node_type = F.when(F.col("src") % 2 == 0, F.lit("part")).otherwise(
+        F.lit("supplier")
+    )
+    return (
+        outdeg.select(node_type.alias("node_type"), "deg")
+        .groupBy("node_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+            F.sum("deg").alias("total_edges"),
+        )
+        .orderBy("node_type")
+    )
