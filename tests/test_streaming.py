@@ -496,6 +496,37 @@ def test_stream_stream_left_outer_join_parity(spark, sf_small, tmp_path):
     )
     assert got == want
 
+    # FULL OUTER over the same streams: unmatched rows on BOTH sides
+    # must drain once the final watermark passes (clicks with no
+    # purchase in their window emit a null purchase_id). Same flush
+    # mechanism; flush rows (negative ids) are excluded from compare.
+    full = purchases.join(clicks, cond, "full_outer").select(
+        "purchase_id", "click_id"
+    )
+    _run_to_memory(full, "t_ssjoin_fo", "append")
+    key = lambda t: (t[0] is None, t[0] or 0, t[1] is None, t[1] or 0)  # noqa: E731
+    got_fo = sorted(
+        [
+            (r["purchase_id"], r["click_id"])
+            for r in spark.sql(
+                """SELECT * FROM t_ssjoin_fo
+                   WHERE (purchase_id IS NULL OR purchase_id >= 0)
+                     AND (click_id IS NULL OR click_id >= 0)"""
+            ).collect()
+        ],
+        key=key,
+    )
+    want_fo = sorted(
+        [
+            (r["purchase_id"], r["click_id"])
+            for r in bp.join(bc, cond, "full_outer")
+            .select("purchase_id", "click_id")
+            .collect()
+        ],
+        key=key,
+    )
+    assert got_fo == want_fo
+
 
 def test_streaming_throttle_parity(spark, sf_small):
     """applyInPandasWithState quota operator: replaying the whole table
