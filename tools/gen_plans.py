@@ -26,6 +26,7 @@ import flink_stream_spark.operators.multimodal  # noqa: F401,E402
 import flink_stream_spark.operators.cdc  # noqa: F401,E402
 import flink_stream_spark.operators.quality  # noqa: F401,E402
 import flink_stream_spark.operators.pipeline  # noqa: F401,E402
+import flink_stream_spark.operators.graph  # noqa: F401,E402
 
 NOTES = {
     "q1_pricing_summary": (
@@ -198,6 +199,29 @@ NOTES = {
         "partials → TakeOrderedAndProject top-k: the per-merge-round scan "
         "of a distributed BPE trainer, shuffling KBs regardless of corpus "
         "size."
+    ),
+    "agg_approx_percentile": (
+        "GK sketch: partial approx_percentile + exact bracketing "
+        "percentiles combine map-side around ONE exchange of fixed-size "
+        "sketch state — at 100 TB nothing resembling a sort of the value "
+        "column exists in the plan; the rank-error contract evaluates as "
+        "a scalar projection on 3 aggregate rows."
+    ),
+    "events_histogram_width_bucket": (
+        "width_bucket is a codegen'd arithmetic expression, so the whole "
+        "histogram is partial+final HashAggregate over ≤12 keys: shuffle "
+        "volume is O(buckets), independent of row count. Exact-cents sums "
+        "keep the hash float-order-insensitive."
+    ),
+    "graph_pagerank_bipartite": (
+        "Shown: the top-k segment over the CHECKPOINTED final rank "
+        "vector (Scan ExistingRDD → TakeOrderedAndProject) — checkpoint "
+        "truncation is the point: every iteration's segment is one join "
+        "of the rank vector to the materialized edge list on the node "
+        "key plus one map-side-combining SUM, and lineage depth stays "
+        "constant across rounds instead of re-deriving the distinct-edge "
+        "scan 2× per iteration (the unrolled form measured 10 redundant "
+        "scans). Per-iteration shuffle is O(|edges|) 16-byte rows."
     ),
 }
 
