@@ -70,31 +70,36 @@ _BUCKET_COL = "__bucket"
 _PRUNE_OPS = {"=", "<", "<=", ">", ">=", "between"}
 
 
-def _dir_column_stats(data_dir: str) -> dict:
-    """Zone map for one committed data directory: {col: [min, max]}
-    aggregated over every parquet file's row-group footer statistics.
-    Footer reads only — no data pages are touched (the same stats
-    Iceberg stores per data file in its manifests). Columns with any
-    missing/unsupported stat are omitted (→ never pruned on)."""
+def _dir_column_stats(data_dir: str) -> tuple[dict, dict]:
+    """Zone maps for one committed data directory, at two granularities
+    from ONE footer pass: ``(dir_stats, file_stats)`` where dir_stats
+    is {col: [min, max]} over the whole dir and file_stats is
+    {fname: {col: [min, max]}} per parquet file — the same stats
+    Iceberg stores per data file in its manifests. Footer reads only;
+    no data pages are touched. Columns with any missing/unsupported
+    stat are omitted at that granularity (→ never pruned on)."""
     try:
         import pyarrow.parquet as pq
     except ImportError:  # pragma: no cover - pyarrow is baked in
-        return {}
+        return {}, {}
     stats: dict[str, list] = {}
+    fstats: dict[str, dict] = {}
     dropped: set[str] = set()
-    for fname in os.listdir(data_dir):
+    for fname in sorted(os.listdir(data_dir)):
         if not fname.endswith(".parquet"):
             continue
         try:
             md = pq.ParquetFile(os.path.join(data_dir, fname)).metadata
         except Exception:
-            return {}
+            return {}, {}
+        fs: dict[str, list] = {}
+        fdropped: set[str] = set()
         for rg in range(md.num_row_groups):
             g = md.row_group(rg)
             for ci in range(g.num_columns):
                 col = g.column(ci)
                 name = col.path_in_schema
-                if "." in name or name in dropped:
+                if "." in name:
                     continue  # nested leaves: not prunable at top level
                 st = col.statistics
                 if (
@@ -104,6 +109,17 @@ def _dir_column_stats(data_dir: str) -> dict:
                 ):
                     dropped.add(name)
                     stats.pop(name, None)
+                    fdropped.add(name)
+                    fs.pop(name, None)
+                    continue
+                if name not in fdropped:
+                    fcur = fs.get(name)
+                    if fcur is None:
+                        fs[name] = [st.min, st.max]
+                    else:
+                        fcur[0] = min(fcur[0], st.min)
+                        fcur[1] = max(fcur[1], st.max)
+                if name in dropped:
                     continue
                 cur = stats.get(name)
                 if cur is None:
@@ -111,7 +127,9 @@ def _dir_column_stats(data_dir: str) -> dict:
                 else:
                     cur[0] = min(cur[0], st.min)
                     cur[1] = max(cur[1], st.max)
-    return stats
+        if fs:
+            fstats[fname] = fs
+    return stats, fstats
 
 
 def _zone_overlaps(lo, hi, op: str, value) -> bool:
@@ -134,6 +152,38 @@ def _zone_overlaps(lo, hi, op: str, value) -> bool:
     except TypeError:
         return True  # incomparable literal/stat types: never mis-prune
     return True
+
+
+def _morton_expr(cols: list[str], ranges: dict) -> "F.Column":
+    """Morton (Z-order) key over 2-4 columns as a single codegen'd
+    bitwise expression: each column min/max-normalizes to 16 bits and
+    its bits interleave k-apart. NULLs normalize to the column minimum
+    (cluster first). The key only ORDERS rows — approximation in the
+    double normalization affects clustering quality, never results."""
+    k = len(cols)
+    parts = []
+    for i, c in enumerate(cols):
+        mn, mx = ranges[c]
+        if mn is None or mx is None or mx == mn:
+            continue  # constant/empty column contributes no bits
+        scale = 65535.0 / (mx - mn)
+        norm = F.floor(
+            (F.coalesce(F.col(c).cast("double"), F.lit(float(mn))) - F.lit(float(mn)))
+            * F.lit(scale)
+        ).cast("long")
+        norm = F.least(F.greatest(norm, F.lit(0)), F.lit(65535))
+        for b in range(16):
+            parts.append(
+                F.shiftleft(
+                    F.shiftright(norm, b).bitwiseAND(F.lit(1)), b * k + i
+                )
+            )
+    if not parts:
+        return F.lit(0).cast("long")
+    z = parts[0]
+    for p in parts[1:]:
+        z = z.bitwiseOR(p)
+    return z
 
 
 class ManagedTable:
@@ -243,24 +293,38 @@ class ManagedTable:
             )
         return F.lit(0)
 
-    def _stage_bucketed(self, df: DataFrame) -> tuple[str, dict[int, str]]:
+    def _stage_bucketed(
+        self,
+        df: DataFrame,
+        sort_exprs: list | None = None,
+        max_records_per_file: int | None = None,
+    ) -> tuple[str, dict[int, str]]:
         """Write ``df`` split by key-hash bucket into a staging dir.
 
         Returns (staged_dir, {bucket_id: relative_subdir}). One shuffle
         on the bucket column clusters each bucket's rows (AQE coalesces
         tiny buckets); dynamic partitionBy then emits one directory per
         bucket actually present in the batch.
+
+        ``sort_exprs`` overrides the in-bucket clustering order (the
+        Z-order path); ``max_records_per_file`` splits each bucket into
+        multiple files so per-file zone maps have pruning granularity.
         """
         staged = os.path.join(self.dir, f"_staged_{uuid.uuid4().hex}")
         out = df.withColumn(_BUCKET_COL, self._bucket_expr())
         out = out.repartition(_BUCKET_COL)
-        if self.key_columns:
+        if sort_exprs is not None:
+            out = out.sortWithinPartitions(_BUCKET_COL, *sort_exprs)
+        elif self.key_columns:
             # cluster rows by key inside each bucket: parquet row
             # groups then carry tight key ranges, so the residual
             # predicate of lookup()/read(where=) prunes at row-group
             # granularity inside the files zone maps couldn't skip
             out = out.sortWithinPartitions(_BUCKET_COL, *self.key_columns)
-        out.write.mode("overwrite").partitionBy(_BUCKET_COL).parquet(staged)
+        writer = out.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+        writer.partitionBy(_BUCKET_COL).parquet(staged)
         buckets: dict[int, str] = {}
         for d in os.listdir(staged):
             if d.startswith(f"{_BUCKET_COL}="):
@@ -348,20 +412,30 @@ class ManagedTable:
             else:  # append
                 for b, p in new_paths.items():
                     buckets.setdefault(str(b), []).append(p)
-        # zone maps: footer-derived column min/max per data dir; carried
-        # paths keep their previous stats (their files are immutable)
+        # zone maps: footer-derived column min/max per data dir AND per
+        # data file (Iceberg's per-file manifest stats); carried paths
+        # keep their previous stats (their files are immutable)
         referenced = {p for ps in buckets.values() for p in ps}
         stats = {p: s for p, s in prev_stats.items() if p in referenced}
+        prev_fstats = prev.get("fstats", {}) if (mode != "replace_all" and cur > 0) else {}
+        fstats = {
+            f: s
+            for f, s in prev_fstats.items()
+            if f.rsplit("/", 1)[0] in referenced
+        }
         for p in new_paths.values():
             if p in referenced:
-                s = _dir_column_stats(os.path.join(self.dir, p))
+                s, fs = _dir_column_stats(os.path.join(self.dir, p))
                 if s:
                     stats[p] = s
+                for fname, col_mm in fs.items():
+                    fstats[f"{p}/{fname}"] = col_mm
         manifest = {
             "version": new_v,
             "schema": schema.json(),
             "buckets": buckets,
             "stats": stats,
+            "fstats": fstats,
         }
         if token is not None:
             manifest["token"] = token
@@ -395,6 +469,7 @@ class ManagedTable:
     ) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         stats = manifest.get("stats", {})
+        fstats = manifest.get("fstats", {})
         paths = []
         for b, ps in manifest["buckets"].items():
             if bucket_ids is not None and int(b) not in bucket_ids:
@@ -402,7 +477,29 @@ class ManagedTable:
             for p in ps:
                 if where and not self._zone_keep(stats.get(p), where):
                     continue
-                paths.append(os.path.join(self.dir, p))
+                # file-granular zone maps (Iceberg per-file manifest
+                # stats): within a surviving dir, skip individual files
+                # whose range cannot match — with Z-order clustering
+                # this prunes on EVERY clustered column, not just the
+                # sort prefix
+                prefix = p + "/"
+                per_file = {
+                    f: s for f, s in fstats.items() if f.startswith(prefix)
+                } if where else {}
+                # only prune per-file when EVERY parquet file in the
+                # dir has recorded stats — a file missing its entry
+                # must fall back to the whole-dir read, never be
+                # silently dropped
+                if per_file and len(per_file) == sum(
+                    1
+                    for fn in os.listdir(os.path.join(self.dir, p))
+                    if fn.endswith(".parquet")
+                ):
+                    for f, s in sorted(per_file.items()):
+                        if self._zone_keep(s, where):
+                            paths.append(os.path.join(self.dir, f))
+                else:
+                    paths.append(os.path.join(self.dir, p))
         if not paths:
             return spark.createDataFrame([], schema)
         # explicit manifest schema: no footer-merge scan, and files
@@ -893,6 +990,51 @@ class ManagedTable:
         merged = self._read_manifest_buckets(spark, manifest, touched)
         staged, sb = self._stage_bucketed(self._align(merged, schema))
         return self._commit(staged, sb, "compact", schema, "replace", touched)
+
+    def zorder(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        max_records_per_file: int | None = None,
+    ) -> int:
+        """Z-order-cluster the table on ``cols`` (Delta/Iceberg
+        ``OPTIMIZE ... ZORDER BY`` equivalent): rewrites every bucket
+        with rows ordered by the Morton interleaving of the clustered
+        columns, so per-file zone maps become tight on EVERY clustered
+        column simultaneously — a linear sort gives file-skipping only
+        on its leading column; Z-order gives it on all of them. Combine
+        with ``max_records_per_file`` so each bucket splits into enough
+        files for the pruning to have granularity.
+
+        Cost: one full-table rewrite (a maintenance action, like
+        compact — run it off the ingest path). Column ranges for the
+        normalization are one tiny aggregate (2×|cols| scalars to the
+        driver, commit metadata scale). Numeric and timestamp columns
+        only; 2–4 columns (16 bits of resolution each)."""
+        if not (2 <= len(cols) <= 4):
+            raise ValueError("zorder requires 2-4 columns")
+        if not self.exists():
+            return 0
+        manifest = self._load_manifest(self.current_version())
+        schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        cur = self._read_manifest_buckets(spark, manifest)
+        # per-column range for 16-bit normalization (tiny aggregate)
+        aggs = []
+        for c in cols:
+            n = F.col(c).cast("double")
+            aggs += [F.min(n).alias(f"mn_{c}"), F.max(n).alias(f"mx_{c}")]
+        rng = cur.agg(*aggs).collect()[0]
+        z = _morton_expr(
+            cols,
+            {c: (rng[f"mn_{c}"], rng[f"mx_{c}"]) for c in cols},
+        )
+        touched = {int(b) for b in manifest["buckets"]}
+        staged, sb = self._stage_bucketed(
+            self._align(cur, schema),
+            sort_exprs=[z],
+            max_records_per_file=max_records_per_file,
+        )
+        return self._commit(staged, sb, "zorder", schema, "replace", touched)
 
     # -- maintenance (reference snapshot_mgmt.py equivalent) ------------------
 

@@ -1,0 +1,118 @@
+"""Z-order clustering + per-file zone maps (OPTIMIZE ZORDER BY
+equivalent): multi-dimensional file pruning on the managed tables.
+
+The contract under test: after ``zorder([x, y])`` with files split by
+``max_records_per_file``, a selective predicate on EITHER clustered
+column prunes files via the per-file zone maps recorded in the
+manifest — a linear sort can only prune on its leading column. Results
+stay exact (zone maps only skip provably-unmatched files; survivors
+get the row-level residual filter).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_stream_spark.tables import ManagedTable
+
+
+@pytest.fixture()
+def ztable(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "zt", key_columns=["id"], num_buckets=1)
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 7919) % 100).alias("y"),
+        F.concat(F.lit("p"), F.col("id")).alias("payload"),
+    )
+    t.overwrite(df)
+    return t
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.select("id", "x", "y", "payload").collect())
+
+
+def test_zorder_preserves_content(spark, ztable):
+    before = _rows(ztable.read(spark))
+    v = ztable.zorder(spark, ["x", "y"], max_records_per_file=512)
+    assert v == 2
+    assert _rows(ztable.read(spark)) == before
+    # the rewrite split the bucket into enough files to prune between
+    assert len(ztable.data_files()) >= 10
+
+
+def test_zorder_prunes_on_both_dimensions(spark, ztable):
+    ztable.zorder(spark, ["x", "y"], max_records_per_file=512)
+    total = len(ztable.data_files())
+
+    def n_files(where):
+        return len(ztable.read(spark, where=where).inputFiles())
+
+    nx = n_files([("x", "between", (10, 19))])
+    ny = n_files([("y", "between", (10, 19))])
+    # both dimensions prune: a 10%-of-range slab must not need every
+    # file (linear key-sort layout reads all of them for either column)
+    assert nx < total
+    assert ny < total
+    assert nx <= 0.75 * total
+    assert ny <= 0.75 * total
+
+    # results stay exact vs a full-scan filter
+    got = sorted(
+        r["id"] for r in ztable.read(spark, where=[("y", "between", (10, 19))]).collect()
+    )
+    want = sorted(
+        r["id"]
+        for r in ztable.read(spark).filter(F.col("y").between(10, 19)).collect()
+    )
+    assert got == want
+
+
+def test_zorder_point_predicate_tighter_than_slab(spark, ztable):
+    ztable.zorder(spark, ["x", "y"], max_records_per_file=512)
+    total = len(ztable.data_files())
+    point = len(ztable.read(spark, where=[("x", "=", 42), ("y", "=", 7)]).inputFiles())
+    assert point <= 0.5 * total
+
+
+def test_linear_layout_does_not_prune_nonleading(spark, tmp_path):
+    """Contrast case: the default key-sorted layout (sorted by id)
+    spreads every x and y value across every file — zone maps cannot
+    skip anything for either column."""
+    t = ManagedTable(str(tmp_path), "lin", key_columns=["id"], num_buckets=1)
+    df = spark.range(10_000).select(
+        F.col("id"),
+        (F.col("id") % 100).alias("x"),
+        ((F.col("id") * 7919) % 100).alias("y"),
+    )
+    t.overwrite(df)
+    # same file granularity, but clustered on (id, x) — y is NOT a
+    # clustered column, so its per-file ranges stay corpus-wide
+    t.zorder(spark, ["id", "x"], max_records_per_file=512)
+    total = len(t.data_files())
+    ny = len(t.read(spark, where=[("y", "between", (10, 19))]).inputFiles())
+    assert ny >= 0.9 * total  # y is unclustered -> no pruning
+
+
+def test_merge_after_zorder_keeps_correctness_and_file_stats(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "mz", key_columns=["id"], num_buckets=4)
+    df = spark.range(4_000).select(
+        F.col("id"),
+        (F.col("id") % 50).alias("x"),
+        ((F.col("id") * 31) % 50).alias("y"),
+    )
+    t.overwrite(df)
+    t.zorder(spark, ["x", "y"], max_records_per_file=256)
+    up = spark.createDataFrame([(1, 999, 999), (4_001, 7, 7)], "id long, x long, y long")
+    t.merge(up)
+    out = {r["id"]: (r["x"], r["y"]) for r in t.read(spark).collect()}
+    assert out[1] == (999, 999)
+    assert out[4_001] == (7, 7)
+    assert len(out) == 4_001
+    # untouched buckets carried their per-file stats: a slab read still
+    # prunes below the full file count
+    total = len(t.data_files())
+    ny = len(t.read(spark, where=[("y", "between", (0, 4))]).inputFiles())
+    assert ny < total
