@@ -126,9 +126,13 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration's two joins (measured 10 redundant scans / no exchange
     # reuse under AQE), turning 5 iterations into O(iter × scan)
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
-    outdeg = (
-        edges.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    # annotate each edge with its source's out-degree ONCE — this join
+    # is iteration-invariant, so running it inside the loop would redo
+    # the same |edges| shuffle five times
+    edges_deg = (
+        edges.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")), "src"
+        )
         .localCheckpoint(eager=True)
     )
     nodes = (
@@ -141,8 +145,7 @@ def graph_pagerank_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nodes.select("node", F.lit(base).cast("bigint").alias("r"))
     for _ in range(N_ITER):
         contribs = (
-            ranks.join(edges, ranks["node"] == edges["src"])
-            .join(outdeg, "src")
+            ranks.join(edges_deg, ranks["node"] == edges_deg["src"])
             .select(
                 F.col("dst").alias("node"),
                 # integer `div`, NOT `/`: long/long in Spark is DOUBLE

@@ -372,6 +372,7 @@ class ManagedTable:
         touched: set[int] | None = None,
         token: str | None = None,
         carry: dict[int, list[str]] | None = None,
+        expected_version: int | None = None,
     ) -> int:
         """Publish staged bucket dirs as the next version.
 
@@ -381,8 +382,21 @@ class ManagedTable:
         ``carry``: for 'replace', per-bucket dir lists to RETAIN next
         to the staged files (dir-granular rewrites: delete_where keeps
         a touched bucket's provably-clean dirs).
+        ``expected_version``: optimistic-concurrency guard for
+        long-window rewrites (zorder/compact/delete): the commit is
+        REFUSED if another writer committed since the rewrite read its
+        snapshot — replacing from a stale snapshot would silently drop
+        the concurrent commit's rows (Iceberg's atomic swap makes the
+        same check).
         """
         cur = self.current_version()
+        if expected_version is not None and cur != expected_version:
+            shutil.rmtree(staged, ignore_errors=True)
+            raise RuntimeError(
+                f"table {self.name}: concurrent commit detected "
+                f"(rewrite read v{expected_version}, current is v{cur}); "
+                "retry the maintenance op"
+            )
         new_v = cur + 1
         vdir = self._version_dir(new_v)
         if os.path.exists(vdir):
@@ -417,12 +431,15 @@ class ManagedTable:
         # keep their previous stats (their files are immutable)
         referenced = {p for ps in buckets.values() for p in ps}
         stats = {p: s for p, s in prev_stats.items() if p in referenced}
-        prev_fstats = prev.get("fstats", {}) if (mode != "replace_all" and cur > 0) else {}
+        carried_prev = mode != "replace_all" and cur > 0
+        prev_fstats = prev.get("fstats", {}) if carried_prev else {}
+        prev_nfiles = prev.get("nfiles", {}) if carried_prev else {}
         fstats = {
             f: s
             for f, s in prev_fstats.items()
             if f.rsplit("/", 1)[0] in referenced
         }
+        nfiles = {p: n for p, n in prev_nfiles.items() if p in referenced}
         for p in new_paths.values():
             if p in referenced:
                 s, fs = _dir_column_stats(os.path.join(self.dir, p))
@@ -430,12 +447,21 @@ class ManagedTable:
                     stats[p] = s
                 for fname, col_mm in fs.items():
                     fstats[f"{p}/{fname}"] = col_mm
+                # parquet-file count per dir, recorded at commit so the
+                # read path never has to list the directory to decide
+                # whether per-file stats are complete
+                nfiles[p] = sum(
+                    1
+                    for fn in os.listdir(os.path.join(self.dir, p))
+                    if fn.endswith(".parquet")
+                )
         manifest = {
             "version": new_v,
             "schema": schema.json(),
             "buckets": buckets,
             "stats": stats,
             "fstats": fstats,
+            "nfiles": nfiles,
         }
         if token is not None:
             manifest["token"] = token
@@ -469,7 +495,14 @@ class ManagedTable:
     ) -> DataFrame:
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         stats = manifest.get("stats", {})
-        fstats = manifest.get("fstats", {})
+        nfiles = manifest.get("nfiles", {})
+        # group per-file stats by dir ONCE per read (not per candidate
+        # dir): one pass over the fstats dict, O(total files)
+        by_dir: dict[str, dict[str, dict]] = {}
+        if where:
+            for f, s in manifest.get("fstats", {}).items():
+                d, fname = f.rsplit("/", 1)
+                by_dir.setdefault(d, {})[fname] = s
         paths = []
         for b, ps in manifest["buckets"].items():
             if bucket_ids is not None and int(b) not in bucket_ids:
@@ -481,23 +514,23 @@ class ManagedTable:
                 # stats): within a surviving dir, skip individual files
                 # whose range cannot match — with Z-order clustering
                 # this prunes on EVERY clustered column, not just the
-                # sort prefix
-                prefix = p + "/"
-                per_file = {
-                    f: s for f, s in fstats.items() if f.startswith(prefix)
-                } if where else {}
-                # only prune per-file when EVERY parquet file in the
-                # dir has recorded stats — a file missing its entry
-                # must fall back to the whole-dir read, never be
-                # silently dropped
-                if per_file and len(per_file) == sum(
-                    1
-                    for fn in os.listdir(os.path.join(self.dir, p))
-                    if fn.endswith(".parquet")
-                ):
-                    for f, s in sorted(per_file.items()):
+                # sort prefix. Per-file pruning applies only when EVERY
+                # parquet file in the dir has recorded stats (count
+                # recorded at commit; legacy manifests list the dir) —
+                # a file missing its entry must fall back to the
+                # whole-dir read, never be silently dropped.
+                per_file = by_dir.get(p, {})
+                expected = nfiles.get(p)
+                if expected is None and per_file:  # legacy manifest
+                    expected = sum(
+                        1
+                        for fn in os.listdir(os.path.join(self.dir, p))
+                        if fn.endswith(".parquet")
+                    )
+                if per_file and len(per_file) == expected:
+                    for fname, s in sorted(per_file.items()):
                         if self._zone_keep(s, where):
-                            paths.append(os.path.join(self.dir, f))
+                            paths.append(os.path.join(self.dir, p, fname))
                 else:
                     paths.append(os.path.join(self.dir, p))
         if not paths:
@@ -933,7 +966,8 @@ class ManagedTable:
             raise ValueError(f"unsupported where conjuncts: {bad}")
         if not self.exists():
             return 0
-        manifest = self._load_manifest(self.current_version())
+        base_v = self.current_version()
+        manifest = self._load_manifest(base_v)
         stats = manifest.get("stats", {})
         # DIR-granular scoping: only dirs whose zone map intersects the
         # predicate are read/rewritten; a touched bucket's clean dirs
@@ -968,7 +1002,8 @@ class ManagedTable:
         survivors = cur.filter(~cond | cond.isNull())
         staged, sb = self._stage_bucketed(self._align(survivors, schema))
         return self._commit(
-            staged, sb, "delete", schema, "replace", touched, carry=carry
+            staged, sb, "delete", schema, "replace", touched, carry=carry,
+            expected_version=base_v,
         )
 
     def compact(self, spark: SparkSession, min_files: int = 2) -> int:
@@ -980,16 +1015,20 @@ class ManagedTable:
         micro-batch adds one file per touched bucket)."""
         if not self.exists():
             return 0
-        manifest = self._load_manifest(self.current_version())
+        base_v = self.current_version()
+        manifest = self._load_manifest(base_v)
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         touched = {
             int(b) for b, ps in manifest["buckets"].items() if len(ps) >= min_files
         }
         if not touched:
-            return self.current_version()
+            return base_v
         merged = self._read_manifest_buckets(spark, manifest, touched)
         staged, sb = self._stage_bucketed(self._align(merged, schema))
-        return self._commit(staged, sb, "compact", schema, "replace", touched)
+        return self._commit(
+            staged, sb, "compact", schema, "replace", touched,
+            expected_version=base_v,
+        )
 
     def zorder(
         self,
@@ -1015,26 +1054,51 @@ class ManagedTable:
             raise ValueError("zorder requires 2-4 columns")
         if not self.exists():
             return 0
-        manifest = self._load_manifest(self.current_version())
+        base_v = self.current_version()
+        manifest = self._load_manifest(base_v)
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
         cur = self._read_manifest_buckets(spark, manifest)
-        # per-column range for 16-bit normalization (tiny aggregate)
-        aggs = []
+        # normalization ranges come from the manifest's dir-level zone
+        # maps (driver-side fold, zero Spark jobs) — the footers were
+        # already read at commit time; only columns missing numeric
+        # stats in some dir fall back to one aggregate scan
+        dirs = [p for ps in manifest["buckets"].values() for p in ps]
+        stats = manifest.get("stats", {})
+        ranges: dict[str, tuple] = {}
+        missing: list[str] = []
         for c in cols:
-            n = F.col(c).cast("double")
-            aggs += [F.min(n).alias(f"mn_{c}"), F.max(n).alias(f"mx_{c}")]
-        rng = cur.agg(*aggs).collect()[0]
-        z = _morton_expr(
-            cols,
-            {c: (rng[f"mn_{c}"], rng[f"mx_{c}"]) for c in cols},
-        )
+            mms = [stats.get(p, {}).get(c) for p in dirs]
+            if mms and all(
+                mm is not None
+                and isinstance(mm[0], (int, float))
+                and not isinstance(mm[0], bool)
+                for mm in mms
+            ):
+                ranges[c] = (
+                    float(min(mm[0] for mm in mms)),
+                    float(max(mm[1] for mm in mms)),
+                )
+            else:
+                missing.append(c)
+        if missing:
+            aggs = []
+            for c in missing:
+                n = F.col(c).cast("double")
+                aggs += [F.min(n).alias(f"mn_{c}"), F.max(n).alias(f"mx_{c}")]
+            rng = cur.agg(*aggs).collect()[0]
+            for c in missing:
+                ranges[c] = (rng[f"mn_{c}"], rng[f"mx_{c}"])
+        z = _morton_expr(cols, ranges)
         touched = {int(b) for b in manifest["buckets"]}
         staged, sb = self._stage_bucketed(
             self._align(cur, schema),
             sort_exprs=[z],
             max_records_per_file=max_records_per_file,
         )
-        return self._commit(staged, sb, "zorder", schema, "replace", touched)
+        return self._commit(
+            staged, sb, "zorder", schema, "replace", touched,
+            expected_version=base_v,
+        )
 
     # -- maintenance (reference snapshot_mgmt.py equivalent) ------------------
 

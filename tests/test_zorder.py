@@ -116,3 +116,29 @@ def test_merge_after_zorder_keeps_correctness_and_file_stats(spark, tmp_path):
     total = len(t.data_files())
     ny = len(t.read(spark, where=[("y", "between", (0, 4))]).inputFiles())
     assert ny < total
+
+
+def test_rewrite_refuses_concurrent_commit(spark, tmp_path):
+    """Optimistic concurrency: a long-window rewrite (zorder/compact/
+    delete) staged against snapshot v must REFUSE to commit if another
+    writer committed since — replacing from the stale snapshot would
+    silently drop the concurrent commit's rows."""
+    t = ManagedTable(str(tmp_path), "cc", key_columns=["id"], num_buckets=2)
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("x"), (F.col("id") % 7).alias("y")
+    )
+    t.overwrite(df)
+    base = t.current_version()
+    staged, sb = t._stage_bucketed(t.read(spark))
+    # a concurrent writer lands between the rewrite's read and commit
+    t.append(
+        spark.createDataFrame([(1000, 1, 1)], "id long, x long, y long")
+    )
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        t._commit(
+            staged, sb, "zorder", t.read(spark).schema, "replace",
+            {0, 1}, expected_version=base,
+        )
+    # the concurrent append survived; the stale rewrite did not land
+    assert t.read(spark).filter(F.col("id") == 1000).count() == 1
+    assert t.current_version() == base + 1
