@@ -85,7 +85,7 @@ HEADLINE = [
     "events_match_recognize",
     "events_sessionize_dynamic_gap",
     "corpus_pack_sequences",
-    "agg_approx_percentile",
+    "agg_percentile_approx",
     "events_histogram_width_bucket",
 ]
 

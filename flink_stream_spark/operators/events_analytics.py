@@ -664,9 +664,12 @@ def events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY bucket ASC NULLS FIRST
     """,
     group="events-analytics",
-    doc="Fixed-bin value histogram via width_bucket(value, 0, 100, 10) "
-    "with under/overflow buckets 0 and 11 — the one-pass distribution "
-    "profile a monitoring layer draws per metric. The bucket id is a "
+    doc="Fixed-bin value histogram via the width_bucket BUILTIN "
+    "(bounds 0-100, 10 bins) with explicit under/overflow buckets 0 "
+    "and 11 — the bounded-domain complement of events_value_histogram "
+    "(which floor-bins an open domain per type); this form is what a "
+    "monitoring layer uses when the metric has a contract range and "
+    "out-of-range mass must be visible. The bucket id is a "
     "codegen'd arithmetic expression, so the whole histogram is one "
     "map-side-combined aggregate over ≤12 keys: shuffle volume is "
     "O(buckets), independent of row count — the 100 TB posture. Sums "

@@ -639,48 +639,6 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_approx_percentile",
-    """
-    SELECT l_returnflag,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           TRUE AS within_tol
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-    group="aggregation",
-    doc="GK-sketch quantiles (approx_percentile, accuracy=1000 → rank "
-    "error ≤ 0.001): at 100 TB this replaces an exact global sort per "
-    "percentile with a mergeable fixed-size sketch — map-side partial "
-    "sketches, one tiny shuffle. The gate form emits the rank-error "
-    "CONTRACT as a hashable boolean: each sketch estimate must land "
-    "between the exact percentiles ±0.02 rank around its target (a "
-    "20× margin over the sketch guarantee, so the boolean is stable "
-    "under any partitioning / merge order); the exact row count rides "
-    "along to keep the check deterministic.",
-)
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5D, 0.95D), 1000)"
-        ).alias("approx"),
-        # exact bracketing percentiles (single-pass, same shuffle)
-        F.expr(
-            "percentile(l_extendedprice, array(0.48D, 0.52D, 0.93D, 0.97D))"
-        ).alias("exact"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-    ok = (
-        F.col("approx")[0].between(F.col("exact")[0], F.col("exact")[1])
-        & F.col("approx")[1].between(F.col("exact")[2], F.col("exact")[3])
-    )
-    return agg.select(
-        "l_returnflag", "n_rows", ok.alias("within_tol")
-    ).orderBy("l_returnflag")
-
-
-@register(
     "agg_pivot",
     """
     SELECT l_returnflag,

@@ -200,12 +200,12 @@ NOTES = {
         "of a distributed BPE trainer, shuffling KBs regardless of corpus "
         "size."
     ),
-    "agg_approx_percentile": (
-        "GK sketch: partial approx_percentile + exact bracketing "
+    "agg_percentile_approx": (
+        "GK/KLL sketch: partial percentile_approx + the exact reference "
         "percentiles combine map-side around ONE exchange of fixed-size "
-        "sketch state — at 100 TB nothing resembling a sort of the value "
-        "column exists in the plan; the rank-error contract evaluates as "
-        "a scalar projection on 3 aggregate rows."
+        "sketch state — at 100 TB nothing resembling a global sort of "
+        "the value column exists in the plan; the tolerance contract "
+        "evaluates as a scalar projection on 3 aggregate rows."
     ),
     "events_histogram_width_bucket": (
         "width_bucket is a codegen'd arithmetic expression, so the whole "
