@@ -33,6 +33,20 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, group: str = "", doc: str = ""):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        prev = REGISTRY.get(name)
+        # refuse silent shadowing: a second module registering the same
+        # name would invisibly replace the first query everywhere (the
+        # driver gate, bench, docs). Re-registering the SAME function
+        # (module re-executed under a different import path) is fine.
+        if prev is not None and (
+            prev.build.__module__ != fn.__module__
+            or prev.build.__qualname__ != fn.__qualname__
+        ):
+            raise ValueError(
+                f"query name {name!r} already registered by "
+                f"{prev.build.__module__}.{prev.build.__qualname__}; "
+                f"refusing to overwrite with {fn.__module__}.{fn.__qualname__}"
+            )
         REGISTRY[name] = QuerySpec(name=name, build=fn, oracle=oracle, group=group, doc=doc)
         return fn
 
