@@ -94,7 +94,15 @@ def main() -> None:
         "SELECT count(*) AS n, max(score) AS max_score FROM accounts_v"
     ).show()
 
-    # 7. metadata tables, maintenance
+    # 7. Z-order clustering (OPTIMIZE ZORDER BY equivalent): rewrite
+    #    clustered on (user_id, score) so per-file zone maps prune on
+    #    EITHER column, then show the multi-dim pruned read
+    t.zorder(spark, ["user_id", "score"], max_records_per_file=32)
+    zr = t.read(spark, where=[("score", "between", (1_000, 2_000))])
+    print("post-zorder score-range read listed", len(zr.inputFiles()),
+          "of", len(t.data_files()), "files")
+
+    # 8. metadata tables, maintenance
     t.snapshots(spark).show(truncate=False)
     print("live data files:", t.files(spark).count())
     t.compact(spark)

@@ -24,7 +24,7 @@ def _load_registry():
         "relational", "tpch_extra", "tpch_more", "events",
         "events_analytics", "dedup", "similarity", "text", "text_rank",
         "quality", "corpus_ops", "sampling", "multimodal", "udfs",
-        "misc", "pipeline", "cdc",
+        "misc", "pipeline", "cdc", "graph",
     ):
         importlib.import_module(f"flink_stream_spark.operators.{m}")
     from flink_stream_spark.operators import REGISTRY
