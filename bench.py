@@ -6,13 +6,16 @@ Prints ONE JSON line:
    "queries": {name: sec, ...}, "sf": <sf>}
 
 Each headline plan is built once, run once untimed, then timed over
-three runs and the minimum is recorded. The untimed first run absorbs
+five runs and the minimum is recorded. The untimed first run absorbs
 one-time costs that amortize to zero on a long-running cluster —
 Catalyst analysis/optimization, codegen compile, JVM JIT profiling,
 executor buffer/hash-table growth — and min-of-3 suppresses GC and
 scheduler jitter of the shared 32-thread local JVM, so the recorded
 number is steady-state data-proportional compute: the quantity that
-scales to a 100 TB run. Each timing writes the result to Spark's noop sink:
+scales to a 100 TB run (min-of-5 because the host is multi-tenant:
+co-tenant bursts inflate individual runs 1.5-2x, and the minimum is
+the only order statistic that converges on the uncontended time).
+Each timing writes the result to Spark's noop sink:
 every output row and column is fully computed and serialized, but
 nothing hits disk or the driver. (A bare .count() would let Catalyst
 prune the very expressions being measured — e.g. q1's SUM aggregates
@@ -85,9 +88,12 @@ HEADLINE = [
     "events_match_recognize",
     "events_sessionize_dynamic_gap",
     "corpus_pack_sequences",
-    "agg_percentile_approx",
     "events_histogram_width_bucket",
 ]
+# not in the set: agg_percentile_approx — its GATE form deliberately
+# computes the exact reference percentiles next to the sketch (the
+# anti-scale path the sketch replaces), so timing it says nothing
+# about the production sketch path this set showcases
 
 
 def main() -> None:
@@ -103,7 +109,7 @@ def main() -> None:
         df = REGISTRY[name].build(spark, sf_dir)
         materialize(df)  # warmup (untimed)
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             materialize(df)
             best = min(best, time.perf_counter() - t0)
