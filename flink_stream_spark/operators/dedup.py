@@ -761,3 +761,51 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT p_name AS t FROM part),
+    named AS (
+      SELECT t, string_split(t, ' ')[1] AS block FROM vocab)
+    SELECT a.t AS name_a, b.t AS name_b,
+           CAST(levenshtein(a.t, b.t) AS INTEGER) AS lev_dist
+    FROM named a JOIN named b
+      ON a.block = b.block AND a.t < b.t
+    WHERE levenshtein(a.t, b.t) <= 3
+    ORDER BY name_a, name_b
+    """,
+    group="dedup",
+    doc="Fuzzy string matching for entity resolution (typo/variant "
+    "unification): pairs of DISTINCT p_name vocabulary values within "
+    "Levenshtein distance 3, candidate-blocked on the first token. "
+    "Matching the distinct-value dictionary instead of raw rows is the "
+    "scale pattern — the vocabulary is bounded (150 values at any SF) "
+    "while the fact table grows, so the edit-distance kernel's cost is "
+    "O(|vocab|^2/blocks), independent of table size; the resulting "
+    "canonical-form mapping then broadcasts back onto the corpus. "
+    "Levenshtein is the classic integer DP, bit-identical in both "
+    "engines.",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("t"))
+        .distinct()
+        .withColumn("block", F.split("t", " ")[0])
+    )
+    a = vocab.select(F.col("t").alias("name_a"), "block")
+    b = vocab.select(F.col("t").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("lev_dist"),
+        )
+        .filter(F.col("lev_dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
