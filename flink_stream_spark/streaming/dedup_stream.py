@@ -226,6 +226,15 @@ def process_batch(
     bands_table.append(bands_new.join(kept, "doc_id"), token=token)
     shingles_table.append(sh_new.join(kept, "doc_id"), token=token)
 
+    # small-files maintenance: each epoch appends one file per touched
+    # bucket, so without this an always-on stream degrades index reads
+    # O(epochs). Threshold-triggered; a no-op costs one manifest read.
+    # Runs AFTER the token-carrying commits so a crash before/after
+    # compaction never affects replay idempotency (compact rewrites
+    # files, never the commit-log tokens).
+    for t in (flags_table, bands_table, shingles_table):
+        t.maybe_compact(batch.sparkSession)
+
 
 def start_incremental_dedup(
     spark: SparkSession,

@@ -1030,6 +1030,28 @@ class ManagedTable:
             expected_version=base_v,
         )
 
+    def maybe_compact(
+        self, spark: SparkSession, max_files_per_bucket: int = 16
+    ) -> int | None:
+        """Threshold-triggered compaction for streaming-append tables —
+        the small-files guard: every micro-batch append adds one file
+        per touched bucket, so an always-on stream degrades reads
+        O(epochs) without maintenance. One manifest read (driver
+        metadata, no Spark job) decides; the rewrite runs only when
+        some bucket's file list has passed the threshold. Call it from
+        the foreachBatch tail — amortized cost is one bucket rewrite
+        per ``max_files_per_bucket`` epochs. Returns the new version
+        when compaction ran, else None."""
+        if not self.exists():
+            return None
+        manifest = self._load_manifest(self.current_version())
+        if not manifest["buckets"]:
+            return None
+        worst = max(len(ps) for ps in manifest["buckets"].values())
+        if worst < max_files_per_bucket:
+            return None
+        return self.compact(spark, min_files=2)
+
     def zorder(
         self,
         spark: SparkSession,

@@ -185,3 +185,37 @@ def test_temporal_join_no_range_explosion(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "cdc_temporal_join")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# the blanket lint: EVERY registered query's physical plan, no
+# exceptions beyond the declared UDF-surface demos
+_PYTHON_EVAL_OK = {
+    # the UDF-surface queries exist to exercise the Python boundary;
+    # everything else must stay JVM-side
+    "udf_pandas_scalar",      # ArrowEvalPython (vectorized pandas_udf)
+    "udtf_sentence_split",    # PythonUDTF (+ its BatchEvalPython shell)
+}
+
+
+def test_registry_wide_plan_lint(spark, sf_oracle):
+    """Scale-posture lint over the FULL registry: no CartesianProduct
+    in any of the ~170 query plans (a cross join that stops being a
+    broadcast silently becomes O(n²) at scale), and no Python
+    evaluation nodes outside the declared UDF-surface queries (a
+    row-at-a-time UDF sneaking into a hot path is a 10-100× regression
+    that no result-correctness test would ever catch)."""
+    import __spark_entry__  # noqa: F401  (populates the registry)
+
+    bad = []
+    for name, spec in sorted(REGISTRY.items()):
+        df = spec.build(spark, sf_oracle)
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if name not in _PYTHON_EVAL_OK:
+            for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF"):
+                if node in plan:
+                    bad.append((name, node))
+    assert not bad, f"plan lint violations: {bad}"

@@ -142,3 +142,31 @@ def test_rewrite_refuses_concurrent_commit(spark, tmp_path):
     # the concurrent append survived; the stale rewrite did not land
     assert t.read(spark).filter(F.col("id") == 1000).count() == 1
     assert t.current_version() == base + 1
+
+
+def test_maybe_compact_bounds_streaming_append_files(spark, tmp_path):
+    """Small-files guard: 20 micro-batch-style appends with
+    maybe_compact after each keep every bucket's file list bounded by
+    the threshold, and content is never lost."""
+    t = ManagedTable(str(tmp_path), "sf", key_columns=["id"], num_buckets=2)
+    total = 0
+    for epoch in range(20):
+        t.append(
+            spark.createDataFrame(
+                [(epoch * 10 + i, epoch) for i in range(10)], "id long, epoch long"
+            ),
+            token=f"epoch:{epoch}",
+        )
+        total += 10
+        t.maybe_compact(spark, max_files_per_bucket=5)
+        manifest = t._load_manifest(t.current_version())
+        worst = max(len(ps) for ps in manifest["buckets"].values())
+        assert worst <= 5, f"epoch {epoch}: {worst} file dirs in a bucket"
+    assert t.read(spark).count() == total
+    # replay idempotency survives compaction: a replayed epoch no-ops
+    v = t.current_version()
+    t.append(
+        spark.createDataFrame([(1, 0)], "id long, epoch long"), token="epoch:3"
+    )
+    assert t.current_version() == v
+    assert t.read(spark).count() == total
