@@ -95,6 +95,8 @@ storage_ops = st.lists(
         st.tuples(st.just("delete"), st.lists(st.integers(0, 6), min_size=1, max_size=3, unique=True)),
         st.tuples(st.just("compact"), st.none()),
         st.tuples(st.just("expire"), st.none()),
+        st.tuples(st.just("zorder"), st.none()),
+        st.tuples(st.just("autocompact"), st.none()),
     ),
     min_size=1,
     max_size=8,
@@ -129,6 +131,13 @@ def test_bucketed_storage_under_random_maintenance(spark, tmp_path_factory, ops)
             table.compact(spark)
         elif op == "expire":
             table.expire_snapshots(retain_last=1)
+        elif op == "zorder":
+            # v is a string column: exercises the non-numeric-stats
+            # fallback (contributes no Morton bits, never breaks)
+            if table.exists():
+                table.zorder(spark, ["k", "v"], max_records_per_file=3)
+        elif op == "autocompact":
+            table.maybe_compact(spark, max_files_per_bucket=2)
         got = (
             {r["k"]: r["v"] for r in table.read(spark).collect()}
             if table.exists()
