@@ -41,6 +41,10 @@ def get_spark(app_name: str = "flink_stream_spark", cpus: int | None = None) -> 
         # matching DuckDB's naive-UTC reading of the same files.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # INT96 (the legacy default) carries NO parquet min/max stats,
+        # which silently disables every timestamp zone map / row-group
+        # skip; MICROS is the modern type DuckDB reads identically
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.warehouse.dir", "/tmp/flink_stream_spark/warehouse")
     )

@@ -70,6 +70,23 @@ _BUCKET_COL = "__bucket"
 _PRUNE_OPS = {"=", "<", "<=", ">", ">=", "between"}
 
 
+def _canon_stat(v):
+    """Canonicalize a footer statistic / predicate literal for zone-map
+    comparison. Timestamps become exact UTC epoch-microsecond ints and
+    dates become ordinal-day ints (JSON-storable, totally ordered —
+    without this, timestamp columns would carry no zone maps at all and
+    ``delete_where("ts < cutoff")``, the primary retention pattern,
+    could never prune). Everything else passes through."""
+    import calendar
+    import datetime
+
+    if isinstance(v, datetime.datetime):  # incl. pd.Timestamp
+        return calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
+    if isinstance(v, datetime.date):
+        return v.toordinal()
+    return v
+
+
 def _dir_column_stats(data_dir: str) -> tuple[dict, dict]:
     """Zone maps for one committed data directory, at two granularities
     from ONE footer pass: ``(dir_stats, file_stats)`` where dir_stats
@@ -102,11 +119,9 @@ def _dir_column_stats(data_dir: str) -> tuple[dict, dict]:
                 if "." in name:
                     continue  # nested leaves: not prunable at top level
                 st = col.statistics
-                if (
-                    st is None
-                    or not st.has_min_max
-                    or not isinstance(st.min, (int, float, str, bool))
-                ):
+                mn = _canon_stat(st.min) if st is not None and st.has_min_max else None
+                mx = _canon_stat(st.max) if st is not None and st.has_min_max else None
+                if mn is None or not isinstance(mn, (int, float, str, bool)):
                     dropped.add(name)
                     stats.pop(name, None)
                     fdropped.add(name)
@@ -115,18 +130,18 @@ def _dir_column_stats(data_dir: str) -> tuple[dict, dict]:
                 if name not in fdropped:
                     fcur = fs.get(name)
                     if fcur is None:
-                        fs[name] = [st.min, st.max]
+                        fs[name] = [mn, mx]
                     else:
-                        fcur[0] = min(fcur[0], st.min)
-                        fcur[1] = max(fcur[1], st.max)
+                        fcur[0] = min(fcur[0], mn)
+                        fcur[1] = max(fcur[1], mx)
                 if name in dropped:
                     continue
                 cur = stats.get(name)
                 if cur is None:
-                    stats[name] = [st.min, st.max]
+                    stats[name] = [mn, mx]
                 else:
-                    cur[0] = min(cur[0], st.min)
-                    cur[1] = max(cur[1], st.max)
+                    cur[0] = min(cur[0], mn)
+                    cur[1] = max(cur[1], mx)
         if fs:
             fstats[fname] = fs
     return stats, fstats
@@ -134,7 +149,13 @@ def _dir_column_stats(data_dir: str) -> tuple[dict, dict]:
 
 def _zone_overlaps(lo, hi, op: str, value) -> bool:
     """Can a file whose column spans [lo, hi] contain rows matching
-    ``col <op> value``? False → the file is skipped."""
+    ``col <op> value``? False → the file is skipped. Datetime/date
+    literals canonicalize to the same epoch-int form the stats were
+    stored in."""
+    if isinstance(value, (tuple, list)):
+        value = tuple(_canon_stat(v) for v in value)
+    else:
+        value = _canon_stat(value)
     try:
         if op == "=":
             return lo <= value <= hi
@@ -311,6 +332,15 @@ class ManagedTable:
         multiple files so per-file zone maps have pruning granularity.
         """
         staged = os.path.join(self.dir, f"_staged_{uuid.uuid4().hex}")
+        try:
+            # set defensively (the external driver builds its own
+            # session): legacy INT96 timestamps carry no parquet stats,
+            # so ts zone maps would silently never exist
+            df.sparkSession.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
+        except Exception:
+            pass
         out = df.withColumn(_BUCKET_COL, self._bucket_expr())
         out = out.repartition(_BUCKET_COL)
         if sort_exprs is not None:
@@ -1105,7 +1135,9 @@ class ManagedTable:
         if missing:
             aggs = []
             for c in missing:
-                n = F.col(c).cast("double")
+                # try_cast: a non-numeric column yields NULL range and
+                # contributes no Morton bits (ANSI cast would throw)
+                n = F.expr(f"try_cast(`{c}` AS DOUBLE)")
                 aggs += [F.min(n).alias(f"mn_{c}"), F.max(n).alias(f"mx_{c}")]
             rng = cur.agg(*aggs).collect()[0]
             for c in missing:

@@ -170,3 +170,35 @@ def test_maybe_compact_bounds_streaming_append_files(spark, tmp_path):
     )
     assert t.current_version() == v
     assert t.read(spark).count() == total
+
+
+def test_timestamp_zone_maps_prune_retention_delete(spark, tmp_path):
+    """Timestamp columns carry zone maps (canonicalized to epoch
+    micros): a retention read/delete on ts prunes the commits whose
+    range cannot match — the primary time-retention pattern."""
+    import datetime
+
+    t = ManagedTable(str(tmp_path), "ts", key_columns=["id"], num_buckets=1)
+    base = datetime.datetime(2026, 1, 1)
+    # three appends, one per day — three dirs with disjoint ts ranges
+    for day in range(3):
+        rows = [
+            (day * 100 + i, base + datetime.timedelta(days=day, minutes=i))
+            for i in range(50)
+        ]
+        t.append(spark.createDataFrame(rows, "id long, ts timestamp"))
+    total_files = len(t.data_files())
+    day0 = t.read(
+        spark,
+        where=[("ts", "<", base + datetime.timedelta(days=1))],
+    )
+    assert len(day0.inputFiles()) < total_files  # days 1-2 pruned
+    assert day0.count() == 50
+    # retention delete rewrites ONLY the old day's dir: newer files
+    # survive under their original paths
+    files_before = set(t.data_files())
+    t.delete_where(spark, [("ts", "<", base + datetime.timedelta(days=1))])
+    files_after = set(t.data_files())
+    assert t.read(spark).count() == 100
+    # the two newer dirs carried forward untouched
+    assert len(files_before & files_after) >= 2
