@@ -175,7 +175,22 @@ def _zone_overlaps(lo, hi, op: str, value) -> bool:
     return True
 
 
-def _morton_expr(cols: list[str], ranges: dict) -> "F.Column":
+def _zorder_numeric(c: str, dtype: T.DataType) -> "F.Column":
+    """Per-type numeric view of a Z-order column, in the SAME units as
+    the canonicalized zone-map stats (_canon_stat): timestamps → epoch
+    micros, dates → ordinal days, numerics → double. A mismatch here
+    (e.g. cast(ts AS double) = epoch SECONDS vs micros stats) would
+    clamp every value to bucket 0 and silently destroy clustering on
+    that column."""
+    if isinstance(dtype, T.TimestampType):
+        return F.unix_micros(F.col(c)).cast("double")
+    if isinstance(dtype, T.DateType):
+        # days since 0001-01-01 plus 1 == datetime.date.toordinal()
+        return (F.datediff(F.col(c), F.lit("0001-01-01")) + 1).cast("double")
+    return F.expr(f"try_cast(`{c}` AS DOUBLE)")
+
+
+def _morton_expr(cols: list[str], ranges: dict, types: dict) -> "F.Column":
     """Morton (Z-order) key over 2-4 columns as a single codegen'd
     bitwise expression: each column min/max-normalizes to 16 bits and
     its bits interleave k-apart. NULLs normalize to the column minimum
@@ -187,10 +202,11 @@ def _morton_expr(cols: list[str], ranges: dict) -> "F.Column":
         mn, mx = ranges[c]
         if mn is None or mx is None or mx == mn:
             continue  # constant/empty column contributes no bits
+        mn, mx = float(mn), float(mx)
         scale = 65535.0 / (mx - mn)
+        num = _zorder_numeric(c, types[c])
         norm = F.floor(
-            (F.coalesce(F.col(c).cast("double"), F.lit(float(mn))) - F.lit(float(mn)))
-            * F.lit(scale)
+            (F.coalesce(num, F.lit(mn)) - F.lit(mn)) * F.lit(scale)
         ).cast("long")
         norm = F.least(F.greatest(norm, F.lit(0)), F.lit(65535))
         for b in range(16):
@@ -1132,17 +1148,23 @@ class ManagedTable:
                 )
             else:
                 missing.append(c)
+        types = {f.name: f.dataType for f in schema.fields}
+        bad = [c for c in cols if c not in types]
+        if bad:
+            raise ValueError(f"zorder columns not in table schema: {bad}")
         if missing:
             aggs = []
             for c in missing:
-                # try_cast: a non-numeric column yields NULL range and
-                # contributes no Morton bits (ANSI cast would throw)
-                n = F.expr(f"try_cast(`{c}` AS DOUBLE)")
+                # same per-type numeric view as the Morton key (and a
+                # try_cast for plain columns: a non-numeric column
+                # yields NULL range and contributes no Morton bits —
+                # ANSI cast would throw)
+                n = _zorder_numeric(c, types[c])
                 aggs += [F.min(n).alias(f"mn_{c}"), F.max(n).alias(f"mx_{c}")]
             rng = cur.agg(*aggs).collect()[0]
             for c in missing:
                 ranges[c] = (rng[f"mn_{c}"], rng[f"mx_{c}"])
-        z = _morton_expr(cols, ranges)
+        z = _morton_expr(cols, ranges, types)
         touched = {int(b) for b in manifest["buckets"]}
         staged, sb = self._stage_bucketed(
             self._align(cur, schema),

@@ -202,3 +202,42 @@ def test_timestamp_zone_maps_prune_retention_delete(spark, tmp_path):
     assert t.read(spark).count() == 100
     # the two newer dirs carried forward untouched
     assert len(files_before & files_after) >= 2
+
+
+def test_zorder_on_timestamp_column(spark, tmp_path):
+    """Z-order with a TIMESTAMP dimension: the Morton key normalizes
+    via epoch micros (matching the canonicalized zone-map stats), so a
+    time-slab read prunes files — the textbook ZORDER BY (ts, key)."""
+    import datetime
+
+    t = ManagedTable(str(tmp_path), "zt2", key_columns=["id"], num_buckets=1)
+    base = datetime.datetime(2026, 3, 1)
+    rows = [
+        (i, base + datetime.timedelta(minutes=(i * 7919) % 10_000), i % 100)
+        for i in range(8_000)
+    ]
+    t.overwrite(spark.createDataFrame(rows, "id long, ts timestamp, x long"))
+    t.zorder(spark, ["ts", "x"], max_records_per_file=512)
+    total = len(t.data_files())
+    slab = t.read(
+        spark,
+        where=[
+            (
+                "ts",
+                "between",
+                (base, base + datetime.timedelta(minutes=1_000)),
+            )
+        ],
+    )
+    assert len(slab.inputFiles()) <= 0.75 * total
+    nx = len(t.read(spark, where=[("x", "between", (10, 19))]).inputFiles())
+    assert nx <= 0.75 * total
+    # exactness: pruned read equals full-scan filter
+    got = sorted(r["id"] for r in slab.collect())
+    want = sorted(
+        r["id"]
+        for r in t.read(spark)
+        .filter(F.col("ts").between(base, base + datetime.timedelta(minutes=1_000)))
+        .collect()
+    )
+    assert got == want
