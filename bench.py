@@ -9,7 +9,7 @@ Each headline plan is built once, run once untimed, then timed over
 five runs and the minimum is recorded. The untimed first run absorbs
 one-time costs that amortize to zero on a long-running cluster —
 Catalyst analysis/optimization, codegen compile, JVM JIT profiling,
-executor buffer/hash-table growth — and min-of-3 suppresses GC and
+executor buffer/hash-table growth — and min-of-5 suppresses GC and
 scheduler jitter of the shared 32-thread local JVM, so the recorded
 number is steady-state data-proportional compute: the quantity that
 scales to a 100 TB run (min-of-5 because the host is multi-tenant:

@@ -37,9 +37,11 @@ def register(name: str, oracle: str | None, group: str = "", doc: str = ""):
         # refuse silent shadowing: a second module registering the same
         # name would invisibly replace the first query everywhere (the
         # driver gate, bench, docs). Re-registering the SAME function
-        # (module re-executed under a different import path) is fine.
+        # (module re-executed under a different import path) is fine —
+        # identified by source file + qualname, NOT __module__, which
+        # differs across import paths for the same file.
         if prev is not None and (
-            prev.build.__module__ != fn.__module__
+            prev.build.__code__.co_filename != fn.__code__.co_filename
             or prev.build.__qualname__ != fn.__qualname__
         ):
             raise ValueError(

@@ -81,6 +81,11 @@ def _canon_stat(v):
     import datetime
 
     if isinstance(v, datetime.datetime):  # incl. pd.Timestamp
+        if v.tzinfo is not None:
+            # normalize aware literals to the UTC instant FIRST —
+            # timegm over wall-clock components would otherwise shift
+            # the cutoff by the offset and mis-prune
+            v = v.astimezone(datetime.timezone.utc)
         return calendar.timegm(v.timetuple()) * 1_000_000 + v.microsecond
     if isinstance(v, datetime.date):
         return v.toordinal()
@@ -184,6 +189,11 @@ def _zorder_numeric(c: str, dtype: T.DataType) -> "F.Column":
     that column."""
     if isinstance(dtype, T.TimestampType):
         return F.unix_micros(F.col(c)).cast("double")
+    if isinstance(dtype, T.TimestampNTZType):
+        # NTZ → session-TZ timestamp; under the engine's UTC session
+        # the wall clock IS the canonical instant, matching the naive
+        # stats canonicalization
+        return F.unix_micros(F.col(c).cast("timestamp")).cast("double")
     if isinstance(dtype, T.DateType):
         # days since 0001-01-01 plus 1 == datetime.date.toordinal()
         return (F.datediff(F.col(c), F.lit("0001-01-01")) + 1).cast("double")
@@ -348,13 +358,19 @@ class ManagedTable:
         multiple files so per-file zone maps have pruning granularity.
         """
         staged = os.path.join(self.dir, f"_staged_{uuid.uuid4().hex}")
+        # scoped conf override (the external driver builds its own
+        # session): legacy INT96 timestamps carry no parquet stats, so
+        # ts zone maps would silently never exist. Restored afterwards
+        # so a session that deliberately writes INT96 elsewhere (legacy
+        # Hive compat) is not permanently mutated by a table write.
+        _TS_KEY = "spark.sql.parquet.outputTimestampType"
+        conf = df.sparkSession.conf
         try:
-            # set defensively (the external driver builds its own
-            # session): legacy INT96 timestamps carry no parquet stats,
-            # so ts zone maps would silently never exist
-            df.sparkSession.conf.set(
-                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-            )
+            prior = conf.get(_TS_KEY)
+        except Exception:
+            prior = None
+        try:
+            conf.set(_TS_KEY, "TIMESTAMP_MICROS")
         except Exception:
             pass
         out = df.withColumn(_BUCKET_COL, self._bucket_expr())
@@ -370,7 +386,14 @@ class ManagedTable:
         writer = out.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-        writer.partitionBy(_BUCKET_COL).parquet(staged)
+        try:
+            writer.partitionBy(_BUCKET_COL).parquet(staged)
+        finally:
+            try:
+                if prior is not None:
+                    conf.set(_TS_KEY, prior)
+            except Exception:
+                pass
         buckets: dict[int, str] = {}
         for d in os.listdir(staged):
             if d.startswith(f"{_BUCKET_COL}="):
@@ -1096,7 +1119,11 @@ class ManagedTable:
         worst = max(len(ps) for ps in manifest["buckets"].values())
         if worst < max_files_per_bucket:
             return None
-        return self.compact(spark, min_files=2)
+        # compact ONLY the over-threshold buckets (min_files = the
+        # threshold): rewriting every >=2-dir bucket here would be a
+        # near-full-table rewrite inside a foreachBatch tail, breaking
+        # the one-bucket-per-N-epochs amortization this guard promises
+        return self.compact(spark, min_files=max_files_per_bucket)
 
     def zorder(
         self,

@@ -194,7 +194,24 @@ _PYTHON_EVAL_OK = {
     # everything else must stay JVM-side
     "udf_pandas_scalar",      # ArrowEvalPython (vectorized pandas_udf)
     "udtf_sentence_split",    # PythonUDTF (+ its BatchEvalPython shell)
+    "udf_grouped_apply",      # FlatMapGroupsInPandas (applyInPandas)
+    # the multimodal stages are Arrow-batched mapInPandas BY DESIGN
+    # (codec work cannot be expressed JVM-side)
+    "multimodal_metadata_extract",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "multimodal_feature_extract",
 }
+
+_PYTHON_NODES = (
+    "BatchEvalPython",         # row-at-a-time UDF (never acceptable)
+    "ArrowEvalPython",         # pandas_udf
+    "PythonUDTF",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",   # applyInPandas
+    "MapInArrow",
+    "FlatMapGroupsInArrow",
+)
 
 
 def test_registry_wide_plan_lint(spark, sf_oracle):
@@ -215,7 +232,7 @@ def test_registry_wide_plan_lint(spark, sf_oracle):
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
         if name not in _PYTHON_EVAL_OK:
-            for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDTF"):
+            for node in _PYTHON_NODES:
                 if node in plan:
                     bad.append((name, node))
     assert not bad, f"plan lint violations: {bad}"
