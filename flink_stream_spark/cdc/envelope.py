@@ -12,6 +12,8 @@ are explicit DataFrame plans.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -43,7 +45,12 @@ def debezium_envelope_schema(row_schema: T.StructType) -> T.StructType:
     return T.StructType([T.StructField("payload", payload, True)])
 
 
-def parse_envelopes(raw: DataFrame, row_schema: T.StructType, value_col: str = "value") -> DataFrame:
+def parse_envelopes(
+    raw: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+    extra_string_fields: list[str] | None = None,
+) -> DataFrame:
     """raw JSON envelope strings → flattened change rows.
 
     Output: row columns (from after, falling back to before for
@@ -52,9 +59,15 @@ def parse_envelopes(raw: DataFrame, row_schema: T.StructType, value_col: str = "
     ``DebeziumTransform`` SMT's ``_cdc.*`` fields.
     Malformed JSON or envelopes without an op are dropped (the
     reference's null-filter discipline, flink_json_to_iceberg.py:117,144).
+
+    ``extra_string_fields``: payload keys NOT in ``row_schema`` to
+    surface as STRING columns (schema drift — from_json drops unknown
+    keys, so these extract from the raw text; Debezium-without-registry
+    lax typing until the column is promoted in the declared schema).
     """
     env = raw.select(
-        F.from_json(F.col(value_col), debezium_envelope_schema(row_schema)).alias("e")
+        F.col(value_col),
+        F.from_json(F.col(value_col), debezium_envelope_schema(row_schema)).alias("e"),
     )
     p = F.col("e.payload")
     # before-image fallback ONLY for deletes (after is null there; the
@@ -67,6 +80,19 @@ def parse_envelopes(raw: DataFrame, row_schema: T.StructType, value_col: str = "
         .alias(f.name)
         for f in row_schema.fields
     ]
+    for k in extra_string_fields or []:
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k):
+            raise ValueError(f"invalid drift field name: {k!r}")
+        row_cols.append(
+            F.when(
+                p["op"] == "d",
+                F.get_json_object(F.col(value_col), f"$.payload.before.{k}"),
+            )
+            .otherwise(
+                F.get_json_object(F.col(value_col), f"$.payload.after.{k}")
+            )
+            .alias(k)
+        )
     return (
         env.select(
             *row_cols,

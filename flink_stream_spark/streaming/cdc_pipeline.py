@@ -19,6 +19,38 @@ from flink_stream_spark.cdc.envelope import apply_cdc_batch, parse_envelopes
 from flink_stream_spark.tables.managed import Warehouse
 
 
+def _drift_fields(
+    subset: DataFrame, declared: "T.StructType", value_col: str = "raw"
+) -> list[str]:
+    """Schema drift: payload.after keys present in this batch but
+    absent from the declared row schema (the sink's
+    ``evolve-schema-enabled`` behavior, connect-iceberg-sink.json:13).
+    One JVM-side distinct aggregate over json_object_keys — no
+    sampling, no RDD; the driver receives only the distinct new key
+    NAMES (bounded by schema width). Keys that are not plain
+    identifiers are ignored (they cannot be table columns)."""
+    declared_names = {f.name for f in declared.fields}
+    rows = (
+        subset.select(
+            F.explode_outer(
+                F.json_object_keys(
+                    F.get_json_object(F.col(value_col), "$.payload.after")
+                )
+            ).alias("k")
+        )
+        .filter(F.col("k").isNotNull())
+        .distinct()
+        .collect()
+    )
+    import re as _re
+
+    return sorted(
+        k
+        for k in {r["k"] for r in rows} - declared_names
+        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k)
+    )
+
+
 def _route(batch: DataFrame, value_col: str = "raw") -> DataFrame:
     """One cheap pass tags each envelope with its source table; the
     full typed parse then runs per table on ONLY that table's rows
@@ -39,12 +71,17 @@ def start_cdc_pipeline(
     checkpoint_dir: str,
     trigger_seconds: int = 10,
     table_suffix: str = "_postgres",
+    evolve_new_fields: bool = True,
 ):
     """One streaming query fans envelopes out to N managed tables.
 
     ``row_schemas``/``table_keys`` mirror the sink's per-table config
     (``iceberg.tables.*.id-columns``). Target naming follows the
     reference's route pattern ``cdc.{table}_postgres``.
+    ``evolve_new_fields``: mid-stream payload fields absent from the
+    declared schema become string-typed evolved columns (the sink's
+    ``evolve-schema-enabled``); pass False for strict declared-schema
+    parsing.
     """
     raw = (
         spark.readStream.format("text")
@@ -58,7 +95,16 @@ def start_cdc_pipeline(
         try:
             for src_table, schema in row_schemas.items():
                 subset = batch.filter(F.col("__t") == src_table)
-                changes = parse_envelopes(subset, schema, value_col="raw")
+                # mid-stream schema drift: new payload fields surface
+                # as STRING columns and the managed table evolves on
+                # merge (old rows read NULL) — the sink's
+                # evolve-schema-enabled contract
+                drift = (
+                    _drift_fields(subset, schema) if evolve_new_fields else []
+                )
+                changes = parse_envelopes(
+                    subset, schema, value_col="raw", extra_string_fields=drift
+                )
                 if changes.isEmpty():
                     continue
                 keys = table_keys[src_table]

@@ -762,3 +762,44 @@ def test_update_setting_field_null_not_resurrected(spark, tmp_path):
     apply_cdc_batch(t, changes, ["user_id"])
     got = t.read(spark).collect()
     assert len(got) == 1 and got[0]["email"] is None  # NULL persisted
+
+
+def test_streaming_cdc_schema_drift_evolves_table(spark, tmp_path):
+    """Mid-stream schema drift (the sink's evolve-schema-enabled):
+    a later envelope carries a payload field absent from the declared
+    row schema. The pipeline surfaces it as a string-typed column, the
+    managed table evolves on merge, and earlier rows read NULL."""
+    src = tmp_path / "drift_topic"
+    src.mkdir()
+    wh = Warehouse(str(tmp_path / "wh"))
+    with open(src / "e1.jsonl", "w") as f:
+        f.write(
+            env("account", "c", {"user_id": 1, "email": "a@x", "created_at": 1},
+                lsn=1, ts_ms=1) + "\n"
+        )
+    q = start_cdc_pipeline(
+        spark,
+        str(src),
+        wh,
+        {"account": ACCOUNT},
+        {"account": ["user_id"]},
+        checkpoint_dir=str(tmp_path / "ckpt_drift"),
+    )
+    try:
+        q.processAllAvailable()
+        with open(src / "e2.jsonl", "w") as f:
+            f.write(
+                env("account", "c",
+                    {"user_id": 2, "email": "b@x", "created_at": 2,
+                     "email_verified": "true"},
+                    lsn=2, ts_ms=2) + "\n"
+            )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = wh.table("account_postgres")
+    got = {r["user_id"]: r.asDict() for r in t.read(spark).collect()}
+    assert set(got) == {1, 2}
+    assert "email_verified" in got[1]
+    assert got[1]["email_verified"] is None  # pre-drift row null-fills
+    assert got[2]["email_verified"] == "true"  # lax string typing
