@@ -693,3 +693,59 @@ def events_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy(F.col("bucket").asc_nulls_first())
     )
+
+
+@register(
+    "events_user_stickiness",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) AS day_ms,
+             CAST(epoch_ms(date_trunc('month', ts)) AS BIGINT) AS month_ms,
+             COUNT(DISTINCT user_id) AS dau
+      FROM events GROUP BY day_ms, month_ms),
+    monthly AS (
+      SELECT CAST(epoch_ms(date_trunc('month', ts)) AS BIGINT) AS month_ms,
+             COUNT(DISTINCT user_id) AS mau
+      FROM events GROUP BY month_ms)
+    SELECT d.day_ms,
+           CAST(d.dau AS BIGINT) AS dau,
+           CAST(m.mau AS BIGINT) AS mau,
+           CAST((1000000 * d.dau) // m.mau AS BIGINT) AS stickiness_ppm
+    FROM daily d JOIN monthly m ON d.month_ms = m.month_ms
+    ORDER BY d.day_ms
+    """,
+    group="events-analytics",
+    doc="DAU/MAU stickiness: daily distinct users over their month's "
+    "distinct users, as exact integer ppm (1e6*dau div mau — no float "
+    "division, bit-identical across engines). Two distinct-count "
+    "aggregates on (day|month, user) then a broadcast-size join on the "
+    "month (|months| rows). At 100 TB the distinct counts are the "
+    "expensive part; both combine map-side as partial sets and the "
+    "month table stays tiny, so shuffle volume is O(|users|/partition "
+    "key), never raw events twice.",
+)
+def events_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _events(spark, sf_dir)
+    keyed = e.select(
+        F.unix_millis(F.date_trunc("day", "ts")).alias("day_ms"),
+        F.unix_millis(F.date_trunc("month", "ts")).alias("month_ms"),
+        "user_id",
+    )
+    daily = keyed.groupBy("day_ms", "month_ms").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    monthly = keyed.groupBy("month_ms").agg(
+        F.countDistinct("user_id").alias("mau")
+    )
+    return (
+        daily.join(F.broadcast(monthly), "month_ms")
+        .select(
+            "day_ms",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("mau").cast("bigint").alias("mau"),
+            F.expr("(1000000 * dau) div mau").cast("bigint").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day_ms")
+    )
