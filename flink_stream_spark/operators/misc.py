@@ -417,3 +417,96 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "orders_open_backlog_timeseries",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS shipped
+      FROM lineitem GROUP BY l_orderkey),
+    deltas AS (
+      SELECT CAST(epoch_ms(date_trunc('day', o_orderdate)) AS BIGINT)
+               AS day_ms, 1 AS d
+      FROM orders
+      UNION ALL
+      SELECT CAST(epoch_ms(date_trunc('day', shipped)) AS BIGINT)
+               + 86400000 AS day_ms, -1 AS d
+      FROM ship),
+    daily AS (SELECT day_ms, SUM(d) AS delta FROM deltas GROUP BY day_ms)
+    SELECT day_ms,
+           CAST(SUM(delta) OVER (ORDER BY day_ms
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS open_orders
+    FROM daily
+    ORDER BY day_ms
+    """,
+    group="events-analytics",
+    doc="Open-order backlog per day (interval stabbing WITHOUT a range "
+    "join): each order contributes +1 at its order day and -1 the day "
+    "after its last shipment; the running prefix sum of the per-day "
+    "deltas IS the number of intervals covering each day. Orders with "
+    "no shipped lineitem stay open (never closed). Scale: the O(n) "
+    "events aggregate to |days| delta rows BEFORE the single-partition "
+    "running sum, so the window touches thousands of rows regardless "
+    "of order count — the standard trick that replaces an O(n·days) "
+    "range join with two shuffles of bounded keys.",
+)
+def orders_open_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("shipped"))
+    opens = o.select(
+        F.unix_millis(F.date_trunc("day", "o_orderdate")).alias("day_ms"),
+        F.lit(1).alias("d"),
+    )
+    closes = ship.select(
+        (F.unix_millis(F.date_trunc("day", "shipped")) + 86400000).alias(
+            "day_ms"
+        ),
+        F.lit(-1).alias("d"),
+    )
+    daily = (
+        opens.unionByName(closes).groupBy("day_ms").agg(F.sum("d").alias("delta"))
+    )
+    w = W.orderBy("day_ms").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day_ms", F.sum("delta").over(w).cast("bigint").alias("open_orders")
+    ).orderBy("day_ms")
+
+
+@register(
+    "scalar_bitwise",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 15 AS BIGINT) AS with_flags,
+           CAST(xor(o_orderkey, 255) AS BIGINT) AS toggled,
+           CAST(o_orderkey << 2 AS BIGINT) AS shifted_up,
+           CAST(o_orderkey >> 3 AS BIGINT) AS shifted_down,
+           CAST(bit_count(o_orderkey) AS INTEGER) AS set_bits
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    group="scalar",
+    doc="Bitwise function family (&, |, xor, shifts, bit_count) — the "
+    "flag-mask / feature-hash arithmetic pipelines use for compact "
+    "per-row state. Pure codegen projections; both engines operate on "
+    "two's-complement BIGINT, so results are bit-identical. (DuckDB "
+    "spells xor as a function — ^ is exponentiation there; Spark "
+    "spells it ^.)",
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).cast("bigint").alias("with_flags"),
+        k.bitwiseXOR(F.lit(255)).cast("bigint").alias("toggled"),
+        F.shiftleft(k, 2).cast("bigint").alias("shifted_up"),
+        F.shiftright(k, 3).cast("bigint").alias("shifted_down"),
+        F.bit_count(k).cast("int").alias("set_bits"),
+    ).orderBy("o_orderkey")
