@@ -89,6 +89,7 @@ HEADLINE = [
     "events_sessionize_dynamic_gap",
     "corpus_pack_sequences",
     "events_histogram_width_bucket",
+    "orders_open_backlog_timeseries",
 ]
 # not in the set: agg_percentile_approx — its GATE form deliberately
 # computes the exact reference percentiles next to the sketch (the
