@@ -63,7 +63,10 @@ def parse_envelopes(
     ``extra_string_fields``: payload keys NOT in ``row_schema`` to
     surface as STRING columns (schema drift — from_json drops unknown
     keys, so these extract from the raw text; Debezium-without-registry
-    lax typing until the column is promoted in the declared schema).
+    lax typing). To promote a drifted column later, declare it in
+    ``row_schema`` as StringType — the managed table's evolution rules
+    correctly refuse a string→typed change (lossy); a typed view is a
+    derived column (try_cast) or an explicit migration.
     """
     env = raw.select(
         F.col(value_col),

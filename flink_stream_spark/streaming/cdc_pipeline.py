@@ -11,12 +11,20 @@ I/U/D with per-table upsert keys (:28-29), committing per trigger
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_stream_spark.cdc.envelope import apply_cdc_batch, parse_envelopes
 from flink_stream_spark.tables.managed import Warehouse
+
+
+# names a drift column may never take: the envelope metadata columns
+# parse_envelopes appends — a colliding drift column would make the
+# very next F.col() reference ambiguous and crash the query
+_RESERVED_DRIFT = {"_op", "_table", "_lsn", "_ts_ms", "__t"}
 
 
 def _drift_fields(
@@ -27,11 +35,23 @@ def _drift_fields(
     ``evolve-schema-enabled`` behavior, connect-iceberg-sink.json:13).
     One JVM-side distinct aggregate over json_object_keys — no
     sampling, no RDD; the driver receives only the distinct new key
-    NAMES (bounded by schema width). Keys that are not plain
-    identifiers are ignored (they cannot be table columns)."""
-    declared_names = {f.name for f in declared.fields}
+    NAMES (bounded by schema width).
+
+    Excluded, because each would otherwise crash or pollute the query:
+    non-identifier keys (cannot be columns), CDC metadata names and
+    CASE-variants of declared columns (Spark resolution is
+    case-insensitive — a drift column ``Email`` next to declared
+    ``email`` is an AMBIGUOUS_REFERENCE), and keys appearing only in
+    op-less envelopes (parse_envelopes drops those rows, so their keys
+    must not evolve the table)."""
+    taken = {f.name.lower() for f in declared.fields} | {
+        n.lower() for n in _RESERVED_DRIFT
+    }
     rows = (
-        subset.select(
+        subset.filter(
+            F.get_json_object(F.col(value_col), "$.payload.op").isNotNull()
+        )
+        .select(
             F.explode_outer(
                 F.json_object_keys(
                     F.get_json_object(F.col(value_col), "$.payload.after")
@@ -42,12 +62,11 @@ def _drift_fields(
         .distinct()
         .collect()
     )
-    import re as _re
-
     return sorted(
-        k
-        for k in {r["k"] for r in rows} - declared_names
-        if _re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k)
+        r["k"]
+        for r in rows
+        if r["k"].lower() not in taken
+        and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", r["k"])
     )
 
 
@@ -95,6 +114,8 @@ def start_cdc_pipeline(
         try:
             for src_table, schema in row_schemas.items():
                 subset = batch.filter(F.col("__t") == src_table)
+                if subset.isEmpty():
+                    continue  # no drift scan / parse for untouched tables
                 # mid-stream schema drift: new payload fields surface
                 # as STRING columns and the managed table evolves on
                 # merge (old rows read NULL) — the sink's
@@ -128,14 +149,20 @@ def replay_cdc_batch(
     row_schemas: dict[str, T.StructType],
     table_keys: dict[str, list[str]],
     table_suffix: str = "_postgres",
+    evolve_new_fields: bool = True,
 ) -> dict[str, int]:
     """Batch-mode replay of an envelope log (the oracle-checkable path:
-    FIXTURES A4 applies the same log as sequential DML in DuckDB)."""
+    FIXTURES A4 applies the same log as sequential DML in DuckDB).
+    Applies the SAME drift evolution as the streaming pipeline, so a
+    replay of a drifting log yields the identical table schema and
+    content as streaming it."""
     versions: dict[str, int] = {}
     routed = _route(envelopes)
     for src_table, schema in row_schemas.items():
+        subset = routed.filter(F.col("__t") == src_table)
+        drift = _drift_fields(subset, schema) if evolve_new_fields else []
         changes = parse_envelopes(
-            routed.filter(F.col("__t") == src_table), schema, value_col="raw"
+            subset, schema, value_col="raw", extra_string_fields=drift
         )
         if changes.isEmpty():
             continue

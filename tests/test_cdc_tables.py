@@ -803,3 +803,65 @@ def test_streaming_cdc_schema_drift_evolves_table(spark, tmp_path):
     assert "email_verified" in got[1]
     assert got[1]["email_verified"] is None  # pre-drift row null-fills
     assert got[2]["email_verified"] == "true"  # lax string typing
+
+
+def test_drift_excludes_metadata_case_variants_and_opless(spark, tmp_path):
+    """Poison-envelope robustness: payload keys that collide with CDC
+    metadata names, case-variants of declared columns, and keys seen
+    only in op-less (dropped) envelopes must NOT evolve the table or
+    crash the query."""
+    src = tmp_path / "poison_topic"
+    src.mkdir()
+    wh = Warehouse(str(tmp_path / "wh"))
+    with open(src / "e1.jsonl", "w") as f:
+        # valid row whose payload also carries reserved/case-variant keys
+        f.write(
+            env("account", "c",
+                {"user_id": 1, "email": "a@x", "created_at": 1,
+                 "_op": "evil", "Email": "A@X", "ok_extra": "yes"},
+                lsn=1, ts_ms=1) + "\n"
+        )
+        # op-less garbage: its exclusive key must not evolve the schema
+        f.write(
+            json.dumps({"payload": {"source": {"table": "account"},
+                                    "after": {"garbage_key": 1}}}) + "\n"
+        )
+    q = start_cdc_pipeline(
+        spark,
+        str(src),
+        wh,
+        {"account": ACCOUNT},
+        {"account": ["user_id"]},
+        checkpoint_dir=str(tmp_path / "ckpt_poison"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = wh.table("account_postgres")
+    cols = set(t.read(spark).columns)
+    assert "ok_extra" in cols          # legitimate drift evolved
+    assert "_op" not in cols           # reserved name excluded
+    assert "Email" not in cols         # case-variant of declared excluded
+    assert "garbage_key" not in cols   # op-less-only key excluded
+    row = t.read(spark).collect()[0]
+    assert row["ok_extra"] == "yes"
+
+
+def test_replay_matches_streaming_under_drift(spark, tmp_path):
+    """Batch replay of a drifting envelope log must produce the same
+    schema and content as streaming the same log."""
+    envs = [
+        env("account", "c", {"user_id": 1, "email": "a@x", "created_at": 1},
+            lsn=1, ts_ms=1),
+        env("account", "c",
+            {"user_id": 2, "email": "b@x", "created_at": 2,
+             "email_verified": "true"}, lsn=2, ts_ms=2),
+    ]
+    wh = Warehouse(str(tmp_path / "wh_replay"))
+    df = spark.createDataFrame([(e,) for e in envs], "raw string")
+    replay_cdc_batch(spark, df, wh, {"account": ACCOUNT}, {"account": ["user_id"]})
+    got = {r["user_id"]: r.asDict() for r in
+           wh.table("account_postgres").read(spark).collect()}
+    assert got[1]["email_verified"] is None
+    assert got[2]["email_verified"] == "true"
