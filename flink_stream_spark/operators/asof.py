@@ -30,6 +30,7 @@ def asof_join(
     direction: str = "backward",
     tolerance=None,
     suffix: str = "_right",
+    allow_global_sort: bool = False,
 ) -> DataFrame:
     """Left as-of join (pandas ``merge_asof`` semantics).
 
@@ -40,9 +41,23 @@ def asof_join(
     interval-in-ms number for timestamps after ``unix_millis``) bounds
     |left.on - right.on|. Equal ``on`` values match (at-or-before /
     at-or-after inclusive).
+
+    ``by`` partitions the running-carry window; WITHOUT it the window
+    is global and Spark funnels ALL |left|+|right| rows through ONE
+    task — fine for bounded inputs (a small reference series), a
+    scale-killer on large ones. The keyless form therefore requires an
+    explicit ``allow_global_sort=True`` acknowledging that
+    single-task, bounded-input contract.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if not by and not allow_global_sort:
+        raise ValueError(
+            "asof_join without `by` builds a GLOBAL unpartitioned window "
+            "(all rows in one task). Pass by=[...] to partition, or "
+            "allow_global_sort=True to accept the single-task cost for "
+            "bounded inputs"
+        )
     by = by or []
     carry_cols = [c for c in right.columns if c not in by and c != on]
 

@@ -100,6 +100,82 @@ _SHINGLES_DUCK = """
              string_split(text, ' ')[i+2]))
 """
 
+# blocking-shingle document-frequency cap for the exact pair-verify
+# family (dedup_ngram_jaccard / dedup_shingle_containment): a shingle
+# appearing in more than BLOCK_DF_CAP documents generates NO candidate
+# pairs. Without the cap one stop-shingle present in k·N documents
+# explodes (k·N)² candidate rows before the group-by — the classic
+# hot-key quadratic on a web corpus where common 3-grams cover a large
+# fraction of documents. Rare shingles carry the near-dup signal
+# (standard MinHash/blocking practice); the SCORE stays exact — the
+# capped join only nominates candidates, the verify stage recounts the
+# FULL shingle overlap per candidate pair. Candidate cost is bounded by
+# Σ_{df≤cap} df² ≤ cap · |shingle occurrences| = O(N·cap), never N².
+BLOCK_DF_CAP = 64
+
+
+def shared_shingle_candidates(sh: DataFrame, df_cap: int = BLOCK_DF_CAP) -> DataFrame:
+    """Distinct (doc_a, doc_b) candidate pairs sharing ≥1 shingle whose
+    document frequency is ≤ df_cap (doc_a < doc_b). ``sh`` is the
+    exploded (doc_id, shingle) set, one row per distinct shingle per
+    doc. See BLOCK_DF_CAP for why hot shingles are excluded from
+    blocking."""
+    rare_shingles = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= df_cap)
+        .select("shingle")
+    )
+    rare = sh.join(rare_shingles, "shingle")
+    sa = rare.alias("sa")
+    sb = rare.alias("sb")
+    return (
+        sa.join(
+            sb,
+            (F.col("sa.shingle") == F.col("sb.shingle"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .select(
+            F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def _exact_pair_overlap(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, shared): EXACT |A∩B| over the FULL shingle sets,
+    computed only for nominated candidate pairs — two equi-joins
+    (doc_a, then (doc_b, shingle)), each linear in
+    |candidates| × |shingles per doc|."""
+    a_side = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_side = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    return (
+        cand.join(a_side, "doc_a")
+        .join(b_side, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+
+
+_RARE_CAND_DUCK = f"""
+    dfreq AS (
+      SELECT shingle FROM doc_shingles
+      GROUP BY shingle HAVING COUNT(*) <= {BLOCK_DF_CAP}),
+    rare AS (
+      SELECT s.doc_id, s.shingle
+      FROM doc_shingles s JOIN dfreq USING (shingle)),
+    cand AS (
+      SELECT DISTINCT sa.doc_id AS doc_a, sb.doc_id AS doc_b
+      FROM rare sa JOIN rare sb
+        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id),
+    pair_overlap AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN doc_shingles sa ON sa.doc_id = c.doc_a
+      JOIN doc_shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      GROUP BY 1, 2)
+"""
+
 
 @register(
     "dedup_exact_hash",
@@ -406,11 +482,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH doc_shingles AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
-    pair_overlap AS (
-      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS shared
-      FROM doc_shingles sa JOIN doc_shingles sb
-        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-      GROUP BY 1, 2),
+    {_RARE_CAND_DUCK},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
     SELECT p.doc_a, p.doc_b,
            CAST(ROUND(CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared), 6) AS DOUBLE) AS jaccard
@@ -420,8 +492,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY p.doc_a, p.doc_b
     """,
     group="dedup",
-    doc="n-gram Jaccard near-dup: shared-shingle blocking (never n²) + "
-    "exact Jaccard ≥ 0.6 over distinct 3-gram shingle sets.",
+    doc="n-gram Jaccard near-dup, two-phase: candidates from shingles "
+    f"with document frequency ≤ {BLOCK_DF_CAP} (hot stop-shingles "
+    "never block — kills the (k·N)² hot-key blowup), then EXACT "
+    "Jaccard ≥ 0.6 over the full distinct-3-gram sets per candidate.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -431,17 +505,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shingle").isNotNull())
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    overlap = (
-        sa.join(
-            sb,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    overlap = _exact_pair_overlap(shared_shingle_candidates(sh), sh)
     za = sizes.alias("za")
     zb = sizes.alias("zb")
     jac = F.col("shared").cast("double") / (
@@ -711,11 +775,7 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH doc_shingles AS (
       SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
-    pair_overlap AS (
-      SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b, COUNT(*) AS shared
-      FROM doc_shingles sa JOIN doc_shingles sb
-        ON sa.shingle = sb.shingle AND sa.doc_id < sb.doc_id
-      GROUP BY 1, 2),
+    {_RARE_CAND_DUCK},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
     SELECT p.doc_a, p.doc_b,
            CAST(ROUND(CAST(p.shared AS DOUBLE) / LEAST(za.n, zb.n), 6) AS DOUBLE)
@@ -729,8 +789,9 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="ASYMMETRIC containment dedup: |A∩B| / min(|A|,|B|) ≥ 0.8 over "
     "3-gram shingle sets — catches a short document embedded inside a "
     "longer one (quote farms, concatenated scrapes), which symmetric "
-    "Jaccard misses because the union dilutes the score. Same "
-    "shared-shingle blocking as the Jaccard variant (never n²).",
+    "Jaccard misses because the union dilutes the score. Two-phase "
+    f"like the Jaccard variant: df ≤ {BLOCK_DF_CAP} blocking, exact "
+    "overlap recount per candidate (never n², even on hot shingles).",
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -740,17 +801,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shingle").isNotNull())
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    overlap = (
-        sa.join(
-            sb,
-            (F.col("sa.shingle") == F.col("sb.shingle"))
-            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
-        )
-        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    overlap = _exact_pair_overlap(shared_shingle_candidates(sh), sh)
     za = sizes.alias("za")
     zb = sizes.alias("zb")
     cont = F.col("shared").cast("double") / F.least(F.col("za.n"), F.col("zb.n"))

@@ -79,11 +79,83 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
+def parse_image_header(payload: bytes) -> "tuple[int, int] | None":
+    """REAL, dependency-free image header decode (stdlib only): returns
+    (width, height) for PNG / GIF / BMP / JPEG payloads, None for
+    anything else. This is the codec branch CI exercises — Pillow is
+    not installable in this sandbox (no pip; dated note in README), but
+    reading dimensions is a header parse, not a pixel decode, and needs
+    no codec library.
+
+    Validation is strict enough that text bytes can never
+    false-positive (which would silently change the oracled queries'
+    results): PNG requires the full 8-byte magic AND a CRC-verified
+    IHDR chunk (zlib.crc32 — 1-in-2^32 for random bytes, structurally
+    impossible for UTF-8 text since the magic starts 0x89); GIF
+    requires magic + the version byte + a non-zero logical screen;
+    BMP requires 'BM' + a known DIB header size (40/52/56/108/124);
+    JPEG requires the SOI marker and walks the segment chain to a SOFn.
+    """
+    import struct
+    import zlib
+
+    b = bytes(payload)
+    # PNG: magic, then IHDR must be the first chunk; CRC covers
+    # type+data so corrupt/non-image bytes are rejected
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 33 and b[12:16] == b"IHDR":
+        (ihdr_len,) = struct.unpack(">I", b[8:12])
+        if ihdr_len == 13:
+            (crc,) = struct.unpack(">I", b[29:33])
+            if zlib.crc32(b[12:29]) & 0xFFFFFFFF == crc:
+                w, h = struct.unpack(">II", b[16:24])
+                if 0 < w and 0 < h:
+                    return int(w), int(h)
+        return None
+    # GIF: 6-byte magic + little-endian logical screen descriptor
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        if w and h:
+            return int(w), int(h)
+        return None
+    # BMP: 'BM' + file header (14) + DIB header whose declared size
+    # must be a known BITMAPINFOHEADER variant
+    if b[:2] == b"BM" and len(b) >= 26:
+        (dib,) = struct.unpack("<I", b[14:18])
+        if dib in (40, 52, 56, 108, 124) and len(b) >= 14 + dib:
+            w, h = struct.unpack("<ii", b[18:26])
+            if w > 0 and h != 0:
+                return int(w), abs(int(h))  # negative h = top-down rows
+        return None
+    # JPEG: SOI then marker segments until a frame header (SOFn)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if seg_len < 2:
+                return None
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= len(b):
+                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                    if w and h:
+                        return int(w), int(h)
+                return None
+            i += 2 + seg_len
+        return None
+    return None
+
+
 def decode_meta(payload: bytes) -> tuple[int, int]:
-    """(width, height) of a payload: REAL codec decode when Pillow is
-    installed and the payload is a decodable image; the deterministic
-    fake otherwise. The fixture corpus's payloads are UTF-8 text (never
-    valid images), so the oracled queries produce identical results
+    """(width, height) of a payload. Decode ladder, best-real-first:
+    Pillow (full codec) when installed → stdlib header parse
+    (``parse_image_header`` — real dimensions for PNG/GIF/BMP/JPEG, no
+    dependencies, strictly validated) → deterministic fake for
+    non-image bytes. The fixture corpus's payloads are UTF-8 text
+    (never valid images — the strict validation guarantees no
+    false-positive), so the oracled queries produce identical results
     whether or not codecs are installed — the swap point for a real
     cluster is exactly here."""
     Image = _pillow()
@@ -94,7 +166,10 @@ def decode_meta(payload: bytes) -> tuple[int, int]:
             with Image.open(io.BytesIO(bytes(payload))) as im:
                 return im.width, im.height
         except Exception:
-            pass  # not a decodable image -> deterministic fake
+            pass  # not a decodable image -> header parse / fake
+    parsed = parse_image_header(payload)
+    if parsed is not None:
+        return parsed
     return fake_decode_meta(payload)
 
 
@@ -106,8 +181,11 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        # pick the decode fn once per task, not per payload
-        meta_fn = decode_meta if _pillow() is not None else fake_decode_meta
+        # decode_meta's ladder (Pillow → stdlib header parse → fake)
+        # is always the right choice now that the header parser is
+        # dependency-free; its non-image rejection is 4 prefix
+        # compares, negligible per payload
+        meta_fn = decode_meta
         for pdf in batches:
             payloads = pdf["payload"]
             wh = payloads.map(meta_fn)

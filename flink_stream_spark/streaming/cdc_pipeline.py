@@ -11,6 +11,7 @@ I/U/D with per-table upsert keys (:28-29), committing per trigger
 
 from __future__ import annotations
 
+import logging
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -26,9 +27,15 @@ from flink_stream_spark.tables.managed import Warehouse
 # very next F.col() reference ambiguous and crash the query
 _RESERVED_DRIFT = {"_op", "_table", "_lsn", "_ts_ms", "__t"}
 
+_LOG = logging.getLogger(__name__)
+
 
 def _drift_fields(
-    subset: DataFrame, declared: "T.StructType", value_col: str = "raw"
+    subset: DataFrame,
+    declared: "T.StructType",
+    value_col: str = "raw",
+    existing: "T.StructType | None" = None,
+    max_new_fields: int = 32,
 ) -> list[str]:
     """Schema drift: payload.after keys present in this batch but
     absent from the declared row schema (the sink's
@@ -39,14 +46,27 @@ def _drift_fields(
 
     Excluded, because each would otherwise crash or pollute the query:
     non-identifier keys (cannot be columns), CDC metadata names and
-    CASE-variants of declared columns (Spark resolution is
-    case-insensitive — a drift column ``Email`` next to declared
-    ``email`` is an AMBIGUOUS_REFERENCE), and keys appearing only in
-    op-less envelopes (parse_envelopes drops those rows, so their keys
-    must not evolve the table)."""
+    CASE-variants of declared columns OR of the target table's current
+    manifest columns (``existing`` — a column evolved in an EARLIER
+    batch; Spark resolution is case-insensitive, so a drift column
+    ``Email`` next to an existing ``email`` is an
+    AMBIGUOUS_REFERENCE), mutual case-variants inside ONE batch (only
+    the sorted-first spelling is admitted — admitting both would
+    commit a manifest with case-duplicate columns and poison every
+    subsequent read), and keys appearing only in op-less envelopes
+    (parse_envelopes drops those rows, so their keys must not evolve
+    the table).
+
+    ``max_new_fields`` bounds drift per batch: one buggy or hostile
+    producer carrying thousands of distinct payload keys must not
+    evolve thousands of irreversible columns into the managed table.
+    Overflow keys are logged and dropped this batch (dead-letter-style
+    visibility, no evolution)."""
     taken = {f.name.lower() for f in declared.fields} | {
         n.lower() for n in _RESERVED_DRIFT
     }
+    if existing is not None:
+        taken |= {f.name.lower() for f in existing.fields}
     rows = (
         subset.filter(
             F.get_json_object(F.col(value_col), "$.payload.op").isNotNull()
@@ -62,12 +82,26 @@ def _drift_fields(
         .distinct()
         .collect()
     )
-    return sorted(
-        r["k"]
-        for r in rows
-        if r["k"].lower() not in taken
-        and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", r["k"])
-    )
+    admitted: list[str] = []
+    seen_ci: set[str] = set()
+    for k in sorted(r["k"] for r in rows):
+        lk = k.lower()
+        if lk in taken or lk in seen_ci:
+            continue
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", k):
+            continue
+        seen_ci.add(lk)
+        admitted.append(k)
+    if len(admitted) > max_new_fields:
+        _LOG.warning(
+            "drift overflow: %d new payload keys in one batch, admitting "
+            "first %d (sorted); dropped: %s",
+            len(admitted),
+            max_new_fields,
+            admitted[max_new_fields:],
+        )
+        admitted = admitted[:max_new_fields]
+    return admitted
 
 
 def _route(batch: DataFrame, value_col: str = "raw") -> DataFrame:
@@ -119,17 +153,22 @@ def start_cdc_pipeline(
                 # mid-stream schema drift: new payload fields surface
                 # as STRING columns and the managed table evolves on
                 # merge (old rows read NULL) — the sink's
-                # evolve-schema-enabled contract
+                # evolve-schema-enabled contract. The target's CURRENT
+                # manifest schema joins the exclusion set so a
+                # case-variant of a column evolved in an earlier batch
+                # can never re-enter as a duplicate column.
+                keys = table_keys[src_table]
+                target = warehouse.table(f"{src_table}{table_suffix}", keys)
                 drift = (
-                    _drift_fields(subset, schema) if evolve_new_fields else []
+                    _drift_fields(subset, schema, existing=target.current_schema())
+                    if evolve_new_fields
+                    else []
                 )
                 changes = parse_envelopes(
                     subset, schema, value_col="raw", extra_string_fields=drift
                 )
                 if changes.isEmpty():
                     continue
-                keys = table_keys[src_table]
-                target = warehouse.table(f"{src_table}{table_suffix}", keys)
                 apply_cdc_batch(target, changes, keys)
         finally:
             batch.unpersist()
@@ -160,13 +199,17 @@ def replay_cdc_batch(
     routed = _route(envelopes)
     for src_table, schema in row_schemas.items():
         subset = routed.filter(F.col("__t") == src_table)
-        drift = _drift_fields(subset, schema) if evolve_new_fields else []
+        keys = table_keys[src_table]
+        target = warehouse.table(f"{src_table}{table_suffix}", keys)
+        drift = (
+            _drift_fields(subset, schema, existing=target.current_schema())
+            if evolve_new_fields
+            else []
+        )
         changes = parse_envelopes(
             subset, schema, value_col="raw", extra_string_fields=drift
         )
         if changes.isEmpty():
             continue
-        keys = table_keys[src_table]
-        target = warehouse.table(f"{src_table}{table_suffix}", keys)
         versions[src_table] = apply_cdc_batch(target, changes, keys)
     return versions

@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -65,6 +66,11 @@ from pyspark.sql import types as T
 DEFAULT_NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_TABLE_BUCKETS", "16"))
 
 _BUCKET_COL = "__bucket"
+
+# serializes the session-global parquet-timestamp conf flip inside
+# _stage_bucketed (see its docstring): concurrent writes on ONE
+# session must not interleave set/restore
+_STAGE_CONF_LOCK = threading.Lock()
 
 # predicate ops understood by zone-map pruning (read(where=...))
 _PRUNE_OPS = {"=", "<", "<=", ">", ">=", "between"}
@@ -202,24 +208,29 @@ def _zorder_numeric(c: str, dtype: T.DataType) -> "F.Column":
 
 def _morton_expr(cols: list[str], ranges: dict, types: dict) -> "F.Column":
     """Morton (Z-order) key over 2-4 columns as a single codegen'd
-    bitwise expression: each column min/max-normalizes to 16 bits and
-    its bits interleave k-apart. NULLs normalize to the column minimum
-    (cluster first). The key only ORDERS rows — approximation in the
-    double normalization affects clustering quality, never results."""
+    bitwise expression: each column min/max-normalizes to 16 bits (15
+    when k=4 — 16 would place the 4th column's top bit at position 63,
+    the long sign bit, making high rows sort FIRST and inverting the
+    most-significant bit's clustering) and its bits interleave
+    k-apart. NULLs normalize to the column minimum (cluster first).
+    The key only ORDERS rows — approximation in the double
+    normalization affects clustering quality, never results."""
     k = len(cols)
+    bits = 15 if k >= 4 else 16
+    top = (1 << bits) - 1
     parts = []
     for i, c in enumerate(cols):
         mn, mx = ranges[c]
         if mn is None or mx is None or mx == mn:
             continue  # constant/empty column contributes no bits
         mn, mx = float(mn), float(mx)
-        scale = 65535.0 / (mx - mn)
+        scale = float(top) / (mx - mn)
         num = _zorder_numeric(c, types[c])
         norm = F.floor(
             (F.coalesce(num, F.lit(mn)) - F.lit(mn)) * F.lit(scale)
         ).cast("long")
-        norm = F.least(F.greatest(norm, F.lit(0)), F.lit(65535))
-        for b in range(16):
+        norm = F.least(F.greatest(norm, F.lit(0)), F.lit(top))
+        for b in range(bits):
             parts.append(
                 F.shiftleft(
                     F.shiftright(norm, b).bitwiseAND(F.lit(1)), b * k + i
@@ -356,6 +367,14 @@ class ManagedTable:
         ``sort_exprs`` overrides the in-bucket clustering order (the
         Z-order path); ``max_records_per_file`` splits each bucket into
         multiple files so per-file zone maps have pruning granularity.
+
+        The write holds a process-wide lock: the INT96 conf override
+        below is session-GLOBAL, so two concurrent table writes on one
+        session could otherwise race (one restores while the other is
+        mid-write, briefly emitting INT96 files whose timestamp
+        columns silently carry no zone maps). Concurrent writers in
+        separate processes/sessions are unaffected (each has its own
+        conf).
         """
         staged = os.path.join(self.dir, f"_staged_{uuid.uuid4().hex}")
         # scoped conf override (the external driver builds its own
@@ -365,14 +384,6 @@ class ManagedTable:
         # Hive compat) is not permanently mutated by a table write.
         _TS_KEY = "spark.sql.parquet.outputTimestampType"
         conf = df.sparkSession.conf
-        try:
-            prior = conf.get(_TS_KEY)
-        except Exception:
-            prior = None
-        try:
-            conf.set(_TS_KEY, "TIMESTAMP_MICROS")
-        except Exception:
-            pass
         out = df.withColumn(_BUCKET_COL, self._bucket_expr())
         out = out.repartition(_BUCKET_COL)
         if sort_exprs is not None:
@@ -386,14 +397,23 @@ class ManagedTable:
         writer = out.write.mode("overwrite")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-        try:
-            writer.partitionBy(_BUCKET_COL).parquet(staged)
-        finally:
+        with _STAGE_CONF_LOCK:
             try:
-                if prior is not None:
-                    conf.set(_TS_KEY, prior)
+                prior = conf.get(_TS_KEY)
+            except Exception:
+                prior = None
+            try:
+                conf.set(_TS_KEY, "TIMESTAMP_MICROS")
             except Exception:
                 pass
+            try:
+                writer.partitionBy(_BUCKET_COL).parquet(staged)
+            finally:
+                try:
+                    if prior is not None:
+                        conf.set(_TS_KEY, prior)
+                except Exception:
+                    pass
         buckets: dict[int, str] = {}
         for d in os.listdir(staged):
             if d.startswith(f"{_BUCKET_COL}="):
@@ -554,6 +574,15 @@ class ManagedTable:
 
     def exists(self) -> bool:
         return self.current_version() > 0
+
+    def current_schema(self) -> T.StructType | None:
+        """Schema of the current committed version (None before the
+        first commit) — the manifest schema readers/merges resolve
+        against, including every column evolved by earlier batches."""
+        v = self.current_version()
+        if v <= 0:
+            return None
+        return T.StructType.fromJson(json.loads(self._load_manifest(v)["schema"]))
 
     def _read_manifest_buckets(
         self,

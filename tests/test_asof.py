@@ -89,3 +89,17 @@ def test_asof_no_partitionless_window_when_keyed(spark, sf_small):
     left, right = _frames(spark, sf_small)
     plan = explain_str(asof_join(left, right, on="t", by=["user_id"]))
     assert "user_id" in plan.split("Window")[1].splitlines()[0] or "user_id" in plan
+
+
+def test_asof_keyless_requires_explicit_opt_in(spark, sf_small):
+    import pytest
+
+    left, right = _frames(spark, sf_small)
+    with pytest.raises(ValueError, match="allow_global_sort"):
+        asof_join(left, right, on="t")
+    # explicit opt-in accepts the documented single-task bounded-input
+    # contract and still computes correct left-row cardinality
+    out = asof_join(
+        left.limit(20), right.limit(20), on="t", allow_global_sort=True
+    )
+    assert out.count() == 20

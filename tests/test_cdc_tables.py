@@ -865,3 +865,56 @@ def test_replay_matches_streaming_under_drift(spark, tmp_path):
            wh.table("account_postgres").read(spark).collect()}
     assert got[1]["email_verified"] is None
     assert got[2]["email_verified"] == "true"
+
+
+def test_drift_mutual_case_variants_admit_one(spark, tmp_path):
+    """Two mutual case-variant NEW keys in one batch must admit only
+    the sorted-first spelling; a later batch's case-variant of a
+    column evolved EARLIER must be excluded via the target table's
+    current manifest schema — otherwise the manifest commits
+    case-duplicate columns and every subsequent read fails under
+    Spark's case-insensitive resolution (poison-envelope class)."""
+    wh = Warehouse(str(tmp_path / "wh_ci"))
+    b1 = [
+        env("account", "c",
+            {"user_id": 1, "email": "a@x", "created_at": 1,
+             "Nick": "n1", "nick": "n2"}, lsn=1, ts_ms=1),
+    ]
+    replay_cdc_batch(
+        spark,
+        spark.createDataFrame([(e,) for e in b1], "raw string"),
+        wh, {"account": ACCOUNT}, {"account": ["user_id"]},
+    )
+    t = wh.table("account_postgres")
+    cols1 = t.read(spark).columns
+    assert [c for c in cols1 if c.lower() == "nick"] == ["Nick"]  # sorted-first only
+
+    # batch 2: a case-variant of the ALREADY-evolved column
+    b2 = [
+        env("account", "c",
+            {"user_id": 2, "email": "b@x", "created_at": 2,
+             "NICK": "n3"}, lsn=2, ts_ms=2),
+    ]
+    replay_cdc_batch(
+        spark,
+        spark.createDataFrame([(e,) for e in b2], "raw string"),
+        wh, {"account": ACCOUNT}, {"account": ["user_id"]},
+    )
+    got = t.read(spark)  # readable: no duplicate-column AnalysisException
+    assert [c for c in got.columns if c.lower() == "nick"] == ["Nick"]
+    assert got.count() == 2
+
+
+def test_drift_overflow_capped(spark):
+    """One envelope carrying many distinct payload keys must not evolve
+    unbounded columns: only the first `max_new_fields` (sorted) are
+    admitted; the overflow is dropped (and logged), not evolved."""
+    from flink_stream_spark.streaming.cdc_pipeline import _drift_fields
+
+    after = {"user_id": 9, "email": "x@y", "created_at": 1}
+    after.update({f"junk_{i:03d}": i for i in range(40)})
+    raw = env("account", "c", after, lsn=1, ts_ms=1)
+    df = spark.createDataFrame([(raw,)], "raw string")
+    drift = _drift_fields(df, ACCOUNT, max_new_fields=8)
+    assert drift == [f"junk_{i:03d}" for i in range(8)]
+    assert _drift_fields(df, ACCOUNT) == [f"junk_{i:03d}" for i in range(32)]

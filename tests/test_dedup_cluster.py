@@ -35,3 +35,46 @@ def test_components_are_order_independent(spark):
     a = _labels(spark, [(1, 5), (5, 9), (2, 4)])
     b = _labels(spark, [(9, 5), (4, 2), (5, 1)])
     assert a == b == {1: 1, 5: 1, 9: 1, 2: 2, 4: 2}
+
+
+def test_hot_shingle_blocking_stays_linear(spark):
+    """A stop-shingle planted in EVERY document (df = N >> cap) must
+    generate ZERO candidate pairs from blocking — candidate count stays
+    O(N·df_cap), never O(N²) — while a true near-dup pair sharing RARE
+    shingles still surfaces, and its Jaccard is EXACT over the full
+    shingle sets (hot shingles included in the verify recount)."""
+    from flink_stream_spark.operators.dedup import (
+        _exact_pair_overlap,
+        shared_shingle_candidates,
+        shingled_docs,
+    )
+
+    n = 300
+    cap = 8
+    # every doc opens with the same hot 3-gram; the rest is unique
+    docs = [
+        (i, f"common common common u{i}a u{i}b u{i}c u{i}d") for i in range(n)
+    ]
+    # planted near-dup pair: rare shared tail, plus the hot prefix
+    docs += [
+        (n, "common common common alpha beta gamma delta"),
+        (n + 1, "common common common alpha beta gamma delta epsilon"),
+    ]
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = (
+        shingled_docs(d)
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    cand = shared_shingle_candidates(sh, df_cap=cap)
+    n_cand = cand.count()
+    assert n_cand <= (n + 2) * cap      # linear bound, not (n+2)²/2 ≈ 45k
+    assert n_cand == 1                  # exactly the planted pair
+    pair = cand.collect()[0]
+    assert (pair["doc_a"], pair["doc_b"]) == (n, n + 1)
+    # exact verify recounts the FULL overlap, hot shingles included:
+    # A (7 tokens) has 5 distinct shingles, B (8 tokens) has 6;
+    # A ⊂ B so shared = |A| = 5 — including the hot "common common
+    # common" shingle the blocking stage excluded
+    ov = _exact_pair_overlap(cand, sh).collect()[0]
+    assert ov["shared"] == 5

@@ -2,8 +2,9 @@
 
 This is the local mirror of the driver's CORRECTNESS gate (which runs
 at sf0.01); sf0.001 keeps the suite fast while exercising identical
-semantics. A nightly/manual run at sf0.01 is tests/test_oracle_sf001.py
-with SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01.
+semantics. The sf0.01 run is either SPARK_GRAFT_TEST_SF=/root/testdata/sf0.01
+on this file, or SPARK_GRAFT_NIGHTLY=1 on tests/test_oracle_sf001.py;
+green runs are logged in PLANS.md under "Full-registry gate runs".
 """
 
 from __future__ import annotations

@@ -241,3 +241,23 @@ def test_zorder_on_timestamp_column(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_morton_key_nonnegative_with_four_columns(spark):
+    """With k=4 a 16-bit-per-column interleave would put the 4th
+    column's top bit at position 63 — the long sign bit — so max-value
+    rows would sort FIRST. The 4-column key uses 15 bits/column and
+    must stay non-negative (and rank max-values last)."""
+    from flink_stream_spark.tables.managed import _morton_expr
+    from pyspark.sql import types as T
+
+    cols = ["a", "b", "c", "d"]
+    ranges = {c: (0, 100) for c in cols}
+    types = {c: T.IntegerType() for c in cols}
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0), (100, 100, 100, 100), (50, 50, 50, 50)],
+        "a int, b int, c int, d int",
+    ).withColumn("z", _morton_expr(cols, ranges, types))
+    got = {(r["a"]): r["z"] for r in df.collect()}
+    assert all(z >= 0 for z in got.values())
+    assert got[0] < got[50] < got[100]  # monotone along the diagonal
