@@ -371,6 +371,62 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_salted_hot_key",
+    """
+    WITH skewed AS (
+      SELECT CASE WHEN o_orderkey % 10 < 4 THEN 1
+                  ELSE o_custkey END AS cust_key,
+             o_totalprice
+      FROM orders)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
+    FROM skewed s JOIN customer c ON c.c_custkey = s.cust_key
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    group="join",
+    doc="Skew-resilient equi-join via plans.scale.salted_join: 40% of "
+    "orders are remapped onto ONE customer key (the planted hot key a "
+    "real corpus exhibits as a power-law head), which would funnel "
+    "those rows into a single shuffle task under a plain hash join. "
+    "The salted join replicates the dim side across 16 salt replicas "
+    "and scatters left rows by content hash, spreading the hot key "
+    "over 16 tasks; output equals the plain join (oracle is the "
+    "unsalted SQL). Money summed as DECIMAL(18,2) so the result is "
+    "exact. Plan assert: tests/test_plans.py shows the salt-replica "
+    "explode and the (key, __salt) join condition.",
+)
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.plans.scale import salted_join
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    left = o.select(
+        F.when(F.col("o_orderkey") % 10 < 4, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("cust_key"),
+        "o_totalprice",
+    )
+    right = c.select(
+        F.col("c_custkey").cast("long").alias("cust_key"), "c_mktsegment"
+    )
+    j = salted_join(left, right, key="cust_key", how="inner", salt=16)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "events_asof_join_forward",
     """
     WITH tagged AS (

@@ -47,6 +47,17 @@ def test_partial_aggregation_present(spark, sf_oracle):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_salted_join_spreads_hot_key(spark, sf_oracle):
+    """join_salted_hot_key must show the skew treatment in the plan:
+    the dim side explodes into salt replicas and the join condition
+    carries __salt next to the key (the hot key's rows land on 16
+    tasks, not 1); no cartesian anywhere."""
+    plan = plan_of(spark, sf_oracle, "join_salted_hot_key")
+    assert "explode" in plan.lower()
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_no_cartesian_in_lsh(spark, sf_oracle):
     for name in ("dedup_minhash_lsh_pairs", "dedup_ngram_jaccard"):
         plan = plan_of(spark, sf_oracle, name)
