@@ -14,9 +14,14 @@ from __future__ import annotations
 
 import re
 
+from typing import TYPE_CHECKING
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+if TYPE_CHECKING:  # seam only — no runtime import cycle
+    from flink_stream_spark.tables.format import TableHandle
 
 OP_COL = "_op"
 
@@ -147,15 +152,17 @@ def last_per_key(changes: DataFrame, keys: list[str], order_cols: list[str]) -> 
 
 
 def apply_cdc_batch(
-    table,
+    table: "TableHandle",
     batch: DataFrame,
     keys: list[str],
     order_cols: list[str] | None = None,
 ) -> int:
-    """Apply one envelope batch to a ManagedTable: reduce to last-per-key,
-    then MERGE with op='d' rows deleting (Iceberg v2 equality-delete
-    equivalent; reference exercises I/U/D via
-    postgres/scripts/manual/001-003*.sql)."""
+    """Apply one envelope batch to any
+    :class:`flink_stream_spark.tables.format.TableHandle` — the
+    parquet-manifest ``ManagedTable`` or, with iceberg-spark jars, a
+    real ``IcebergTable`` — reduce to last-per-key, then MERGE with
+    op='d' rows deleting (Iceberg v2 equality-delete equivalent;
+    reference exercises I/U/D via postgres/scripts/manual/001-003*.sql)."""
     order_cols = order_cols or ["_ts_ms", "_lsn"]
     # null-key envelopes (op set but both images null/missing —
     # truncated producer output) must not become null-key table rows:

@@ -201,3 +201,191 @@ def text_zipf_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_token_frac"
         ),
     ).orderBy("source")
+
+
+@register(
+    "text_bm25_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qterms AS (
+      SELECT d.term, d.df FROM dfreq d CROSS JOIN stats s
+      WHERE d.df >= 3 AND d.df * 2 <= s.n_docs
+      ORDER BY d.df DESC, d.term LIMIT 5),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(
+               ln(CAST(s.n_docs AS DOUBLE) / CAST(q.df AS DOUBLE))
+               * CAST(t.tf AS DOUBLE) * 2.2
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+      FROM tf t
+      JOIN qterms q ON t.term = q.term
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+           CAST(SUM(s_micro) AS BIGINT) AS bm25_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 20
+    """,
+    group="text",
+    doc="BM25 retrieval scoring (k1=1.2, b=0.75, idf=ln(N/df)): the "
+    "query is the corpus's own top-5 mid-frequency terms "
+    "(3 <= df <= N/2 — deterministic at every SF), scored against "
+    "every document and reduced to the top-20 hits. Per-term scores "
+    "quantize to exact micro-unit BIGINTs BEFORE the per-doc sum, so "
+    "summation order can never shift the hash (the engine-vs-oracle "
+    "double-sum trap); floor(x*1e6+0.5) is sign-safe because "
+    "idf >= 0 under the df <= N/2 filter. Scale: tf/df aggregates "
+    "shuffle on their keys with map-side combine; the 5-term query "
+    "set broadcasts; top-20 is a TakeOrdered, never a global sort.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.explode_outer(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = (
+        dfreq.crossJoin(F.broadcast(stats))
+        .filter((F.col("df") >= 3) & (F.col("df") * 2 <= F.col("n_docs")))
+        .orderBy(F.col("df").desc(), F.col("term"))
+        .limit(5)
+        .select("term", "df")
+    )
+    s_micro = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+        * F.col("tf").cast("double")
+        * F.lit(2.2)
+        / (
+            F.col("tf").cast("double")
+            + F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + F.lit(0.75) * F.col("dl").cast("double") / F.col("avgdl")
+            )
+        )
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s_micro.alias("s_micro"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+            F.sum("s_micro").cast("bigint").alias("bm25_micro"),
+        )
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "text_unigram_logppl",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    counts AS (SELECT term, SUM(tf) AS c FROM tf GROUP BY term),
+    total AS (SELECT SUM(c) AS t FROM counts),
+    nll AS (
+      SELECT c.term,
+             CAST(FLOOR(ln(CAST(t.t AS DOUBLE) / CAST(c.c AS DOUBLE))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nll_micro
+      FROM counts c CROSS JOIN total t)
+    SELECT f.doc_id,
+           CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(f.tf * n.nll_micro) AS BIGINT) AS nll_micro_total,
+           CAST(ROUND(CAST(SUM(f.tf * n.nll_micro) AS DOUBLE)
+                      / CAST(SUM(f.tf) AS DOUBLE) / 1000000.0, 6) AS DOUBLE)
+             AS avg_nll
+    FROM tf f JOIN nll n ON f.term = n.term
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    group="text",
+    doc="Unigram LM log-perplexity quality score: corpus unigram "
+    "probabilities p(t)=c/T, per-document mean negative log-likelihood "
+    "(low = fluent/common text, high = noise/rare-vocab — the classic "
+    "KenLM-style quality filter with the LM reduced to its unigram "
+    "term so the score is exactly oracle-checkable). Per-TERM nll "
+    "quantizes to micro-unit BIGINTs (ln(T/c) >= 0, floor(x*1e6+0.5) "
+    "sign-safe) and per-doc totals are exact integer sums tf*nll — no "
+    "cross-engine double accumulation anywhere. Scale: two hash "
+    "aggregates (|doc x term|, then |vocab|) plus one |vocab|-row "
+    "join back (AQE broadcasts it); the token stream is read once.",
+)
+def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(par, "doc_id")
+        .select("doc_id", F.explode_outer(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").isNotNull())
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    counts = tf.groupBy("term").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    nll = counts.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.floor(
+            F.log(F.col("t").cast("double") / F.col("c").cast("double"))
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("nll_micro"),
+    )
+    return (
+        tf.join(nll, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("nll_micro"))
+            .cast("bigint")
+            .alias("nll_micro_total"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_micro_total",
+            F.round(
+                F.col("nll_micro_total").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(1000000.0),
+                6,
+            )
+            .cast("double")
+            .alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
