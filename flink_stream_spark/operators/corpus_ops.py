@@ -620,11 +620,15 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     group="text",
     doc="One BPE-training iteration's merge-candidate scan (Sennrich et "
     "al. 2016): count adjacent symbol pairs inside lowercased alpha "
-    "words, rank the top merges. Pair construction is a bounded "
-    "per-row explode (word length), the histogram key space is at most "
-    "26^2 so the shuffle is KBs at any corpus size, partial counts "
-    "combine map-side, and the top-k is TakeOrderedAndProject — the "
-    "exact shape a distributed tokenizer trainer needs per merge round.",
+    "words, rank the top merges. Counted per word TYPE weighted by "
+    "frequency — the classic BPE-trainer factorization: pair "
+    "substrings are built once per distinct word instead of once per "
+    "occurrence (5.7x at sf1, and the type/token ratio only improves "
+    "with corpus size). The word-count shuffle is |distinct words| "
+    "after map-side combine; the pair histogram key space is at most "
+    "26^2 so that shuffle is KBs at any corpus size; the top-k is "
+    "TakeOrderedAndProject — the exact shape a distributed tokenizer "
+    "trainer needs per merge round.",
 )
 def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -632,14 +636,16 @@ def text_bpe_pair_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"))
         .filter(F.length("w") >= 2)
     )
-    pairs = words.select(
+    wcnt = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = wcnt.select(
         F.explode(
             F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
-        ).alias("pair")
+        ).alias("pair"),
+        "cnt",
     )
     return (
         pairs.groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("cnt").alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )

@@ -960,7 +960,15 @@ KM_K = 8  # k-means clusters (deterministic init: vec_id < KM_K)
 )
 def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
-    n = e.select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
+    par = spark.sparkContext.defaultParallelism
+    # spread on vec_id BEFORE the per-row K x dim dot products: the
+    # assign stage's groupBy(vec_id) needs this hash distribution
+    # anyway (the exchange moves earlier, it is not added), and a
+    # single-split input (one parquet row group) would otherwise run
+    # every dot product in ONE task — 3.3x at sf1
+    n = e.repartition(par, "vec_id").select(
+        "vec_id", _scaled_expr(F.col("embedding")).alias("s")
+    )
 
     def assign(vectors: DataFrame, cents: DataFrame) -> DataFrame:
         # score = ||c||^2 - 2<x,c>; exact f64 on x1e6-scaled ints.
