@@ -47,6 +47,31 @@ def _q(ident: str) -> str:
     return ".".join(f"`{p}`" for p in ident.split("."))
 
 
+def merge_on_clause(keys: list[str]) -> str:
+    return " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+
+
+def merge_upsert_sql(ident: str, src_view: str, keys: list[str]) -> str:
+    """The v2 row-level upsert statement (reference's upsert-enabled
+    table semantics, flink_json_to_iceberg.py:61-71). Unit-testable
+    without jars — the statement text is the contract."""
+    return (
+        f"MERGE INTO {_q(ident)} t USING {src_view} s "
+        f"ON {merge_on_clause(keys)} "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+
+
+def merge_delete_sql(ident: str, src_view: str, keys: list[str]) -> str:
+    """Equality-delete via MERGE (Iceberg v2 delete-file semantics)."""
+    return (
+        f"MERGE INTO {_q(ident)} t USING {src_view} s "
+        f"ON {merge_on_clause(keys)} "
+        "WHEN MATCHED THEN DELETE"
+    )
+
+
 class IcebergTable:
     """One Iceberg v2 table under an :class:`IcebergWarehouse`.
 
@@ -156,25 +181,17 @@ class IcebergTable:
         if not self.exists():
             empty = upserts.limit(0)
             self._writer(empty, None).create()
-        on = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
         src = f"__graft_merge_src_{self.name}"
         upserts.createOrReplaceTempView(src)
         try:
-            self.spark.sql(
-                f"MERGE INTO {_q(self.ident)} t USING {src} s ON {on} "
-                "WHEN MATCHED THEN UPDATE SET * "
-                "WHEN NOT MATCHED THEN INSERT *"
-            )
+            self.spark.sql(merge_upsert_sql(self.ident, src, keys))
         finally:
             self.spark.catalog.dropTempView(src)
         if deletes is not None:
             dsrc = f"__graft_merge_del_{self.name}"
             deletes.select(*keys).createOrReplaceTempView(dsrc)
             try:
-                self.spark.sql(
-                    f"MERGE INTO {_q(self.ident)} t USING {dsrc} s ON {on} "
-                    "WHEN MATCHED THEN DELETE"
-                )
+                self.spark.sql(merge_delete_sql(self.ident, dsrc, keys))
             finally:
                 self.spark.catalog.dropTempView(dsrc)
         return self.current_version()

@@ -74,6 +74,31 @@ def test_iceberg_probe_is_honest(spark):
             IcebergWarehouse(spark, "/tmp/never-used")
 
 
+def test_merge_sql_statements_exact():
+    """The MERGE statements are the Iceberg write contract; pin their
+    exact text (quoting included) so a refactor can't silently change
+    the row-level semantics the jar-gated smoke would only catch on a
+    cluster."""
+    from flink_stream_spark.tables.iceberg import (
+        merge_delete_sql,
+        merge_upsert_sql,
+    )
+
+    up = merge_upsert_sql("graft.db.account", "src_v", ["user_id", "region"])
+    assert up == (
+        "MERGE INTO `graft`.`db`.`account` t USING src_v s "
+        "ON t.`user_id` = s.`user_id` AND t.`region` = s.`region` "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    de = merge_delete_sql("graft.db.account", "del_v", ["user_id"])
+    assert de == (
+        "MERGE INTO `graft`.`db`.`account` t USING del_v s "
+        "ON t.`user_id` = s.`user_id` "
+        "WHEN MATCHED THEN DELETE"
+    )
+
+
 @pytest.fixture
 def iceberg_wh(spark, tmp_path):
     if not iceberg_available(spark):

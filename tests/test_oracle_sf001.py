@@ -17,8 +17,11 @@ import os
 
 import pytest
 
+import __spark_entry__  # noqa: F401  — imports populate the registry
 from flink_stream_spark.operators import REGISTRY
 from flink_stream_spark.testing import compare_query
+
+assert len(REGISTRY) > 100, "registry import failed — gate would be vacuous"
 
 pytestmark = pytest.mark.skipif(
     not os.environ.get("SPARK_GRAFT_NIGHTLY"),
