@@ -110,6 +110,26 @@ def main() -> None:
     print("compacted; expired", expired, "snapshots;",
           "final rows:", t.read(spark).count())
 
+    # 9. same lifecycle over a REAL Iceberg catalog when the
+    #    iceberg-spark runtime jars are present (tables/format.py is
+    #    the seam both backends implement; see tests/test_iceberg_adapter.py)
+    from flink_stream_spark.tables.iceberg import (
+        IcebergWarehouse,
+        iceberg_available,
+    )
+
+    if iceberg_available(spark):
+        iw = IcebergWarehouse(spark, os.path.join(work, "ice_wh"))
+        it = iw.table("accounts_ice", key_columns=["user_id"])
+        it.merge(t.read(spark))
+        print("iceberg twin rows:", it.read(spark).count(),
+              "snapshots:", it.current_version())
+        it.expire_snapshots(retain_last=1)
+    else:
+        print("iceberg-spark jars absent — skipping the Iceberg twin "
+              "(launch with --packages org.apache.iceberg:"
+              "iceberg-spark-runtime-<spark>_<scala>:<ver> to run it)")
+
     if args.workdir is None:
         shutil.rmtree(work, ignore_errors=True)
 
