@@ -723,3 +723,89 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.expr(f"off div {PACK_WINDOW}")
         ).alias("spans_boundary"),
     ).orderBy("doc_id")
+
+
+LINE_TOKENS = 8  # pseudo-line width (fixture text has no newlines)
+LINE_DF_DROP = 3  # corpus frequency at which a line is boilerplate
+
+
+@register(
+    "text_line_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    chunks AS (
+      SELECT doc_id, i,
+             array_to_string(ts[(i*{LINE_TOKENS}+1):(i*{LINE_TOKENS}+{LINE_TOKENS})], ' ') AS chunk
+      FROM toks,
+           unnest(range(CAST(ceil(len(ts) / {LINE_TOKENS}.0) AS BIGINT))) AS t(i)),
+    freq AS (SELECT chunk, COUNT(*) AS c FROM chunks GROUP BY chunk),
+    flagged AS (
+      SELECT ch.doc_id, ch.i, ch.chunk, f.c >= {LINE_DF_DROP} AS dropped
+      FROM chunks ch JOIN freq f USING (chunk))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           md5(string_agg(CASE WHEN NOT dropped THEN chunk END, ' ' ORDER BY i))
+             AS kept_hash
+    FROM flagged
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    group="corpus",
+    doc=f"C4-style corpus line dedup: the text splits into consecutive "
+    f"{LINE_TOKENS}-token pseudo-lines (the fixture corpus has no "
+    f"newlines), every line occurring in >= {LINE_DF_DROP} places "
+    "corpus-wide is boilerplate and removed from every document, and "
+    "each doc reports its line count, drop count, and the md5 of the "
+    "surviving text (NULL when nothing survives). Scale: the line "
+    "explode is narrow; the frequency count shuffles |distinct lines| "
+    "after map-side combine; the 1:1 frequency join back is on the "
+    "line key (AQE broadcasts the freq side when it fits); the "
+    "per-doc rebuild is a bounded sorted collect (lines-per-doc). "
+    "This is the removal counterpart to dedup_prefix_boilerplate's "
+    "detection-only containment scoring.",
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toked = d.repartition(par, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    n_chunks = F.ceil(F.size("ts") / F.lit(float(LINE_TOKENS))).cast("int")
+    chunks = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("ts"), i * LINE_TOKENS + 1, LINE_TOKENS), " "
+                ),
+            )
+        ).alias("i", "chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("c"))
+    flagged = chunks.join(freq, "chunk").select(
+        "doc_id", "i", "chunk", (F.col("c") >= LINE_DF_DROP).alias("dropped")
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("dropped"), F.struct("i", "chunk"))
+            )
+        ),
+        lambda x: x["chunk"],
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.col("dropped").cast("int")).cast("bigint").alias("n_dropped"),
+            F.when(
+                F.sum((~F.col("dropped")).cast("int")) == 0, F.lit(None)
+            )
+            .otherwise(F.md5(F.array_join(kept_sorted, " ")))
+            .alias("kept_hash"),
+        )
+        .orderBy("doc_id")
+    )
