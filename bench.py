@@ -90,6 +90,10 @@ HEADLINE = [
     "corpus_pack_sequences",
     "events_histogram_width_bucket",
     "orders_open_backlog_timeseries",
+    "text_line_dedup",
+    "dedup_exact_substr_spans",
+    "quality_gopher_rules",
+    "dedup_incremental_new_batch",
 ]
 # not in the set: agg_percentile_approx — its GATE form deliberately
 # computes the exact reference percentiles next to the sketch (the

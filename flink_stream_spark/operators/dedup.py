@@ -860,3 +860,226 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("lev_dist") <= 3)
         .orderBy("name_a", "name_b")
     )
+
+
+# ExactSubstr-style duplicate-span detection (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"): a
+# position is duplicated when its K_SPAN-token gram occurs >= 2 times
+# corpus-wide; overlapping/adjacent duplicated positions merge into
+# maximal spans. K_SPAN is small here because the fixture docs are
+# short; the paper uses 50 tokens.
+K_SPAN = 5
+
+
+@register(
+    "dedup_exact_substr_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    stats AS (SELECT doc_id, len(ts) AS n_tokens FROM toks),
+    pos AS (
+      SELECT doc_id, i,
+             {tok_hash_duck(f"array_to_string(ts[i:i+{K_SPAN}-1], ' ')")} AS g
+      FROM toks,
+           unnest(generate_series(1, greatest(len(ts) - {K_SPAN} + 1, 0))) AS t(i)),
+    freq AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+    dup AS (SELECT p.doc_id, p.i FROM pos p JOIN freq USING (g)),
+    marked AS (
+      SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS pi
+      FROM dup),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS dup_positions,
+             CAST(SUM(CASE WHEN pi IS NULL THEN {K_SPAN}
+                           ELSE least({K_SPAN}, i - pi) END) AS BIGINT) AS dup_tokens,
+             CAST(SUM(CASE WHEN pi IS NULL OR i - pi > {K_SPAN} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_spans
+      FROM marked GROUP BY doc_id)
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(d.dup_positions, 0) AS dup_positions,
+           COALESCE(d.dup_tokens, 0) AS dup_tokens,
+           COALESCE(d.n_spans, 0) AS n_spans,
+           CAST(ROUND(CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE) / s.n_tokens, 6)
+                AS DOUBLE) AS dup_frac
+    FROM stats s LEFT JOIN per_doc d USING (doc_id)
+    ORDER BY doc_id
+    """,
+    group="dedup",
+    doc=f"ExactSubstr duplicate-span detection (Lee et al. 2022): every "
+    f"{K_SPAN}-token positional gram occurring >= 2 times corpus-wide "
+    "marks its start position duplicated; per doc, duplicated positions "
+    "merge into maximal covered spans (adjacent-or-overlapping "
+    f"positions, gap > {K_SPAN} starts a new span) and the output "
+    "reports position/token/span counts plus the duplicated-token "
+    "fraction. Scale: the positional-gram explode is narrow; grams "
+    "shuffle once as 60-bit hashes (never the strings) for the "
+    "frequency count with map-side partial agg; the duplicate filter "
+    "join back is 1:1 per position on the gram hash (AQE-skew-safe — a "
+    "hot gram fans out only to its own positions, never pairs); span "
+    "merging is a per-doc window (partitioned by doc_id, bounded by "
+    "tokens-per-doc). No stage is quadratic in corpus size — this is "
+    "the scan-based alternative to the paper's suffix-array build.",
+)
+def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toked = d.repartition(par, "doc_id").select(
+        "doc_id", F.split("text", " ").alias("ts")
+    )
+    n = F.size("ts")
+    stats = toked.select("doc_id", n.cast("bigint").alias("n_tokens"))
+    gram_starts = F.when(
+        n >= K_SPAN, F.sequence(F.lit(1), (n - K_SPAN + 1).cast("int"))
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    pos = toked.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                gram_starts,
+                lambda i: F.struct(
+                    i.alias("i"),
+                    _tok_hash_spark(
+                        F.array_join(F.slice(F.col("ts"), i, K_SPAN), " ")
+                    ).alias("g"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.i").alias("i"), F.col("p.g").alias("g"))
+    dup_grams = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("g")
+    )
+    dup = pos.join(dup_grams, "g").select("doc_id", "i")
+    w = Window.partitionBy("doc_id").orderBy("i")
+    marked = dup.withColumn("pi", F.lag("i").over(w))
+    per_doc = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dup_positions"),
+        F.sum(
+            F.when(F.col("pi").isNull(), F.lit(K_SPAN)).otherwise(
+                F.least(F.lit(K_SPAN), F.col("i") - F.col("pi"))
+            )
+        )
+        .cast("bigint")
+        .alias("dup_tokens"),
+        F.sum(
+            (F.col("pi").isNull() | (F.col("i") - F.col("pi") > K_SPAN)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_spans"),
+    )
+    return (
+        stats.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_positions", F.lit(0)).cast("bigint").alias("dup_positions"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Incremental new-batch dedup: the index/incoming split is by source
+# id (sources src0..src9 are the already-ingested corpus; src10+ are
+# the new batch). In production the index side is the persisted band
+# index the streaming twin (streaming/dedup_stream.py) accumulates;
+# here it is derived inline from the same banded_frame so batch and
+# stream share one banding contract.
+IDX_SOURCE_MAX = 10
+
+
+@register(
+    "dedup_incremental_new_batch",
+    _MINHASH_DUCK
+    + f"""
+    , split AS (
+      SELECT doc_id, CAST(substr(source, 4) AS INT) < {IDX_SOURCE_MAX} AS is_index
+      FROM documents),
+    banded AS (
+      SELECT doc_id, CAST(FLOOR((j - 1) / {ROWS_PER_BAND}) AS INTEGER) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY j) AS sig
+      FROM sigs GROUP BY doc_id, 2),
+    inc AS (SELECT doc_id FROM split WHERE NOT is_index),
+    cand AS (
+      SELECT DISTINCT bi.doc_id AS doc_id, bx.doc_id AS idx_doc
+      FROM banded bi
+        JOIN split si ON si.doc_id = bi.doc_id AND NOT si.is_index
+        JOIN banded bx ON bx.band = bi.band AND bx.sig = bi.sig
+        JOIN split sx ON sx.doc_id = bx.doc_id AND sx.is_index),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_index_candidates
+      FROM cand GROUP BY doc_id),
+    hashes AS (SELECT doc_id, md5(text) AS h FROM documents),
+    exact AS (
+      SELECT hi.doc_id
+      FROM hashes hi JOIN split si ON si.doc_id = hi.doc_id AND NOT si.is_index
+      WHERE EXISTS (
+        SELECT 1 FROM hashes hx JOIN split sx
+          ON sx.doc_id = hx.doc_id AND sx.is_index
+        WHERE hx.h = hi.h))
+    SELECT i.doc_id,
+           i.doc_id IN (SELECT doc_id FROM exact) AS exact_dup,
+           COALESCE(p.n_index_candidates, 0) AS n_index_candidates,
+           COALESCE(p.n_index_candidates, 0) > 0 AS near_dup
+    FROM inc i LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id
+    """,
+    group="dedup",
+    doc="Incremental new-batch dedup against an existing corpus index: "
+    f"sources src0..src{IDX_SOURCE_MAX - 1} form the ingested index, the "
+    "rest are the incoming batch. Layer 1 flags exact duplicates by "
+    "content hash against the distinct index hash set; layer 2 counts "
+    "distinct index documents sharing >= 1 MinHash-LSH band bucket "
+    "(near_dup when any). Scale: the incoming batch never self-joins — "
+    "cost is |batch| x matched buckets; at 100 TB the index side is the "
+    "persisted band index maintained by streaming/dedup_stream.py "
+    "(identical banded_frame contract), and the index hash set / band "
+    "join keys shuffle as fixed-width hashes. No stage touches index x "
+    "index or batch x batch.",
+)
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    idx = d.filter(src_num < IDX_SOURCE_MAX)
+    inc = d.filter(src_num >= IDX_SOURCE_MAX)
+    idx_hashes = (
+        idx.select(F.md5("text").alias("h")).distinct().withColumn("__hit", F.lit(1))
+    )
+    exact_flag = (
+        inc.select("doc_id", F.md5("text").alias("h"))
+        .join(idx_hashes, "h", "left")
+        .select("doc_id", F.col("__hit").isNotNull().alias("exact_dup"))
+    )
+    bi = banded_frame(minhash_wide(inc))
+    bx = (
+        banded_frame(minhash_wide(idx))
+        .withColumnRenamed("doc_id", "idx_doc")
+    )
+    per_doc = (
+        bi.join(bx, ["band", "sig"])
+        .select("doc_id", "idx_doc")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_index_candidates"))
+    )
+    return (
+        exact_flag.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.coalesce("n_index_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_index_candidates"),
+            (F.coalesce("n_index_candidates", F.lit(0)) > 0).alias("near_dup"),
+        )
+        .orderBy("doc_id")
+    )

@@ -210,3 +210,138 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm.select("doc_id", logit.alias("logit_scaled"), (logit > 0).alias("keep"))
         .orderBy("doc_id")
     )
+
+
+# Gopher rule battery (Rae et al. 2021, table A1 — public paper).
+# Thresholds are the paper's; exact-integer comparisons (k·count vs
+# k·count) so both engines compare identical integers, never floats.
+# the paper uses English stopwords {the, be, to, of, and, that, have,
+# with}; the list is a config knob — here it is the fixture corpus's
+# highest-frequency function tokens so the rule discriminates on the
+# synthetic vocabulary instead of failing every document.
+GOPHER_STOPWORDS = ("scan", "column", "window", "order", "sort", "agg", "join", "group")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+
+
+@register(
+    "quality_gopher_rules",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ts,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+               AS n_spaces
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) - n_spaces AS sum_tok_len,
+             CAST({' + '.join(f"CASE WHEN list_contains(ts, '{w}') THEN 1 ELSE 0 END" for w in GOPHER_STOPWORDS)}
+                  AS BIGINT) AS n_stopwords,
+             CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(length(text) - length(replace(replace(text, '#', ''), '...', ''))
+                  AS BIGINT) AS n_symbol_chars
+      FROM toks),
+    rules AS (
+      SELECT doc_id, n_tokens,
+             n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS rule_word_count,
+             sum_tok_len BETWEEN 3 * n_tokens AND 10 * n_tokens AS rule_mean_word_len,
+             n_stopwords >= 2 AS rule_stopwords,
+             5 * n_alpha_words >= 4 * n_tokens AS rule_alpha_frac,
+             10 * n_symbol_chars <= n_tokens AS rule_symbol_ratio
+      FROM feats)
+    SELECT doc_id, n_tokens,
+           rule_word_count, rule_mean_word_len, rule_stopwords,
+           rule_alpha_frac, rule_symbol_ratio,
+           CAST(CASE WHEN rule_word_count THEN 0 ELSE 1 END
+              + CASE WHEN rule_mean_word_len THEN 0 ELSE 2 END
+              + CASE WHEN rule_stopwords THEN 0 ELSE 4 END
+              + CASE WHEN rule_alpha_frac THEN 0 ELSE 8 END
+              + CASE WHEN rule_symbol_ratio THEN 0 ELSE 16 END AS INT)
+             AS fail_mask,
+           rule_word_count AND rule_mean_word_len AND rule_stopwords
+             AND rule_alpha_frac AND rule_symbol_ratio AS gopher_pass
+    FROM rules
+    ORDER BY doc_id
+    """,
+    group="text",
+    doc="Gopher document-level hard-filter battery (Rae et al. 2021 "
+    "table A1): word-count bounds, mean-word-length in [3,10], >= 2 "
+    "distinct required stopwords present, >= 80% words containing an "
+    "alphabetic character, symbol('#'/'...')-to-word ratio <= 0.1. "
+    "Emits each rule verdict, a fail-reason bitmask, and the composite "
+    "pass flag. All thresholds compare scaled integers (5*n_alpha >= "
+    "4*n), never floats, so engines agree exactly. Scale: a pure "
+    "map-only scan projection — no shuffle, no UDF; everything except "
+    "the alpha-word HOF stays in whole-stage codegen, and the HOF is "
+    "per-row bounded by tokens-per-doc.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.split("text", " ")
+    n_spaces = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
+    ).cast("bigint")
+    feats = d.select(
+        "doc_id",
+        F.size(ts).cast("bigint").alias("n_tokens"),
+        (F.length("text").cast("bigint") - n_spaces).alias("sum_tok_len"),
+        sum(
+            F.array_contains(ts, w).cast("int") for w in GOPHER_STOPWORDS
+        ).cast("bigint").alias("n_stopwords"),
+        F.size(F.filter(ts, lambda t: t.rlike("[a-zA-Z]")))
+        .cast("bigint")
+        .alias("n_alpha_words"),
+        (
+            F.length("text")
+            - F.length(
+                F.replace(
+                    F.replace(F.col("text"), F.lit("#")), F.lit("...")
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("n_symbol_chars"),
+    )
+    rules = feats.select(
+        "doc_id",
+        "n_tokens",
+        F.col("n_tokens").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).alias(
+            "rule_word_count"
+        ),
+        F.col("sum_tok_len")
+        .between(3 * F.col("n_tokens"), 10 * F.col("n_tokens"))
+        .alias("rule_mean_word_len"),
+        (F.col("n_stopwords") >= 2).alias("rule_stopwords"),
+        (5 * F.col("n_alpha_words") >= 4 * F.col("n_tokens")).alias(
+            "rule_alpha_frac"
+        ),
+        (10 * F.col("n_symbol_chars") <= F.col("n_tokens")).alias(
+            "rule_symbol_ratio"
+        ),
+    )
+    fail_mask = (
+        F.when(F.col("rule_word_count"), 0).otherwise(1)
+        + F.when(F.col("rule_mean_word_len"), 0).otherwise(2)
+        + F.when(F.col("rule_stopwords"), 0).otherwise(4)
+        + F.when(F.col("rule_alpha_frac"), 0).otherwise(8)
+        + F.when(F.col("rule_symbol_ratio"), 0).otherwise(16)
+    ).cast("int")
+    return rules.select(
+        "doc_id",
+        "n_tokens",
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_stopwords",
+        "rule_alpha_frac",
+        "rule_symbol_ratio",
+        fail_mask.alias("fail_mask"),
+        (
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_stopwords")
+            & F.col("rule_alpha_frac")
+            & F.col("rule_symbol_ratio")
+        ).alias("gopher_pass"),
+    ).orderBy("doc_id")

@@ -1,0 +1,145 @@
+"""Crafted-corpus semantics for the round-4 curation operators.
+
+The registry oracle gate checks dedup_exact_substr_spans /
+quality_gopher_rules / dedup_incremental_new_batch end-to-end against
+DuckDB on the fixtures; these plant corpora with KNOWN span layouts,
+rule violations, and cross-batch duplicates, where the expected
+numbers are hand-computable.
+"""
+
+from __future__ import annotations
+
+from flink_stream_spark.operators import REGISTRY
+import flink_stream_spark.operators.dedup  # noqa: F401
+import flink_stream_spark.operators.quality  # noqa: F401
+from flink_stream_spark.operators.dedup import K_SPAN
+
+
+def _write_documents(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [(i, text, "en", src, len(text)) for i, (text, src) in enumerate(rows, 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def _rows(spark, sf, name):
+    return {
+        r["doc_id"]: r.asDict() for r in REGISTRY[name].build(spark, sf).collect()
+    }
+
+
+def test_exact_substr_single_merged_span(spark, tmp_path):
+    assert K_SPAN == 5  # the crafted layouts below assume it
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # 8 shared tokens -> 4 dup 5-gram starts
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (shared + " u1 u2 u3 u4 u5", "src0"),  # 13 tokens, dup run at 1..8
+            ("v1 v2 v3 v4 v5 " + shared, "src1"),  # dup run at 6..13
+        ],
+    )
+    got = _rows(spark, sf, "dedup_exact_substr_spans")
+    for doc_id in (1, 2):
+        r = got[doc_id]
+        assert r["n_tokens"] == 13
+        assert r["dup_positions"] == 4  # starts of the 4 all-shared 5-grams
+        assert r["dup_tokens"] == 8  # the merged cover of the shared run
+        assert r["n_spans"] == 1
+        assert abs(r["dup_frac"] - 8 / 13) < 1e-6
+
+
+def test_exact_substr_gap_starts_new_span(spark, tmp_path):
+    runa, runb = "a1 a2 a3 a4 a5", "b1 b2 b3 b4 b5"
+    gap = "g1 g2 g3 g4 g5 g6"  # > K_SPAN unique tokens between the runs
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (f"{runa} {gap} {runb}", "src0"),
+            (f"{runa} h1 h2 h3 h4 h5 h6 {runb}", "src1"),
+        ],
+    )
+    got = _rows(spark, sf, "dedup_exact_substr_spans")
+    for doc_id in (1, 2):
+        r = got[doc_id]
+        assert r["dup_positions"] == 2  # one 5-gram per run
+        assert r["dup_tokens"] == 10
+        assert r["n_spans"] == 2
+
+
+def test_exact_substr_clean_doc_all_zero(spark, tmp_path):
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [("c1 c2 c3 c4 c5 c6", "src0"), ("d1 d2 d3 d4 d5 d6", "src1")],
+    )
+    got = _rows(spark, sf, "dedup_exact_substr_spans")
+    for r in got.values():
+        assert (r["dup_positions"], r["dup_tokens"], r["n_spans"]) == (0, 0, 0)
+        assert r["dup_frac"] == 0.0
+
+
+def test_gopher_rules_fail_mask_bits(spark, tmp_path):
+    stop = "scan column window order sort agg join group"  # all 8 required
+    good = (stop + " tok") * 1  # base that passes stopwords
+    # 60 tokens of 4-char words incl >=2 stopwords -> passes everything
+    passing = ("scan column " + " ".join(f"wrd{i % 9}" for i in range(58))).strip()
+    short = "scan column only ten tokens here words are too few"  # 10 tokens
+    no_stop = " ".join(f"tok{i % 7}x" for i in range(60))  # 60 tokens, no stopwords
+    long_words = "scan column " + " ".join("x" * 40 for _ in range(58))
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (passing, "src0"),
+            (short, "src1"),
+            (no_stop, "src2"),
+            (long_words, "src3"),
+            (good, "src4"),
+        ],
+    )
+    got = _rows(spark, sf, "quality_gopher_rules")
+    assert got[1]["gopher_pass"] and got[1]["fail_mask"] == 0
+    assert not got[2]["rule_word_count"] and got[2]["fail_mask"] & 1
+    assert not got[3]["rule_stopwords"] and got[3]["fail_mask"] & 4
+    assert not got[4]["rule_mean_word_len"] and got[4]["fail_mask"] & 2
+    # every failed rule appears in the mask and vice versa
+    for r in got.values():
+        mask = (
+            (0 if r["rule_word_count"] else 1)
+            + (0 if r["rule_mean_word_len"] else 2)
+            + (0 if r["rule_stopwords"] else 4)
+            + (0 if r["rule_alpha_frac"] else 8)
+            + (0 if r["rule_symbol_ratio"] else 16)
+        )
+        assert r["fail_mask"] == mask
+        assert r["gopher_pass"] == (mask == 0)
+
+
+def test_incremental_new_batch_planted_duplicates(spark, tmp_path):
+    base = " ".join(f"w{i} x{i} y{i}" for i in range(12))  # 36 tokens
+    near = base + " tail1 tail2"  # high-Jaccard neighbour of base
+    other = " ".join(f"q{i} r{i} s{i}" for i in range(12))
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (base, "src0"),  # index
+            (other, "src1"),  # index
+            (base, "src15"),  # incoming: exact dup of doc 1
+            (near, "src16"),  # incoming: near dup of doc 1
+            ("z1 z2 z3 z4 z5 z6 z7 z8 z9", "src17"),  # incoming: clean
+        ],
+    )
+    got = _rows(spark, sf, "dedup_incremental_new_batch")
+    assert set(got) == {3, 4, 5}  # only the incoming batch is reported
+    assert got[3]["exact_dup"] and got[3]["near_dup"]
+    assert got[3]["n_index_candidates"] >= 1
+    assert not got[4]["exact_dup"] and got[4]["near_dup"]  # bands collide
+    assert not got[5]["exact_dup"] and not got[5]["near_dup"]
+    assert got[5]["n_index_candidates"] == 0
