@@ -279,6 +279,13 @@ GOPHER_MAX_WORDS = 100_000
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
+    # one fused exchange, two jobs: RANGE-partitioning on doc_id spreads
+    # the per-token HOF/regex work across every core (the compressed
+    # fixture file arrives as 1-2 input splits — text.py:181 trap), and
+    # a partition-local sort then yields the totally-ordered result
+    # without a second global sort exchange of the scored rows.
+    par = spark.sparkContext.defaultParallelism
+    d = d.repartitionByRange(par, "doc_id")
     ts = F.split("text", " ")
     n_spaces = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
@@ -344,4 +351,4 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("rule_alpha_frac")
             & F.col("rule_symbol_ratio")
         ).alias("gopher_pass"),
-    ).orderBy("doc_id")
+    ).sortWithinPartitions("doc_id")
