@@ -809,3 +809,153 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- iterative BPE training ---------------------------------------------
+#
+# R greedy merge rounds over the whole corpus (the BPE training loop,
+# Sennrich et al. 2016 at word-token granularity): each round counts
+# adjacent token pairs corpus-wide, merges the most frequent pair
+# (ties: lexicographically smallest) everywhere, and repeats on the
+# merged corpus. The corpus is carried as a '~'-framed string — each
+# token wrapped as ~t~, so a pair merge is ONE codegen'd non-overlapping
+# left-to-right string replace('~a~~b~' -> '~a+b~'): replace() cannot
+# match inside tokens (text is [a-z0-9 ]; '~' frames every boundary)
+# and consecutive-overlap greediness matches the canonical BPE fold.
+BPE_ROUNDS = 3
+_BPE_SEP = "~"
+_BPE_JOIN = "+"
+
+
+def _bpe_oracle() -> str:
+    parts = [
+        """
+    WITH r0 AS (
+      SELECT doc_id,
+             '~' || array_to_string(string_split(text, ' '), '~~') || '~' AS rep
+      FROM documents)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""
+    , t{r} AS (
+      SELECT string_split(substr(rep, 2, length(rep) - 2), '~~') AS ts
+      FROM r{r - 1}),
+    p{r} AS (
+      SELECT ts[i] AS a, ts[i + 1] AS b, COUNT(*) AS c
+      FROM t{r}, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+      GROUP BY 1, 2),
+    w{r} AS (
+      SELECT a, b, c FROM p{r} ORDER BY c DESC, a || '+' || b LIMIT 1),
+    r{r} AS (
+      SELECT doc_id,
+             replace(rep, '~' || w.a || '~~' || w.b || '~',
+                          '~' || w.a || '+' || w.b || '~') AS rep
+      FROM r{r - 1} CROSS JOIN w{r} w),
+    v{r} AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS vocab_size_after,
+             CAST(COUNT(*) AS BIGINT) AS corpus_tokens_after
+      FROM (SELECT unnest(string_split(substr(rep, 2, length(rep) - 2), '~~')) AS t
+            FROM r{r})),
+    s{r} AS (
+      SELECT {r} AS round, w.a || '+' || w.b AS merged_pair,
+             CAST(w.c AS BIGINT) AS freq,
+             v.vocab_size_after, v.corpus_tokens_after
+      FROM w{r} w CROSS JOIN v{r} v)"""
+        )
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM s{r}" for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "".join(parts) + f"\n    {union}\n    ORDER BY round\n    "
+
+
+@register(
+    "text_bpe_train",
+    _bpe_oracle(),
+    group="corpus",
+    doc=f"BPE training loop, {BPE_ROUNDS} greedy merge rounds "
+    "(Sennrich et al. 2016 at word granularity): per round, count "
+    "adjacent token pairs corpus-wide, merge the most frequent pair "
+    "(ties lexicographic) in every document, recount on the merged "
+    "corpus. Reports each round's winning pair, its frequency, and "
+    "the post-merge vocab/token counts. Scale: the corpus rep is a "
+    "framed string, so a merge round is a codegen'd narrow "
+    "replace() pass (no per-row Python, no array fold); pair counts "
+    "shuffle once per round with map-side combine; the only driver "
+    "traffic is ONE (a, b, count) row per round (same bounded-scalar "
+    "contract as graph_pagerank_bipartite's convergence checks). Each "
+    "round's rep is cached so round r+1 reuses r's merge instead of "
+    "replaying the chain.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    rep = d.repartition(par, "doc_id").select(
+        "doc_id",
+        F.concat(
+            F.lit(_BPE_SEP),
+            F.array_join(F.split("text", " "), _BPE_SEP * 2),
+            F.lit(_BPE_SEP),
+        ).alias("rep"),
+    )
+    _EMPTY_PAIRS = "CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"
+    out = []
+    for r in range(1, BPE_ROUNDS + 1):
+        rep = rep.cache()
+        toks = rep.select(
+            F.split(F.expr("substr(rep, 2, length(rep) - 2)"), _BPE_SEP * 2).alias(
+                "ts"
+            )
+        )
+        n = F.size("ts")
+        pairs_arr = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(0), (n - 2).cast("int")),
+                lambda i: F.struct(
+                    F.col("ts")[i].alias("a"), F.col("ts")[i + 1].alias("b")
+                ),
+            ),
+        ).otherwise(F.expr(_EMPTY_PAIRS))
+        counts = (
+            toks.select(F.explode_outer(pairs_arr).alias("p"))
+            .filter(F.col("p").isNotNull())
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        win = (
+            counts.orderBy(
+                F.desc("c"), F.concat_ws(_BPE_JOIN, "a", "b").asc()
+            )
+            .limit(1)
+            .collect()[0]
+        )
+        a, b, c = win["a"], win["b"], int(win["c"])
+        pat = f"{_BPE_SEP}{a}{_BPE_SEP}{_BPE_SEP}{b}{_BPE_SEP}"
+        rpl = f"{_BPE_SEP}{a}{_BPE_JOIN}{b}{_BPE_SEP}"
+        rep = rep.select(
+            "doc_id", F.replace(F.col("rep"), F.lit(pat), F.lit(rpl)).alias("rep")
+        )
+        stats = (
+            rep.select(
+                F.explode(
+                    F.split(F.expr("substr(rep, 2, length(rep) - 2)"), _BPE_SEP * 2)
+                ).alias("t")
+            )
+            .agg(
+                F.countDistinct("t").cast("bigint").alias("vocab_size_after"),
+                F.count(F.lit(1)).cast("bigint").alias("corpus_tokens_after"),
+            )
+        )
+        out.append(
+            stats.select(
+                F.lit(r).cast("int").alias("round"),
+                F.lit(f"{a}{_BPE_JOIN}{b}").alias("merged_pair"),
+                F.lit(c).cast("bigint").alias("freq"),
+                "vocab_size_after",
+                "corpus_tokens_after",
+            )
+        )
+    return reduce(lambda x, y: x.unionAll(y), out).orderBy("round")

@@ -212,6 +212,11 @@ _PYTHON_EVAL_OK = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
+    # distributed linear algebra: Arrow-batched numpy X^T X partials /
+    # matmul projection are the designed shape (bounded d x d traffic;
+    # a JVM-side explode would amplify rows by d^2)
+    "embedding_covariance_exact",
+    "embedding_pca_project",
 }
 
 _PYTHON_NODES = (
