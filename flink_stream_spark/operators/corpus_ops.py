@@ -959,3 +959,72 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda x, y: x.unionAll(y), out).orderBy("round")
+
+
+@register(
+    "corpus_curriculum_bins",
+    """
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    bounds AS (
+      SELECT quantile_cont(n_tokens, [0.25, 0.5, 0.75]) AS q FROM toks),
+    binned AS (
+      SELECT t.doc_id, t.n_tokens,
+             1 + CAST(t.n_tokens > b.q[1] AS INT)
+               + CAST(t.n_tokens > b.q[2] AS INT)
+               + CAST(t.n_tokens > b.q[3] AS INT) AS bin
+      FROM toks t CROSS JOIN bounds b)
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM binned GROUP BY bin
+    ORDER BY bin
+    """,
+    group="corpus",
+    doc="Length-curriculum binning: documents quartiled by exact token "
+    "count into 4 training phases (short -> long), with per-bin "
+    "counts and token budgets. Scale shape: the quartile boundaries "
+    "come from ONE exact percentile aggregate (never an ntile window, "
+    "which would move the whole corpus through a single partition), "
+    "broadcast back as a 3-value row; binning is then a map-side CASE "
+    "and the final agg has 4 groups. Interpolated quantiles of small "
+    "exact integers are exact in float64, so both engines bin "
+    "identically.",
+)
+def corpus_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    bounds = toks.agg(
+        F.expr("percentile(n_tokens, array(0.25D, 0.5D, 0.75D))").alias("q")
+    )
+    binned = toks.crossJoin(F.broadcast(bounds)).select(
+        "n_tokens",
+        (
+            F.lit(1)
+            + (F.col("n_tokens") > F.col("q")[0]).cast("int")
+            + (F.col("n_tokens") > F.col("q")[1]).cast("int")
+            + (F.col("n_tokens") > F.col("q")[2]).cast("int")
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_docs",
+            "min_tokens",
+            "max_tokens",
+            "total_tokens",
+        )
+        .orderBy("bin")
+    )

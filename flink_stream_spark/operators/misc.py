@@ -566,3 +566,101 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).cast("bigint").alias("shifted_down"),
         F.bit_count(k).cast("int").alias("set_bits"),
     ).orderBy("o_orderkey")
+
+
+# --- count-min sketch heavy hitters --------------------------------------
+#
+# Second mergeable-sketch family next to agg_hll_sketch_merge: a
+# D x W count-min sketch (Cormode & Muthukrishnan 2005) with fixed
+# md5-derived hash rows, so both engines build the identical counter
+# table and the point estimates are exactly reproducible. Counters are
+# plain sums -> partial aggregation map-side, and sketches from any
+# partitioning merge by cell-wise addition.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+
+
+def _cms_bucket_duck(i: str, key: str) -> str:
+    return f"CAST('0x' || substr(md5({i} || ':' || {key}), 1, 15) AS BIGINT) % {CMS_WIDTH}"
+
+
+def _cms_bucket_spark(i, key):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(i.cast("string"), F.lit(":"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        % CMS_WIDTH
+    )
+
+
+@register(
+    "agg_heavy_hitters_cms",
+    f"""
+    WITH keys AS (SELECT o_custkey AS k FROM orders),
+    hrows AS (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS i),
+    cells AS (
+      SELECT i, {_cms_bucket_duck('i', 'k')} AS b, COUNT(*) AS c
+      FROM keys, hrows GROUP BY 1, 2),
+    exact AS (
+      SELECT k, COUNT(*) AS exact_cnt FROM keys GROUP BY k
+      ORDER BY exact_cnt DESC, k LIMIT 10),
+    est AS (
+      SELECT e.k, e.exact_cnt, MIN(c.c) AS cms_est
+      FROM exact e CROSS JOIN hrows r
+        JOIN cells c ON c.i = r.i AND c.b = {_cms_bucket_duck('r.i', 'e.k')}
+      GROUP BY e.k, e.exact_cnt)
+    SELECT CAST(k AS BIGINT) AS custkey,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est
+    FROM est ORDER BY exact_cnt DESC, custkey
+    """,
+    group="agg",
+    doc=f"Count-min-sketch heavy hitters over orders.o_custkey: a "
+    f"{CMS_DEPTH}x{CMS_WIDTH} CMS with fixed md5-derived hash rows is "
+    "built distributed (counters are sums — map-side combine, "
+    "cell-wise mergeable under ANY partitioning), then the top-10 "
+    "exact keys are point-queried against it (estimate = min over "
+    "rows of the key's counter; CMS guarantees estimate >= exact). "
+    "Scale: the sketch is the 100 TB path — the corpus shuffles into "
+    f"{CMS_DEPTH * CMS_WIDTH} cells total; the exact top-10 here is "
+    "the verification twin showing the overestimate bound, same "
+    "pattern as agg_percentile_approx's GATE form.",
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                _cms_bucket_spark(F.lit(i), F.col("k")).alias("b"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    cells = (
+        o.select(F.explode(hashes).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        o.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("k"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "k", "exact_cnt", F.explode(hashes).alias("h")
+    ).select("k", "exact_cnt", F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cells), ["i", "b"])
+        .groupBy("k", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            F.col("k").cast("bigint").alias("custkey"),
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cms_est").cast("bigint").alias("cms_est"),
+        )
+        .orderBy(F.desc("exact_cnt"), F.asc("custkey"))
+    )

@@ -164,3 +164,68 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Priority sampling (Duffield, Lund & Thorup 2007): a one-pass
+# weighted-without-replacement sample. Each item gets priority
+# q_i = w_i / u_i with u_i uniform in (0,1]; the sample is the top-k
+# by priority. Deterministic here because u_i is the md5 hash of the
+# key mapped into (0,1] — a pure function of the data — and q_i is a
+# SINGLE IEEE division of exact integers, so both engines compute
+# bit-identical priorities. Mergeable: top-k of a union is the top-k
+# of per-partition top-ks, which is exactly Spark's TakeOrdered.
+PRIORITY_K = 200
+_U_DENOM = 1 << 60  # hash is 60 bits (15 hex chars); u in (0, 1]
+
+
+@register(
+    "sample_priority_weighted",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS weight,
+             ({tok_hash_duck("'pri:' || CAST(doc_id AS VARCHAR)")} + 1) AS h
+      FROM documents),
+    pri AS (
+      SELECT doc_id, weight,
+             CAST(weight AS DOUBLE) * {_U_DENOM} / h AS priority
+      FROM w)
+    SELECT doc_id, weight, CAST(ROUND(priority, 6) AS DOUBLE) AS priority
+    FROM pri
+    ORDER BY priority DESC, doc_id
+    LIMIT {PRIORITY_K}
+    """,
+    group="sampling",
+    doc=f"Priority sampling (Duffield-Lund-Thorup 2007): top-{PRIORITY_K} "
+    "documents by priority w/u with u = md5-hash of the key mapped "
+    "into (0,1] — a deterministic weighted-without-replacement sample "
+    "(weight = token count) that is a pure function of the data. "
+    "Scale: one narrow scan pass computing a single IEEE division per "
+    "row, then TakeOrderedAndProject — per-partition top-k merged on "
+    "the driver, never a global sort; identical under any "
+    "partitioning because priorities are bit-identical and ties break "
+    "on doc_id.",
+)
+def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = _tok_hash_spark(
+        F.concat(F.lit("pri:"), F.col("doc_id").cast("string"))
+    ) + F.lit(1)
+    weight = F.size(F.split("text", " ")).cast("bigint")
+    # two-step select so weight/hash are named once (no duplicated
+    # md5 subtrees in the priority expression)
+    pri = (
+        d.select("doc_id", weight.alias("__w"), h.alias("__h"))
+        .select(
+            "doc_id",
+            F.col("__w").alias("weight"),
+            (
+                F.col("__w").cast("double") * F.lit(float(_U_DENOM)) / F.col("__h")
+            ).alias("priority"),
+        )
+    )
+    return (
+        pri.orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(PRIORITY_K)
+        .select("doc_id", "weight", F.round("priority", 6).alias("priority"))
+    )

@@ -10,6 +10,7 @@ numbers are hand-computable.
 from __future__ import annotations
 
 from flink_stream_spark.operators import REGISTRY
+import flink_stream_spark.operators.corpus_ops  # noqa: F401
 import flink_stream_spark.operators.dedup  # noqa: F401
 import flink_stream_spark.operators.quality  # noqa: F401
 from flink_stream_spark.operators.dedup import K_SPAN
@@ -143,3 +144,41 @@ def test_incremental_new_batch_planted_duplicates(spark, tmp_path):
     assert not got[4]["exact_dup"] and got[4]["near_dup"]  # bands collide
     assert not got[5]["exact_dup"] and not got[5]["near_dup"]
     assert got[5]["n_index_candidates"] == 0
+
+
+def test_curriculum_bins_partition_the_corpus(spark, sf_small):
+    rows = REGISTRY["corpus_curriculum_bins"].build(spark, sf_small).collect()
+    assert [r["bin"] for r in rows] == [1, 2, 3, 4]
+    from flink_stream_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_small, "documents")
+    n_docs = d.count()
+    n_tokens = d.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    assert sum(r["total_tokens"] for r in rows) == n_tokens
+    # bins are ordered, non-overlapping length ranges
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo["max_tokens"] <= hi["min_tokens"]
+
+
+def test_bpe_train_invariants(spark, tmp_path):
+    # corpus engineered so the merge winners are forced:
+    # "b c" appears 4x, "a b" 3x -> round 1 merges b+c everywhere,
+    # round 2's corpus then has "a b+c" 3x as the top pair
+    rows_in = [
+        ("a b c x b c", "src0"),
+        ("a b c y b c", "src1"),
+        ("a b c z", "src2"),
+    ]
+    sf = _write_documents(spark, tmp_path, rows_in)
+    got = REGISTRY["text_bpe_train"].build(spark, sf).collect()
+    assert got[0]["merged_pair"] == "b+c" and got[0]["freq"] == 5
+    assert got[1]["merged_pair"] == "a+b+c" and got[1]["freq"] == 3
+    # each merge removes exactly `freq` tokens and adds one vocab entry
+    # (until a source token disappears entirely from the corpus)
+    n0 = sum(len(t.split()) for t, _ in rows_in)
+    assert got[0]["corpus_tokens_after"] == n0 - got[0]["freq"]
+    assert got[1]["corpus_tokens_after"] == (
+        got[0]["corpus_tokens_after"] - got[1]["freq"]
+    )

@@ -59,3 +59,32 @@ def test_percentile_approx_within_tolerance(spark, sf_oracle):
         assert r["within_tol"], r
         want = exact[r["l_returnflag"]]
         assert abs(r["p50"] - want[0]) <= 1e-6 and abs(r["p95"] - want[1]) <= 1e-6
+
+
+def test_cms_never_underestimates_and_exact_is_exact(spark, sf_oracle):
+    rows = REGISTRY["agg_heavy_hitters_cms"].build(spark, sf_oracle).collect()
+    assert len(rows) == 10
+    truth = {
+        r["o_custkey"]: r["n"]
+        for r in load_table(spark, sf_oracle, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        # CMS point queries can only overestimate
+        assert r["cms_est"] >= r["exact_cnt"], r
+        assert truth[r["custkey"]] == r["exact_cnt"], r
+
+
+def test_cms_is_partitioning_independent(spark, sf_oracle):
+    # cell-wise mergeability: the sketch (and so the estimates) must be
+    # identical however the input was partitioned before the agg
+    base = REGISTRY["agg_heavy_hitters_cms"].build(spark, sf_oracle).collect()
+    n_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        alt = REGISTRY["agg_heavy_hitters_cms"].build(spark, sf_oracle).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", n_shuffle)
+    assert [tuple(r) for r in base] == [tuple(r) for r in alt]
