@@ -26,15 +26,22 @@ from flink_stream_spark.operators import REGISTRY
 
 STAGES = [
     ("1. quality + dedup survivors", "pipeline_corpus_curation"),
-    ("1b. unigram rarity scores", "text_unigram_rarity"),
+    ("1b. Gopher hard-filter battery", "quality_gopher_rules"),
+    ("1c. unigram rarity scores", "text_unigram_rarity"),
     ("2. near-dup clusters", "dedup_cluster_assign"),
+    ("2b. duplicated spans (ExactSubstr)", "dedup_exact_substr_spans"),
+    ("2c. boilerplate line removal (C4)", "text_line_dedup"),
+    ("2d. new-batch dedup vs index", "dedup_incremental_new_batch"),
     ("3. canonical doc per cluster", "dedup_canonical_doc"),
     ("4. dup rate by source", "dedup_rate_by_source"),
     ("5. benchmark decontamination", "text_decontaminate_overlap"),
     ("5b. PII redaction", "text_pii_redact"),
     ("6. temperature resampling", "sample_temperature_resample"),
+    ("6b. weighted priority sample", "sample_priority_weighted"),
     ("7. train/val/test split", "sample_train_split"),
+    ("7b. length-curriculum bins", "corpus_curriculum_bins"),
     ("8. chunk windows", "text_chunk_windows"),
+    ("8b. BPE merge training", "text_bpe_train"),
     ("9. vocab coverage", "text_vocab_coverage"),
 ]
 
