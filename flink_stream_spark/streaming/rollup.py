@@ -89,3 +89,35 @@ def daily_from_hourly(hourly: DataFrame) -> DataFrame:
         )
         .orderBy("day_ms", "event_type")
     )
+
+
+def cms_cells_stream(events: DataFrame) -> DataFrame:
+    """Streaming count-min-sketch build over the event stream's
+    user_id: the same D x W md5-hash cells as the batch
+    ``agg_heavy_hitters_cms`` (operators/misc.py), maintained as a
+    streaming aggregate. The state is BOUNDED BY CONSTRUCTION —
+    exactly CMS_DEPTH x CMS_WIDTH rows regardless of stream length or
+    key cardinality — so no watermark is needed and 'complete' output
+    mode is safe: this is the sketch's whole point as a streaming
+    heavy-hitter structure (Cormode & Muthukrishnan 2005). Cells are
+    sums, so the streaming state merges incrementally exactly like the
+    batch partial aggregation."""
+    from flink_stream_spark.operators.misc import (
+        CMS_DEPTH,
+        _cms_bucket_spark,
+    )
+
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                _cms_bucket_spark(F.lit(i), F.col("user_id")).alias("b"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        events.select(F.explode(hashes).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )

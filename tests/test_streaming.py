@@ -763,3 +763,42 @@ def test_windowed_join_streaming_parity(spark, sf_small, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_cms_stream_matches_batch_cells(spark, sf_small):
+    """The streaming CMS must converge to the identical D x W counter
+    table the batch build produces over the same data — cell-wise
+    mergeability is what makes the sketch a valid streaming state."""
+    from flink_stream_spark.catalog import load_table
+    from flink_stream_spark.operators.misc import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        _cms_bucket_spark,
+    )
+    from flink_stream_spark.streaming.rollup import cms_cells_stream
+
+    _run_to_memory(
+        cms_cells_stream(stream_events(spark, sf_small)), "t_cms", "complete"
+    )
+    got = {
+        (r["i"], r["b"]): r["c"] for r in spark.sql("SELECT * FROM t_cms").collect()
+    }
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                _cms_bucket_spark(F.lit(i), F.col("user_id")).alias("b"),
+            )
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    want = {
+        (r["i"], r["b"]): r["c"]
+        for r in load_table(spark, sf_small, "events")
+        .select(F.explode(hashes).alias("h"))
+        .groupBy(F.col("h.i").alias("i"), F.col("h.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert got == want
+    assert len(got) <= CMS_DEPTH * CMS_WIDTH  # bounded state, always
