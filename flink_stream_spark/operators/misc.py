@@ -664,3 +664,143 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("exact_cnt"), F.asc("custkey"))
     )
+
+
+@register(
+    "dq_constraint_report",
+    """
+    WITH checks AS (
+      SELECT 'orders_pk_unique' AS constraint_name, 'orders' AS tbl,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders_fk_customer', 'orders',
+             CAST(COUNT(*) AS BIGINT)
+      FROM orders o WHERE NOT EXISTS (
+        SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem_fk_orders', 'lineitem',
+             CAST(COUNT(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem_qty_range', 'lineitem',
+             CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem_discount_range', 'lineitem',
+             CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_date_not_null', 'orders',
+             CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem_price_positive', 'lineitem',
+             CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM lineitem)
+    SELECT constraint_name, tbl, n_violations, n_violations = 0 AS passed
+    FROM checks
+    ORDER BY constraint_name
+    """,
+    group="scan",
+    doc="Deequ-style declarative data-quality report over the warehouse "
+    "(the generalization of the reference's row-count/key verification "
+    "queries, test_cdc.py:79-96): primary-key uniqueness, two "
+    "referential-integrity checks (anti-join form — never a row "
+    "explode), range constraints, null rate, and a positivity "
+    "invariant, each reduced to a violation count + pass "
+    "flag. Scale: every check is a scan-side aggregate or a broadcast "
+    "anti-join against a key projection; the report is |constraints| "
+    "rows. One pass per table group (Catalyst shares the scans via "
+    "ReusedExchange where eligible).",
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+
+    def row(name, tbl, viol_df):
+        return viol_df.select(
+            F.lit(name).alias("constraint_name"),
+            F.lit(tbl).alias("tbl"),
+            F.col("n_violations").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        row(
+            "orders_pk_unique",
+            "orders",
+            o.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+        row(
+            "orders_fk_customer",
+            "orders",
+            o.join(
+                c.select("c_custkey"),
+                o["o_custkey"] == c["c_custkey"],
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n_violations")),
+        ),
+        row(
+            "lineitem_fk_orders",
+            "lineitem",
+            li.join(
+                o.select("o_orderkey"),
+                li["l_orderkey"] == o["o_orderkey"],
+                "left_anti",
+            ).agg(F.count(F.lit(1)).alias("n_violations")),
+        ),
+        row(
+            "lineitem_qty_range",
+            "lineitem",
+            li.agg(
+                F.sum(
+                    F.when(F.col("l_quantity").between(1, 50), 0).otherwise(1)
+                ).alias("n_violations")
+            ),
+        ),
+        row(
+            "lineitem_discount_range",
+            "lineitem",
+            li.agg(
+                F.sum(
+                    F.when(F.col("l_discount").between(0.0, 0.1), 0).otherwise(1)
+                ).alias("n_violations")
+            ),
+        ),
+        row(
+            "orders_date_not_null",
+            "orders",
+            o.agg(
+                F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+        row(
+            "lineitem_price_positive",
+            "lineitem",
+            li.agg(
+                F.sum(
+                    F.when(F.col("l_extendedprice") > 0, 0).otherwise(1)
+                ).alias("n_violations")
+            ),
+        ),
+    ]
+    from functools import reduce
+
+    report = reduce(lambda x, y: x.unionAll(y), checks)
+    return report.select(
+        "constraint_name",
+        "tbl",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("constraint_name")
