@@ -182,3 +182,53 @@ def test_bpe_train_invariants(spark, tmp_path):
     assert got[1]["corpus_tokens_after"] == (
         got[0]["corpus_tokens_after"] - got[1]["freq"]
     )
+
+
+def test_winnowing_guarantee_and_tie_rule(spark, tmp_path):
+    """Schleimer's guarantee: every window of WINNOW_W consecutive
+    grams contains >= 1 selected fingerprint — checked by recomputing
+    the selection locally (rightmost-min rule) on an adversarial
+    all-identical-token doc, where EVERY gram hash ties."""
+    import hashlib
+
+    import flink_stream_spark.operators.text as text_ops
+    from flink_stream_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        _WIN_HMOD,
+    )
+
+    docs = [
+        ("t t t t t t t t t t t t", "src0"),  # all grams identical: pure ties
+        ("a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 k1 l2", "src1"),
+    ]
+    sf = _write_documents(spark, tmp_path, docs)
+    got = _rows(spark, sf, "text_winnowing_fingerprints")
+
+    for doc_id, (textval, _) in enumerate(docs, 1):
+        toks = textval.split()
+        grams = [
+            " ".join(toks[i : i + WINNOW_K])
+            for i in range(len(toks) - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % _WIN_HMOD
+            for g in grams
+        ]
+        selected = set()
+        for e in range(WINNOW_W - 1, len(hs)):
+            w = hs[e - WINNOW_W + 1 : e + 1]
+            m = min(w)
+            # rightmost position attaining the window min
+            j = max(k for k in range(len(w)) if w[k] == m) + e - WINNOW_W + 1
+            selected.add(j)
+        assert got[doc_id]["n_fingerprints"] == len(selected)
+        want_hash = hashlib.md5(
+            ",".join(str(hs[j]) for j in sorted(selected)).encode()
+        ).hexdigest()
+        assert got[doc_id]["fingerprint_hash"] == want_hash
+    # the all-ties doc selects exactly one gram per window step pattern:
+    # rightmost-min of identical values is always the window's last gram
+    assert got[1]["n_fingerprints"] == len(
+        set(range(WINNOW_W - 1, 12 - WINNOW_K + 1))
+    )
