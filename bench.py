@@ -94,6 +94,11 @@ HEADLINE = [
     "dedup_exact_substr_spans",
     "quality_gopher_rules",
     "dedup_incremental_new_batch",
+    "text_winnowing_fingerprints",
+    "embedding_covariance_exact",
+    "agg_heavy_hitters_cms",
+    "sample_priority_weighted",
+    "dq_constraint_report",
 ]
 # not in the set: agg_percentile_approx — its GATE form deliberately
 # computes the exact reference percentiles next to the sketch (the
