@@ -223,6 +223,60 @@ NOTES = {
         "scan 2× per iteration (the unrolled form measured 10 redundant "
         "scans). Per-iteration shuffle is O(|edges|) 16-byte rows."
     ),
+    "dedup_exact_substr_spans": (
+        "ExactSubstr span detection: the positional-gram explode is narrow "
+        "(no shuffle); grams shuffle ONCE as 60-bit hashes for the frequency "
+        "count (partial/final HashAggregate); the duplicate-filter join back "
+        "is 1:1 per position; span merging is a doc_id-partitioned window "
+        "bounded by tokens-per-doc. No stage quadratic in corpus size — the "
+        "scan-based alternative to the paper's suffix array."
+    ),
+    "text_winnowing_fingerprints": (
+        "Winnowing (MOSS): the rightmost-min-per-window argmin is ONE "
+        "doc-partitioned MIN window pass over a packed integer key "
+        "h*2^20+(2^20-1-i) — no nested window functions, no self-join; "
+        "selections decode with exact integer div/mod and fingerprints "
+        "shuffle as 40-bit ints for the per-doc aggregate."
+    ),
+    "embedding_covariance_exact": (
+        "Distributed exact covariance: MapInPandas emits one (n, sx[d], "
+        "sxy[d(d+1)/2]) int64 partial PER ARROW BATCH (numpy X^T X — the "
+        "d^2 work never becomes rows); partials combine as decimal(38,0) "
+        "sums over |batches| rows; the final join of sums is broadcast at "
+        "64 rows. Traffic after the scan is independent of corpus size."
+    ),
+    "agg_heavy_hitters_cms": (
+        "Count-min sketch: the corpus aggregates into DEPTH x WIDTH = 256 "
+        "counter cells (map-side partial combine — the shuffle is bounded "
+        "by the sketch size, not the data); point estimates broadcast the "
+        "256-cell table to the top-k probe rows. Cell-wise mergeable under "
+        "any partitioning (asserted in tests/test_sketches.py)."
+    ),
+    "dedup_incremental_new_batch": (
+        "Incremental dedup: the incoming batch never self-joins — layer 1 "
+        "is a left join against the DISTINCT index hash set, layer 2 a "
+        "band-bucket join of batch bands vs index bands (cost |batch| x "
+        "matched buckets). At production scale the index side is the "
+        "persisted band index the streaming twin maintains."
+    ),
+    "sample_priority_weighted": (
+        "Priority sampling: one narrow scan pass computes w/u with a "
+        "single IEEE division per row; TakeOrderedAndProject merges "
+        "per-partition top-k heaps on the driver — k rows per partition "
+        "move, never the table."
+    ),
+    "corpus_curriculum_bins": (
+        "Curriculum binning: ONE exact percentile aggregate produces the "
+        "3 quartile boundaries (never an ntile window moving the corpus "
+        "through a single partition); the boundaries broadcast back and "
+        "binning is a map-side CASE feeding a 4-group aggregate."
+    ),
+    "dq_constraint_report": (
+        "DQ report: each constraint is a scan-side aggregate or a "
+        "BroadcastHashJoin LeftAnti against a key projection; the union "
+        "is |constraints| single-row aggregates — nothing data-sized "
+        "crosses the driver."
+    ),
 }
 
 
