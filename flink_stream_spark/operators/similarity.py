@@ -1218,3 +1218,104 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         .mapInPandas(project, "vec_id long, proj array<double>")
         .sortWithinPartitions("vec_id")
     )
+
+
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication" — public paper): embed ->
+# k-means cluster -> within-cluster cosine pairs above a threshold ->
+# keep one representative per near-duplicate group. Clustering blocks
+# the pair search (never corpus x corpus); the survivor policy here is
+# greedy-by-id (a vector is dropped iff a LOWER-id vector in its
+# cluster is tau-similar — the streaming "keep first occurrence" rule,
+# deterministic and engine-mirrorable without iterative component
+# propagation; the CC-based variant is dedup_cluster_assign).
+SEMDEDUP_TAU = 0.4
+
+
+@register(
+    "dedup_semdedup_cluster",
+    f"""
+    WITH n AS (
+      SELECT vec_id, embedding AS e,
+             {_SCALED_DUCK.format(c='embedding')} AS s
+      FROM embeddings),
+    c0 AS (SELECT vec_id AS cent_id, s AS cs FROM n WHERE vec_id < {KM_K}),
+    a1 AS (
+      SELECT vec_id, cent_id, e,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(cs, cs) - 2 * list_dot_product(s, cs),
+                        cent_id) AS rn
+      FROM n CROSS JOIN c0),
+    asg AS (SELECT vec_id, cent_id AS cl, e FROM a1 WHERE rn = 1),
+    p AS (
+      SELECT b.vec_id AS vb
+      FROM asg a JOIN asg b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.e AS DOUBLE[]), CAST(b.e AS DOUBLE[]))
+            >= {SEMDEDUP_TAU}),
+    rep AS (SELECT vb, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY vb)
+    SELECT asg.vec_id,
+           CAST(asg.cl AS BIGINT) AS cluster,
+           COALESCE(rep.c, 0) AS n_dup_lower,
+           COALESCE(rep.c, 0) = 0 AS keep
+    FROM asg LEFT JOIN rep ON rep.vb = asg.vec_id
+    ORDER BY asg.vec_id
+    """,
+    group="dedup",
+    doc=f"SemDeDup (Abbas et al. 2023): vectors k-means-assigned to "
+    f"{KM_K} deterministic seed centroids (exact scaled-integer "
+    "argmin, broadcast centroids), then within-cluster cosine pairs "
+    f">= {SEMDEDUP_TAU} mark later-id vectors as semantic duplicates "
+    "(greedy keep-first survivor rule). Output: per vector, its "
+    "cluster, the count of tau-similar lower-id cluster-mates, and "
+    "the keep flag. Scale: clustering bounds the pair search to "
+    "Σ cluster² (never corpus²); the pair join is cluster-keyed — at "
+    "100 TB repartition both sides by cluster id and the cosine work "
+    "parallelizes per cluster; no driver-side state.",
+)
+def dedup_semdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.operators.dedup import _cosine_expr
+
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    n = e.repartition(par, "vec_id").select(
+        "vec_id", F.col("embedding").alias("e"), _scaled_expr(F.col("embedding")).alias("s")
+    )
+    cents = n.filter(F.col("vec_id") < KM_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("s").alias("cs")
+    )
+    score = _sdot(F.col("cs"), F.col("cs")) - 2 * _sdot(F.col("s"), F.col("cs"))
+    asg = (
+        n.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cent_id", F.struct(score.alias("d"), F.col("cent_id"))).alias(
+                "cl"
+            ),
+            F.first("e").alias("e"),
+        )
+    )
+    a = asg.alias("a")
+    b = asg.alias("b")
+    rep = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.cl") == F.col("b.cl"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            _cosine_expr(F.col("a.e"), F.col("b.e")) >= SEMDEDUP_TAU
+        )
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_lower"))
+    )
+    return (
+        asg.join(rep, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cl").cast("bigint").alias("cluster"),
+            F.coalesce("n_dup_lower", F.lit(0)).cast("bigint").alias("n_dup_lower"),
+            (F.coalesce("n_dup_lower", F.lit(0)) == 0).alias("keep"),
+        )
+        .orderBy("vec_id")
+    )
