@@ -229,3 +229,147 @@ def sample_priority_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PRIORITY_K)
         .select("doc_id", "weight", F.round("priority", 6).alias("priority"))
     )
+
+
+# DSIR — Data Selection with Importance Resampling (Xie et al. 2023,
+# public paper): score raw-pool documents by the log-likelihood ratio
+# of hashed n-gram features under a target LM vs the raw-pool LM, then
+# resample by the importance weights. Feature space = bigrams hashed
+# into DSIR_BUCKETS buckets; LMs are add-1-smoothed bucket unigrams.
+# The target split here is sources src0..src4 (the "curated" pool),
+# the raw pool is the rest — mirroring the paper's
+# target-corpus-vs-web-crawl setup on the fixture's source axis.
+DSIR_BUCKETS = 1024
+DSIR_TARGET_MAX = 5  # sources src0..src4 form the target corpus
+
+
+@register(
+    "sample_dsir_importance",
+    f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST(substr(source, 4) AS INT) < {DSIR_TARGET_MAX} AS is_target
+      FROM documents),
+    toks AS (SELECT doc_id, is_target, string_split(text, ' ') AS ts FROM split),
+    big AS (
+      SELECT doc_id, is_target,
+             {tok_hash_duck("ts[i] || ' ' || ts[i+1]")} % {DSIR_BUCKETS} AS b
+      FROM toks, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)),
+    tf AS (
+      SELECT doc_id, is_target, b, COUNT(*) AS tf
+      FROM big GROUP BY doc_id, is_target, b),
+    ct AS (SELECT b, SUM(tf) AS c FROM tf WHERE is_target GROUP BY b),
+    cr AS (SELECT b, SUM(tf) AS c FROM tf WHERE NOT is_target GROUP BY b),
+    tot AS (
+      SELECT (SELECT SUM(c) FROM ct) AS nt, (SELECT SUM(c) FROM cr) AS nr),
+    lr AS (
+      SELECT cr.b,
+             CAST(FLOOR(ln(
+                    (CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                     * (tot.nr + {DSIR_BUCKETS}))
+                    / (CAST(cr.c + 1 AS DOUBLE) * (tot.nt + {DSIR_BUCKETS})))
+                  * 1000000.0 + 0.5) AS BIGINT) AS lr_micro
+      FROM cr LEFT JOIN ct ON ct.b = cr.b CROSS JOIN tot)
+    SELECT f.doc_id,
+           CAST(SUM(f.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(f.tf * l.lr_micro) AS BIGINT) AS score_micro,
+           CAST(ROUND(CAST(SUM(f.tf * l.lr_micro) AS DOUBLE)
+                      / CAST(SUM(f.tf) AS DOUBLE) / 1000000.0, 6) AS DOUBLE)
+             AS avg_log_ratio
+    FROM tf f JOIN lr l ON l.b = f.b
+    WHERE NOT f.is_target
+    GROUP BY f.doc_id
+    ORDER BY f.doc_id
+    """,
+    group="sampling",
+    doc=f"DSIR importance scores (Xie et al. 2023): bigrams hashed into "
+    f"{DSIR_BUCKETS} buckets, add-1-smoothed bucket LMs for the target "
+    f"(sources src0..src{DSIR_TARGET_MAX - 1}) and raw pools, and each "
+    "raw document scored by its total/average hashed-feature "
+    "log-likelihood ratio (resample = weight by exp(score)). Per-BUCKET "
+    "log-ratios quantize to micro-unit BIGINTs (floor(x*1e6+0.5), "
+    "sign-safe — ratios can be negative), so per-doc totals are exact "
+    "integer sums with no cross-engine double accumulation. Scale: the "
+    "bigram explode is narrow; LM state is <= 2x" + str(DSIR_BUCKETS) + " "
+    "rows however large the corpus; the score join broadcasts the "
+    "bucket table. This composes with sample_temperature_resample / "
+    "sample_priority_weighted for the actual resampling step.",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    split = d.repartition(par, "doc_id").select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+        (F.substring("source", 4, 10).cast("int") < DSIR_TARGET_MAX).alias(
+            "is_target"
+        ),
+    )
+    n = F.size("ts")
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), (n - 2).cast("int")),
+            lambda i: (
+                _tok_hash_spark(
+                    F.concat_ws(" ", F.col("ts")[i], F.col("ts")[i + 1])
+                )
+                % DSIR_BUCKETS
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    big = split.select(
+        "doc_id", "is_target", F.explode_outer(grams).alias("b")
+    ).filter(F.col("b").isNotNull())
+    tf = big.groupBy("doc_id", "is_target", "b").agg(F.count(F.lit(1)).alias("tf"))
+    ct = tf.filter("is_target").groupBy("b").agg(F.sum("tf").alias("ct"))
+    cr = tf.filter("NOT is_target").groupBy("b").agg(F.sum("tf").alias("cr"))
+    tot = ct.agg(F.sum("ct").alias("nt")).crossJoin(
+        cr.agg(F.sum("cr").alias("nr"))
+    )
+    lr = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce("ct", F.lit(0)) + 1).cast("double")
+                        * (F.col("nr") + DSIR_BUCKETS)
+                    )
+                    / (
+                        (F.col("cr") + 1).cast("double")
+                        * (F.col("nt") + DSIR_BUCKETS)
+                    )
+                )
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        tf.filter("NOT is_target")
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("lr_micro"))
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "score_micro",
+            F.round(
+                F.col("score_micro").cast("double")
+                / F.col("n_bigrams").cast("double")
+                / F.lit(1000000.0),
+                6,
+            ).alias("avg_log_ratio"),
+        )
+        .orderBy("doc_id")
+    )
