@@ -232,3 +232,25 @@ def test_winnowing_guarantee_and_tie_rule(spark, tmp_path):
     assert got[1]["n_fingerprints"] == len(
         set(range(WINNOW_W - 1, 12 - WINNOW_K + 1))
     )
+
+
+def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
+    """A raw-pool doc written in the target corpus's bigram
+    distribution must outscore a raw-pool doc of novel bigrams."""
+    import flink_stream_spark.operators.sampling  # noqa: F401
+
+    target_text = "alpha beta gamma delta " * 5  # sources src0..4 = target
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (target_text.strip(), "src0"),
+            (target_text.strip(), "src1"),
+            (target_text.strip(), "src10"),  # raw, target-like
+            ("zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8", "src11"),  # raw, novel
+        ],
+    )
+    got = _rows(spark, sf, "sample_dsir_importance")
+    assert set(got) == {3, 4}  # only the raw pool is scored
+    assert got[3]["avg_log_ratio"] > got[4]["avg_log_ratio"]
+    assert got[3]["score_micro"] > 0 > got[4]["score_micro"]

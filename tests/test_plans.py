@@ -252,3 +252,34 @@ def test_registry_wide_plan_lint(spark, sf_oracle):
                 if node in plan:
                     bad.append((name, node))
     assert not bad, f"plan lint violations: {bad}"
+
+
+def test_priority_sampling_uses_take_ordered(spark, sf_oracle):
+    import flink_stream_spark.operators.sampling  # noqa: F401
+
+    plan = plan_of(spark, sf_oracle, "sample_priority_weighted")
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_cms_probe_broadcasts_cells(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "agg_heavy_hitters_cms")
+    assert "BroadcastHashJoin" in plan  # 256-cell sketch table broadcast
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pair_join_is_hash_on_cluster(spark, sf_oracle):
+    plan = plan_of(spark, sf_oracle, "dedup_semdedup_cluster")
+    # the pair search must be an equi-join on the cluster id (bucketed
+    # cost), never a nested-loop over the corpus
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_no_cartesian_and_broadcast_lm(spark, sf_oracle):
+    import flink_stream_spark.operators.sampling  # noqa: F401
+
+    plan = plan_of(spark, sf_oracle, "sample_dsir_importance")
+    assert "CartesianProduct" not in plan
+    # the <= 2x1024-row bucket-LM table broadcasts back to doc features
+    assert "BroadcastHashJoin" in plan
