@@ -99,6 +99,8 @@ HEADLINE = [
     "agg_heavy_hitters_cms",
     "sample_priority_weighted",
     "dq_constraint_report",
+    "dedup_semdedup_cluster",
+    "sample_dsir_importance",
 ]
 # not in the set: agg_percentile_approx — its GATE form deliberately
 # computes the exact reference percentiles next to the sketch (the

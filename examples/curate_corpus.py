@@ -32,12 +32,14 @@ STAGES = [
     ("2b. duplicated spans (ExactSubstr)", "dedup_exact_substr_spans"),
     ("2c. boilerplate line removal (C4)", "text_line_dedup"),
     ("2d. new-batch dedup vs index", "dedup_incremental_new_batch"),
+    ("2e. semantic dedup (SemDeDup)", "dedup_semdedup_cluster"),
     ("3. canonical doc per cluster", "dedup_canonical_doc"),
     ("4. dup rate by source", "dedup_rate_by_source"),
     ("5. benchmark decontamination", "text_decontaminate_overlap"),
     ("5b. PII redaction", "text_pii_redact"),
     ("6. temperature resampling", "sample_temperature_resample"),
     ("6b. weighted priority sample", "sample_priority_weighted"),
+    ("6c. DSIR importance scores", "sample_dsir_importance"),
     ("7. train/val/test split", "sample_train_split"),
     ("7b. length-curriculum bins", "corpus_curriculum_bins"),
     ("8. chunk windows", "text_chunk_windows"),
