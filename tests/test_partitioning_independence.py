@@ -37,6 +37,14 @@ SENSITIVE = [
     "events_asof_join",
     "cdc_scd2_history",
     "dedup_cluster_assign",
+    # round 4: span-merge windows, argmin packing, greedy survivor
+    # rule, micro-quantized LM scores, weighted top-k
+    "dedup_exact_substr_spans",
+    "text_winnowing_fingerprints",
+    "dedup_semdedup_cluster",
+    "sample_dsir_importance",
+    "sample_priority_weighted",
+    "text_line_dedup",
 ]
 
 
