@@ -1232,8 +1232,9 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_TAU = 0.4
 SEMDEDUP_K = 64  # clusters: finer than KM_K — pair cost is Σ cluster²,
 # and SemDeDup's whole point is many small clusters (the paper uses
-# k ~ corpus/1000); 64 deterministic seeds bound the per-cluster
-# quadratic at (n/64)² while assignment stays one broadcast pass
+# k ~ corpus/1000); in production K scales with the corpus, which the
+# numpy-matmul assignment makes cheap (the JVM-HOF assignment measured
+# 220 s at 60k x 1024 vs sub-second vectorized — PLANS.md)
 
 
 @register(
@@ -1278,52 +1279,78 @@ SEMDEDUP_K = 64  # clusters: finer than KM_K — pair cost is Σ cluster²,
     "parallelizes per cluster; no driver-side state.",
 )
 def dedup_semdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     e = load_table(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
     # norms precomputed ONCE per row: the pair loop then runs a single
-    # interpreted HOF (the dot product) instead of three — measured
-    # ~2.5x at sf1. Scaled-integer arithmetic keeps the cosine exact
-    # and threshold-stable across engines (same contract as IVF).
+    # interpreted HOF (the dot product). Scaled-integer arithmetic
+    # keeps the cosine exact and threshold-stable across engines.
     n = (
         e.repartition(par, "vec_id")
         .select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
         .withColumn("nrm", F.sqrt(_sdot(F.col("s"), F.col("s"))))
     )
-    cents = n.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("cent_id"), F.col("s").alias("cs")
+    # assignment is an Arrow-batched numpy matmul, NOT a JVM HOF pass:
+    # the n x K score matrix costs n*K*d multiply-adds, which measured
+    # 220 s interpreted at (60k x 1024) but is sub-second vectorized.
+    # Exactness is preserved — scores are int64 (products <= 1e12,
+    # 64-term sums <= 6.4e13) so c.c - 2<x,c> is the IDENTICAL integer
+    # the oracle's float64 arithmetic produces, and np.argmin's
+    # first-minimum rule equals the oracle's (score, cent_id) ordering
+    # because centroid rows are sorted by cent_id.
+    cent_rows = sorted(
+        n.filter(F.col("vec_id") < SEMDEDUP_K).select("vec_id", "s").collect(),
+        key=lambda r: r["vec_id"],
     )
-    score = _sdot(F.col("cs"), F.col("cs")) - 2 * _sdot(F.col("s"), F.col("cs"))
-    asg = (
-        n.crossJoin(F.broadcast(cents))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cent_id", F.struct(score.alias("d"), F.col("cent_id"))).alias(
-                "cl"
-            ),
-            F.first("s").alias("s"),
-            F.first("nrm").alias("nrm"),
-        )
+    cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype="int64")
+    C = np.array([r["s"] for r in cent_rows], dtype="int64")  # (K, d)
+    cc = (C * C).sum(axis=1)  # (K,) exact int64
+
+    def assign(it):
+        for pdf in it:
+            x = np.stack(pdf["s"].to_numpy()).astype("int64")
+            score = cc[None, :] - 2 * (x @ C.T)  # exact int64
+            cl = cent_ids[np.argmin(score, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cl": cl, "s": pdf["s"], "nrm": pdf["nrm"]}
+            )
+
+    asg = n.mapInPandas(
+        assign, "vec_id long, cl long, s array<double>, nrm double"
     )
-    a = asg.alias("a")
-    b = asg.alias("b")
-    cos = _sdot(F.col("a.s"), F.col("b.s")) / (F.col("a.nrm") * F.col("b.nrm"))
-    rep = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.cl") == F.col("b.cl"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+
+    # the pair stage is ALSO a per-cluster numpy matmul (applyInPandas
+    # over the cluster key): the m x m dot matrix costs m^2*d vectorized
+    # flops per cluster vs m^2 interpreted HOF evaluations — same exact
+    # int64 dots, same float64 cosine as the oracle (products <= 1e12,
+    # 64-term sums <= 6.4e13, then one division). Per-cluster memory is
+    # m^2 doubles; production bounds m by scaling SEMDEDUP_K with the
+    # corpus, which the vectorized assignment above makes cheap.
+    def cluster_pairs(pdf):
+        S = np.stack(pdf["s"].to_numpy()).astype("int64")
+        ids = pdf["vec_id"].to_numpy()
+        nrm = pdf["nrm"].to_numpy()
+        cos = (S @ S.T).astype("float64") / np.outer(nrm, nrm)
+        mask = (cos >= SEMDEDUP_TAU) & (ids[:, None] < ids[None, :])
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": pdf["cl"],
+                "n_dup_lower": mask.sum(axis=0).astype("int64"),
+            }
         )
-        .filter(cos >= SEMDEDUP_TAU)
-        .groupBy(F.col("b.vec_id").alias("vec_id"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_lower"))
+
+    scored = asg.groupBy("cl").applyInPandas(
+        cluster_pairs, "vec_id long, cluster long, n_dup_lower long"
     )
     return (
-        asg.join(rep, "vec_id", "left")
-        .select(
+        scored.select(
             "vec_id",
-            F.col("cl").cast("bigint").alias("cluster"),
-            F.coalesce("n_dup_lower", F.lit(0)).cast("bigint").alias("n_dup_lower"),
-            (F.coalesce("n_dup_lower", F.lit(0)) == 0).alias("keep"),
+            "cluster",
+            "n_dup_lower",
+            (F.col("n_dup_lower") == 0).alias("keep"),
         )
         .orderBy("vec_id")
     )

@@ -213,10 +213,12 @@ _PYTHON_EVAL_OK = {
     "multimodal_frame_sample",
     "multimodal_feature_extract",
     # distributed linear algebra: Arrow-batched numpy X^T X partials /
-    # matmul projection are the designed shape (bounded d x d traffic;
-    # a JVM-side explode would amplify rows by d^2)
+    # matmul projection/assignment are the designed shape (bounded
+    # d x d traffic; a JVM-side explode would amplify rows by d^2, and
+    # interpreted HOF score matrices measured 200x slower — PLANS.md)
     "embedding_covariance_exact",
     "embedding_pca_project",
+    "dedup_semdedup_cluster",
 }
 
 _PYTHON_NODES = (
@@ -268,12 +270,15 @@ def test_cms_probe_broadcasts_cells(spark, sf_oracle):
     assert "CartesianProduct" not in plan
 
 
-def test_semdedup_pair_join_is_hash_on_cluster(spark, sf_oracle):
+def test_semdedup_stages_are_arrow_batched_per_cluster(spark, sf_oracle):
     plan = plan_of(spark, sf_oracle, "dedup_semdedup_cluster")
-    # the pair search must be an equi-join on the cluster id (bucketed
-    # cost), never a nested-loop over the corpus
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # assignment is Arrow-batched (MapInPandas), the pair stage runs
+    # per cluster group (FlatMapGroupsInPandas behind ONE hash exchange
+    # on the cluster id) — never a nested loop over the corpus
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+    assert "hashpartitioning(cl" in plan
 
 
 def test_dsir_no_cartesian_and_broadcast_lm(spark, sf_oracle):
