@@ -1230,22 +1230,32 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 # deterministic and engine-mirrorable without iterative component
 # propagation; the CC-based variant is dedup_cluster_assign).
 SEMDEDUP_TAU = 0.4
-SEMDEDUP_K = 64  # clusters: finer than KM_K — pair cost is Σ cluster²,
-# and SemDeDup's whole point is many small clusters (the paper uses
-# k ~ corpus/1000); in production K scales with the corpus, which the
-# numpy-matmul assignment makes cheap (the JVM-HOF assignment measured
-# 220 s at 60k x 1024 vs sub-second vectorized — PLANS.md)
+SEMDEDUP_K_MIN = 64  # floor on the cluster count
+SEMDEDUP_TARGET_CLUSTER = 256  # target per-cluster population: K is
+# derived from ONE scalar corpus count as max(64, n // 256), so mean
+# cluster size — and with it the Σ cluster² pair cost and the pair
+# stage's working set — stays ~constant as the corpus grows (the
+# paper's regime: K ∝ corpus). The oracle SQL computes the SAME K from
+# COUNT(*), so engine and oracle stay in lockstep at every scale.
+SEMDEDUP_PAIR_CHUNK = 2048  # rows per matmul block in the pair stage:
+# per-task memory is O(chunk · m) doubles, never O(m²), so a skewed
+# cluster degrades to more blocks, not an OOM.
 
 
 @register(
     "dedup_semdedup_cluster",
     f"""
-    WITH n AS (
+    WITH kk AS (
+      SELECT GREATEST({SEMDEDUP_K_MIN},
+                      COUNT(*) // {SEMDEDUP_TARGET_CLUSTER}) AS k
+      FROM embeddings),
+    n AS (
       SELECT vec_id,
              {_SCALED_DUCK.format(c='embedding')} AS s
       FROM embeddings),
     nn AS (SELECT vec_id, s, sqrt(list_dot_product(s, s)) AS nrm FROM n),
-    c0 AS (SELECT vec_id AS cent_id, s AS cs FROM n WHERE vec_id < {SEMDEDUP_K}),
+    c0 AS (SELECT vec_id AS cent_id, s AS cs FROM n
+           WHERE vec_id < (SELECT k FROM kk)),
     a1 AS (
       SELECT vec_id, cent_id, s, nrm,
              ROW_NUMBER() OVER (
@@ -1267,16 +1277,21 @@ SEMDEDUP_K = 64  # clusters: finer than KM_K — pair cost is Σ cluster²,
     ORDER BY asg.vec_id
     """,
     group="dedup",
-    doc=f"SemDeDup (Abbas et al. 2023): vectors k-means-assigned to "
-    f"{SEMDEDUP_K} deterministic seed centroids (exact scaled-integer "
-    "argmin, broadcast centroids), then within-cluster cosine pairs "
-    f">= {SEMDEDUP_TAU} mark later-id vectors as semantic duplicates "
-    "(greedy keep-first survivor rule). Output: per vector, its "
-    "cluster, the count of tau-similar lower-id cluster-mates, and "
-    "the keep flag. Scale: clustering bounds the pair search to "
-    "Σ cluster² (never corpus²); the pair join is cluster-keyed — at "
-    "100 TB repartition both sides by cluster id and the cosine work "
-    "parallelizes per cluster; no driver-side state.",
+    doc="SemDeDup (Abbas et al. 2023): vectors k-means-assigned to "
+    f"K = max({SEMDEDUP_K_MIN}, n // {SEMDEDUP_TARGET_CLUSTER}) "
+    "deterministic seed centroids — K derived from one scalar corpus "
+    "count so mean cluster population stays ~constant as the corpus "
+    "grows (exact scaled-integer argmin, broadcast centroids) — then "
+    f"within-cluster cosine pairs >= {SEMDEDUP_TAU} mark later-id "
+    "vectors as semantic duplicates (greedy keep-first survivor "
+    "rule). Output: per vector, its cluster, the count of tau-similar "
+    "lower-id cluster-mates, and the keep flag. Scale: adaptive K "
+    "bounds Σ cluster² pair cost to ~n·target (never corpus²); the "
+    f"pair matmul is blocked into {SEMDEDUP_PAIR_CHUNK}-row chunks so "
+    "per-task memory is O(chunk·m), not O(m²); the pair join is "
+    "cluster-keyed and parallelizes per cluster; driver state is the "
+    "K centroid rows only (at extreme K, swap the broadcast for a "
+    "hierarchical two-level assignment — same argmin contract).",
 )
 def dedup_semdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
@@ -1300,8 +1315,12 @@ def dedup_semdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's float64 arithmetic produces, and np.argmin's
     # first-minimum rule equals the oracle's (score, cent_id) ordering
     # because centroid rows are sorted by cent_id.
+    # K from ONE scalar count: per-cluster population ~TARGET_CLUSTER
+    # at any corpus size (the paper's K ∝ corpus regime). Driver
+    # traffic stays K centroid rows — bounded by n/256, not by n.
+    k = max(SEMDEDUP_K_MIN, e.count() // SEMDEDUP_TARGET_CLUSTER)
     cent_rows = sorted(
-        n.filter(F.col("vec_id") < SEMDEDUP_K).select("vec_id", "s").collect(),
+        n.filter(F.col("vec_id") < k).select("vec_id", "s").collect(),
         key=lambda r: r["vec_id"],
     )
     cent_ids = np.array([r["vec_id"] for r in cent_rows], dtype="int64")
@@ -1322,24 +1341,29 @@ def dedup_semdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # the pair stage is ALSO a per-cluster numpy matmul (applyInPandas
-    # over the cluster key): the m x m dot matrix costs m^2*d vectorized
+    # over the cluster key): the dot matrix costs m^2*d vectorized
     # flops per cluster vs m^2 interpreted HOF evaluations — same exact
     # int64 dots, same float64 cosine as the oracle (products <= 1e12,
-    # 64-term sums <= 6.4e13, then one division). Per-cluster memory is
-    # m^2 doubles; production bounds m by scaling SEMDEDUP_K with the
-    # corpus, which the vectorized assignment above makes cheap.
+    # 64-term sums <= 6.4e13, then one division). The matmul is BLOCKED
+    # into PAIR_CHUNK-row strips so per-task memory is O(chunk·m)
+    # doubles, never O(m²): adaptive K keeps the MEAN m near TARGET,
+    # and chunking keeps a skewed cluster from OOMing a task.
     def cluster_pairs(pdf):
         S = np.stack(pdf["s"].to_numpy()).astype("int64")
         ids = pdf["vec_id"].to_numpy()
         nrm = pdf["nrm"].to_numpy()
-        cos = (S @ S.T).astype("float64") / np.outer(nrm, nrm)
-        mask = (cos >= SEMDEDUP_TAU) & (ids[:, None] < ids[None, :])
+        m = len(ids)
+        n_dup = np.zeros(m, dtype="int64")
+        for lo in range(0, m, SEMDEDUP_PAIR_CHUNK):
+            hi = min(lo + SEMDEDUP_PAIR_CHUNK, m)
+            cos = (S[lo:hi] @ S.T).astype("float64") / np.outer(
+                nrm[lo:hi], nrm
+            )
+            n_dup += (
+                (cos >= SEMDEDUP_TAU) & (ids[lo:hi, None] < ids[None, :])
+            ).sum(axis=0)
         return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "cluster": pdf["cl"],
-                "n_dup_lower": mask.sum(axis=0).astype("int64"),
-            }
+            {"vec_id": ids, "cluster": pdf["cl"], "n_dup_lower": n_dup}
         )
 
     scored = asg.groupBy("cl").applyInPandas(
