@@ -31,10 +31,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 # one col[type]:value fragment; values are either a single-quoted
-# string (doubled-quote escapes) or a bare token
+# string (doubled-quote escapes) or a bare token. Key and value are
+# captured from the SAME fragment match so the two can never misalign
+# (a quoted value containing a "word[type]:" substring would desync
+# two independent extraction passes).
 _VAL = r"('(?:[^']|'')*'|[^ ]+)"
-_KEY_RE = r"(\w+)\[[^\]]+\]:"
-_VAL_RE = r"\w+\[[^\]]+\]:" + _VAL
+_PAIR_RE = r"\w+\[[^\]]+\]:" + _VAL.replace("(", "(?:", 1)
+_KEY_RE = r"^(\w+)\["
+_VAL_RE = r"\]:" + _VAL + "$"
 _HEAD_RE = r"^table ([\w.]+): (INSERT|UPDATE|DELETE):"
 
 
@@ -43,13 +47,33 @@ def parse_test_decoding(changes: DataFrame, data_col: str = "data") -> DataFrame
 
     Non-change rows (BEGIN/COMMIT markers) are dropped. Quoted values
     are unquoted with '' -> ' unescaping; bare tokens pass through as
-    their text rendering (the caller casts as needed)."""
+    their text rendering (the caller casts as needed).
+
+    A test_decoding UPDATE that changes the primary key — or any table
+    with REPLICA IDENTITY FULL — emits ``old-key: ... new-tuple: ...``
+    sections where the same column appears twice; only the text after
+    the first ``new-tuple:`` marker is parsed (the new row image), so
+    map_from_arrays never sees a duplicated key."""
     d = F.col(data_col)
+    # new row image only: strip the head + any old-key section. The
+    # non-greedy ^.*? cut takes the FIRST marker, which precedes every
+    # column value by construction of the test_decoding format.
+    body = F.when(
+        d.rlike(r" new-tuple: "),
+        F.regexp_replace(d, r"^.*? new-tuple: ", ""),
+    ).otherwise(d)
     # Python-API pattern literals: the regexes contain single quotes,
-    # which would need double-escaping inside F.expr SQL strings
-    keys = F.regexp_extract_all(d, F.lit(_KEY_RE), F.lit(1))
+    # which would need double-escaping inside F.expr SQL strings.
+    # ONE match per fragment; key/value re-split per fragment (anchored)
+    # so alignment is structural, not positional.
+    frags = F.regexp_extract_all(body, F.lit(_PAIR_RE), F.lit(0))
+    keys = F.transform(frags, lambda p: F.regexp_extract(p, _KEY_RE, 1))
     vals = F.transform(
-        F.regexp_extract_all(d, F.lit(_VAL_RE), F.lit(1)),
+        frags,
+        lambda p: F.regexp_extract(p, _VAL_RE, 1),
+    )
+    vals = F.transform(
+        vals,
         lambda v: F.when(
             v.startswith("'"),
             F.replace(v.substr(F.lit(2), F.length(v) - 2), F.lit("''"), F.lit("'")),

@@ -846,7 +846,7 @@ def _bpe_oracle() -> str:
       FROM t{r}, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
       GROUP BY 1, 2),
     w{r} AS (
-      SELECT a, b, c FROM p{r} ORDER BY c DESC, a || '+' || b LIMIT 1),
+      SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
     r{r} AS (
       SELECT doc_id,
              replace(rep, '~' || w.a || '~~' || w.b || '~',
@@ -925,10 +925,13 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # tie-break on the (a, b) COLUMNS, not their '+'-joined concat:
+        # once merged tokens contain '+', pairs ('x+y','z') and
+        # ('x','y+z') share the concat key and an exact (count, key)
+        # tie would resolve by nondeterministic LIMIT 1 — the column
+        # pair is unambiguous, and the oracle orders the same way.
         win = (
-            counts.orderBy(
-                F.desc("c"), F.concat_ws(_BPE_JOIN, "a", "b").asc()
-            )
+            counts.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
             .limit(1)
             .collect()[0]
         )

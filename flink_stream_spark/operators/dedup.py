@@ -111,6 +111,17 @@ _SHINGLES_DUCK = """
 # capped join only nominates candidates, the verify stage recounts the
 # FULL shingle overlap per candidate pair. Candidate cost is bounded by
 # Σ_{df≤cap} df² ≤ cap · |shingle occurrences| = O(N·cap), never N².
+#
+# RECALL BOUND (explicit): a pair is nominated iff it shares at least
+# one shingle with document frequency ≤ BLOCK_DF_CAP. A near-duplicate
+# cluster of MORE than BLOCK_DF_CAP documents makes every shingle it
+# shares hot, so its pairs are NOT scored by this family — by design:
+# such mega-clusters are exact or boilerplate duplication, which
+# dedup_exact_hash (byte-identical), text_line_dedup /
+# dedup_prefix_boilerplate (shared boilerplate), and the
+# MinHash-LSH family (banded signatures, no df cap) already cover.
+# The oracle SQL mirrors the cap, so engine and oracle agree exactly
+# on which pairs are scored.
 BLOCK_DF_CAP = 64
 
 
@@ -495,7 +506,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="n-gram Jaccard near-dup, two-phase: candidates from shingles "
     f"with document frequency ≤ {BLOCK_DF_CAP} (hot stop-shingles "
     "never block — kills the (k·N)² hot-key blowup), then EXACT "
-    "Jaccard ≥ 0.6 over the full distinct-3-gram sets per candidate.",
+    "Jaccard ≥ 0.6 over the full distinct-3-gram sets per candidate. "
+    "Recall bound: pairs whose every shared shingle is hot (clusters "
+    f"of > {BLOCK_DF_CAP} near-identical docs) are not scored — "
+    "exact-hash and MinHash-LSH (no df cap) cover those; the oracle "
+    "mirrors the cap.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -791,7 +806,10 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "longer one (quote farms, concatenated scrapes), which symmetric "
     "Jaccard misses because the union dilutes the score. Two-phase "
     f"like the Jaccard variant: df ≤ {BLOCK_DF_CAP} blocking, exact "
-    "overlap recount per candidate (never n², even on hot shingles).",
+    "overlap recount per candidate (never n², even on hot shingles). "
+    f"Same recall bound: clusters of > {BLOCK_DF_CAP} near-identical "
+    "docs make all their shingles hot and are left to exact-hash / "
+    "MinHash-LSH; the oracle mirrors the cap.",
 )
 def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

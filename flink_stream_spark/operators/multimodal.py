@@ -92,7 +92,9 @@ def parse_image_header(payload: bytes) -> "tuple[int, int] | None":
     results): PNG requires the full 8-byte magic AND a CRC-verified
     IHDR chunk (zlib.crc32 — 1-in-2^32 for random bytes, structurally
     impossible for UTF-8 text since the magic starts 0x89); GIF
-    requires magic + the version byte + a non-zero logical screen;
+    requires magic + a non-zero logical screen + a valid block
+    sentinel (0x21/0x2C/0x3B) immediately after the header and any
+    declared global color table;
     BMP requires 'BM' + a known DIB header size (40/52/56/108/124);
     JPEG requires the SOI marker and walks the segment chain to a SOFn.
     """
@@ -111,11 +113,20 @@ def parse_image_header(payload: bytes) -> "tuple[int, int] | None":
                 if 0 < w and 0 < h:
                     return int(w), int(h)
         return None
-    # GIF: 6-byte magic + little-endian logical screen descriptor
-    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
-        w, h = struct.unpack("<HH", b[6:10])
-        if w and h:
-            return int(w), int(h)
+    # GIF: 6-byte magic + FULL 13-byte header, then structural proof —
+    # the byte after the logical screen descriptor (and the global
+    # color table, when the flags byte declares one) must be a valid
+    # block sentinel (0x21 extension / 0x2C image descriptor /
+    # 0x3B trailer). ASCII text that happens to start "GIF87a" would
+    # additionally need exactly '!', ',' or ';' at that offset, so the
+    # magic+shorts false-positive window is closed structurally.
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 13:
+            w, h, flags = struct.unpack("<HHB", b[6:11])
+            gct = 3 * (2 ** ((flags & 7) + 1)) if flags & 0x80 else 0
+            sentinel = 13 + gct
+            if w and h and len(b) > sentinel and b[sentinel] in (0x21, 0x2C, 0x3B):
+                return int(w), int(h)
         return None
     # BMP: 'BM' + file header (14) + DIB header whose declared size
     # must be a known BITMAPINFOHEADER variant

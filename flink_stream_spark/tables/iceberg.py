@@ -27,6 +27,7 @@ the interface-conformance checks always run. On a cluster:
 from __future__ import annotations
 
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -181,14 +182,19 @@ class IcebergTable:
         if not self.exists():
             empty = upserts.limit(0)
             self._writer(empty, None).create()
-        src = f"__graft_merge_src_{self.name}"
+        # temp views are session-global: a fixed name would let two
+        # concurrent merges on the same table clobber each other's
+        # source view mid-MERGE (silently merging the wrong rows) —
+        # suffix with uuid4 like managed.py's staging dirs
+        run = uuid.uuid4().hex
+        src = f"__graft_merge_src_{self.name}_{run}"
         upserts.createOrReplaceTempView(src)
         try:
             self.spark.sql(merge_upsert_sql(self.ident, src, keys))
         finally:
             self.spark.catalog.dropTempView(src)
         if deletes is not None:
-            dsrc = f"__graft_merge_del_{self.name}"
+            dsrc = f"__graft_merge_del_{self.name}_{run}"
             deletes.select(*keys).createOrReplaceTempView(dsrc)
             try:
                 self.spark.sql(merge_delete_sql(self.ident, dsrc, keys))

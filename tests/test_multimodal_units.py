@@ -144,6 +144,29 @@ def test_stdlib_header_parse_rejects_corrupt_and_text():
     for text in (b"", b"GIF", b"BMoney talks", b"plain prose " * 50):
         assert parse_image_header(text) is None
         assert decode_meta(text) == fake_decode_meta(text)
+    # ASCII text starting with the GIF magic: nonzero "dimensions" but
+    # no block sentinel after the 13-byte header -> rejected
+    assert parse_image_header(b"GIF87an old scanned image format") is None
+    assert parse_image_header(b"GIF89a was released in 1989.") is None
+
+
+def test_gif_with_global_color_table_parses():
+    import struct
+
+    from flink_stream_spark.operators.multimodal import parse_image_header
+
+    # flags 0x82: GCT present, 2^(2+1)=8 entries -> 24 bytes, then the
+    # image-descriptor sentinel 0x2C
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HH", 31, 17)
+        + bytes([0x82, 0x00, 0x00])
+        + b"\x00" * 24
+        + b"\x2c"
+    )
+    assert parse_image_header(gif) == (31, 17)
+    # same bytes minus the sentinel -> rejected
+    assert parse_image_header(gif[:-1]) is None
 
 
 def test_extract_media_metadata_mixed_real_and_text(spark):

@@ -30,6 +30,43 @@ def test_parse_ops_quotes_and_markers(spark):
     assert got[7]["tbl"] == "public.orders" and got[7]["after"]["total"] == "12.5"
 
 
+def test_update_with_old_key_section_takes_new_tuple_only(spark):
+    # a PK-changing UPDATE (or REPLICA IDENTITY FULL) emits the old key
+    # AND the new tuple: same column twice across sections. Only the
+    # new-tuple image must land in the map — no DUPLICATED_MAP_KEY.
+    rows = [
+        (
+            1,
+            "table public.customers: UPDATE: old-key: id[integer]:2 "
+            "new-tuple: id[integer]:9 email[text]:'moved@x'",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "seq long, data string")
+    got = parse_test_decoding(df).collect()[0]
+    assert got["op"] == "UPDATE"
+    assert dict(got["after"]) == {"id": "9", "email": "moved@x"}
+
+
+def test_quoted_value_containing_pair_shape_does_not_misalign(spark):
+    # a quoted value containing a "word[type]:" substring must not be
+    # mistaken for a column fragment (keys/values are captured from the
+    # same match, so they cannot desync).
+    rows = [
+        (
+            1,
+            "table public.notes: INSERT: id[integer]:1 "
+            "body[text]:'see also ref[integer]:42 for context' "
+            "tag[text]:'z'",
+        ),
+    ]
+    df = spark.createDataFrame(rows, "seq long, data string")
+    got = parse_test_decoding(df).collect()[0]
+    after = dict(got["after"])
+    assert after["id"] == "1"
+    assert after["tag"] == "z"
+    assert after["body"] == "see also ref[integer]:42 for context"
+
+
 def test_final_state_last_per_key_delete_aware(spark):
     df = spark.createDataFrame(LOG, "seq long, data string")
     final = {
