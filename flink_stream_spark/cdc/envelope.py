@@ -156,6 +156,7 @@ def apply_cdc_batch(
     batch: DataFrame,
     keys: list[str],
     order_cols: list[str] | None = None,
+    merge_mode: str = "cow",
 ) -> int:
     """Apply one envelope batch to any
     :class:`flink_stream_spark.tables.format.TableHandle` — the
@@ -179,4 +180,11 @@ def apply_cdc_batch(
     deletes = reduced.filter(F.col(OP_COL) == "d").select(*keys)
     # last_per_key already guarantees ≤1 row per key — skip merge's
     # duplicate-key aggregate (one Spark job per micro-batch saved)
-    return table.merge(upserts, keys=keys, deletes=deletes, validate_unique_keys=False)
+    kwargs = {}
+    if merge_mode != "cow":
+        # only ManagedTable takes a mode; IcebergTable's MERGE INTO is
+        # already engine-side merge-on-read when the table is v2
+        kwargs["mode"] = merge_mode
+    return table.merge(
+        upserts, keys=keys, deletes=deletes, validate_unique_keys=False, **kwargs
+    )

@@ -462,6 +462,8 @@ class ManagedTable:
         token: str | None = None,
         carry: dict[int, list[str]] | None = None,
         expected_version: int | None = None,
+        staged_deletes: tuple[str, dict[int, str]] | None = None,
+        drop_deletes: set[int] | None = None,
     ) -> int:
         """Publish staged bucket dirs as the next version.
 
@@ -477,10 +479,21 @@ class ManagedTable:
         snapshot — replacing from a stale snapshot would silently drop
         the concurrent commit's rows (Iceberg's atomic swap makes the
         same check).
+        ``staged_deletes``: merge-on-read key-tombstone dirs
+        (staged_dir, {bucket: subdir}) published under this version as
+        ``v_NNNNNNNN/del_b_NNNNN`` and recorded in the manifest's
+        ``deletes`` map — the Iceberg v2 equality-delete-file
+        equivalent; a tombstone suppresses rows of STRICTLY OLDER data
+        dirs of its bucket (version order = Iceberg sequence numbers).
+        ``drop_deletes``: buckets whose carried tombstones this commit
+        FOLDS (compact/zorder/COW-merge read with tombstones applied
+        and rewrite the whole bucket, so the tombstones are spent).
         """
         cur = self.current_version()
         if expected_version is not None and cur != expected_version:
             shutil.rmtree(staged, ignore_errors=True)
+            if staged_deletes is not None:
+                shutil.rmtree(staged_deletes[0], ignore_errors=True)
             raise RuntimeError(
                 f"table {self.name}: concurrent commit detected "
                 f"(rewrite read v{expected_version}, current is v{cur}); "
@@ -493,15 +506,26 @@ class ManagedTable:
             # (never pointer-visible, so safe to discard)
             shutil.rmtree(vdir)
         os.rename(staged, vdir)
+        new_del_paths: dict[int, str] = {}
+        if staged_deletes is not None:
+            del_dir, del_buckets = staged_deletes
+            for b, sub in del_buckets.items():
+                os.rename(
+                    os.path.join(del_dir, sub), os.path.join(vdir, f"del_{sub}")
+                )
+                new_del_paths[b] = f"v_{new_v:08d}/del_{sub}"
+            shutil.rmtree(del_dir, ignore_errors=True)
         new_paths = {
             b: f"v_{new_v:08d}/{sub}" for b, sub in staged_buckets.items()
         }
         prev_stats: dict = {}
+        prev_deletes: dict = {}
         if mode == "replace_all" or cur == 0:
             buckets = {str(b): [p] for b, p in new_paths.items()}
         else:
             prev = self._load_manifest(cur)
             prev_stats = prev.get("stats", {})
+            prev_deletes = prev.get("deletes", {})
             buckets = {b: list(ps) for b, ps in prev["buckets"].items()}
             if mode == "replace":
                 for b in touched or set():
@@ -515,6 +539,13 @@ class ManagedTable:
             else:  # append
                 for b, p in new_paths.items():
                     buckets.setdefault(str(b), []).append(p)
+        deletes = {b: list(ps) for b, ps in prev_deletes.items()}
+        for b in drop_deletes or set():
+            deletes.pop(str(b), None)
+        for b, p in new_del_paths.items():
+            deletes.setdefault(str(b), []).append(p)
+        # tombstones for buckets that no longer hold data are spent
+        deletes = {b: ps for b, ps in deletes.items() if b in buckets}
         # zone maps: footer-derived column min/max per data dir AND per
         # data file (Iceberg's per-file manifest stats); carried paths
         # keep their previous stats (their files are immutable)
@@ -552,6 +583,8 @@ class ManagedTable:
             "fstats": fstats,
             "nfiles": nfiles,
         }
+        if deletes:
+            manifest["deletes"] = deletes
         if token is not None:
             manifest["token"] = token
         tmp = self._manifest_path(new_v) + ".tmp"
@@ -635,7 +668,47 @@ class ManagedTable:
             return spark.createDataFrame([], schema)
         # explicit manifest schema: no footer-merge scan, and files
         # predating a schema evolution null-fill the new columns
-        return spark.read.schema(schema).parquet(*paths)
+        df = spark.read.schema(schema).parquet(*paths)
+        # merge-on-read tombstones: suppress rows whose key carries a
+        # tombstone from a STRICTLY NEWER commit than the row's data
+        # dir (version order = Iceberg sequence numbers, parsed from
+        # the immutable v_NNNNNNNN path prefix both sides carry). A key
+        # re-inserted after its delete survives: its new data dir's
+        # version >= the tombstone's. One extra key join per read, only
+        # when tombstones exist; per-bucket tombstone sets are CDC-batch
+        # sized, so AQE broadcasts them.
+        dels = manifest.get("deletes", {})
+        del_paths = [
+            os.path.join(self.dir, p)
+            for b, ps in dels.items()
+            if bucket_ids is None or int(b) in bucket_ids
+            for p in ps
+        ]
+        if del_paths and self.key_columns:
+            keys = list(self.key_columns)
+            key_schema = T.StructType(
+                [f for f in schema.fields if f.name in keys]
+            )
+            ver = F.regexp_extract(
+                F.input_file_name(), r"v_(\d{8})/(?:del_)?b_\d{5}", 1
+            ).cast("long")
+            tomb = (
+                spark.read.schema(key_schema)
+                .parquet(*del_paths)
+                .withColumn("__graft_tv", ver)
+                .groupBy(*keys)
+                .agg(F.max("__graft_tv").alias("__graft_tv"))
+            )
+            df = (
+                df.withColumn("__graft_dv", ver)
+                .join(tomb, on=keys, how="left")
+                .filter(
+                    F.col("__graft_tv").isNull()
+                    | (F.col("__graft_tv") <= F.col("__graft_dv"))
+                )
+                .select(*[f.name for f in schema.fields])
+            )
+        return df
 
     @staticmethod
     def _zone_keep(dir_stats: dict | None, where: list[tuple]) -> bool:
@@ -826,19 +899,32 @@ class ManagedTable:
         manifest = self._load_manifest(v)
         stats = manifest.get("stats", {})
         rows = []
-        for b, ps in manifest["buckets"].items():
-            for p in ps:
-                d = os.path.join(self.dir, p)
-                zone = json.dumps(stats.get(p, {}), default=str, sort_keys=True)
-                for fname in sorted(os.listdir(d)):
-                    if fname.endswith(".parquet"):
-                        fp = os.path.join(d, fname)
-                        rows.append(
-                            (int(b), f"{p}/{fname}", int(os.path.getsize(fp)), zone)
-                        )
+        # content mirrors Iceberg's $files: 0 = data, 2 = equality
+        # deletes (merge-on-read key tombstones)
+        listing = [(0, manifest["buckets"]), (2, manifest.get("deletes", {}))]
+        for content, bucket_map in listing:
+            for b, ps in bucket_map.items():
+                for p in ps:
+                    d = os.path.join(self.dir, p)
+                    zone = json.dumps(
+                        stats.get(p, {}), default=str, sort_keys=True
+                    )
+                    for fname in sorted(os.listdir(d)):
+                        if fname.endswith(".parquet"):
+                            fp = os.path.join(d, fname)
+                            rows.append(
+                                (
+                                    int(b),
+                                    content,
+                                    f"{p}/{fname}",
+                                    int(os.path.getsize(fp)),
+                                    zone,
+                                )
+                            )
         schema = T.StructType(
             [
                 T.StructField("bucket", T.IntegerType()),
+                T.StructField("content", T.IntegerType()),
                 T.StructField("file_path", T.StringType()),
                 T.StructField("size_bytes", T.LongType()),
                 T.StructField("zone_map", T.StringType()),
@@ -934,6 +1020,7 @@ class ManagedTable:
         deletes: DataFrame | None = None,
         validate_unique_keys: bool = True,
         token: str | None = None,
+        mode: str = "cow",
     ) -> int:
         """Keyed upsert + optional delete — one bucket-scoped MERGE commit.
 
@@ -942,13 +1029,27 @@ class ManagedTable:
         each row replaces-or-inserts its key. ``deletes`` (key columns
         only) removes keys — Iceberg v2 equality-delete equivalent.
 
-        Cost is O(touched buckets): only buckets containing a changed
-        key are read and rewritten (``current LEFT ANTI touched_keys``
-        ∪ upserts, one shuffle on the key / broadcast under AQE);
-        untouched buckets carry forward in the manifest untouched. The
-        only driver materialization is the distinct bucket-ID set
-        (<= num_buckets integers — commit metadata, same as an Iceberg
-        manifest rewrite).
+        ``mode='cow'`` (copy-on-write, default): cost is O(touched
+        buckets) — only buckets containing a changed key are read and
+        rewritten (``current LEFT ANTI touched_keys`` ∪ upserts, one
+        shuffle on the key / broadcast under AQE); untouched buckets
+        carry forward in the manifest untouched. The only driver
+        materialization is the distinct bucket-ID set (<= num_buckets
+        integers — commit metadata, same as an Iceberg manifest
+        rewrite). A wide CDC batch that touches every bucket costs a
+        full-table rewrite (measured: tools/merge_probe.py).
+
+        ``mode='mor'`` (merge-on-read — the reference's Iceberg v2
+        ``write.upsert.enabled`` equality-delete path,
+        flink_json_to_iceberg.py:61-71): the commit writes ONLY the new
+        rows plus one compact key-tombstone file per touched bucket —
+        cost O(|batch|), independent of table size. Reads anti-join the
+        tombstones (version-sequenced, so same-commit rows survive
+        their own tombstone and later re-inserts resurrect the key);
+        ``compact()`` folds spent tombstones back into the data files.
+        Falls back to COW when the merge keys are not the bucketing
+        keys (tombstones are bucket-scoped) or when the merge adopts
+        keys on a keyless table.
 
         The at-most-one-row-per-key contract is ENFORCED (a duplicate
         key would otherwise anti-join away every old row for the key
@@ -958,6 +1059,8 @@ class ManagedTable:
         Pass ``validate_unique_keys=False`` only for inputs already
         reduced by ``last_per_key``.
         """
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"merge mode must be 'cow' or 'mor', got {mode!r}")
         keys = keys or self.key_columns
         if not keys:
             raise ValueError(f"merge into {self.name} requires key columns")
@@ -1028,6 +1131,28 @@ class ManagedTable:
             manifest = self._load_manifest(self.current_version())
             old_schema = T.StructType.fromJson(json.loads(manifest["schema"]))
             schema = self._evolved_schema(old_schema, upserts.schema)
+
+            if mode == "mor" and pruned:
+                # merge-on-read: never read or rewrite existing data —
+                # stage the new rows as an append plus ONE key-tombstone
+                # dir per touched bucket. The tombstone carries the
+                # batch's key set (upserts ∪ deletes); the read path
+                # suppresses matching rows of strictly-older commits.
+                staged, sb = self._stage_bucketed(self._align(upserts, schema))
+                staged_del = self._stage_bucketed(
+                    touched_keys.select(*keys).distinct()
+                )
+                return self._commit(
+                    staged,
+                    sb,
+                    "merge",
+                    schema,
+                    "append",
+                    touched,
+                    token=token,
+                    staged_deletes=staged_del,
+                )
+
             if not pruned:
                 touched = {int(b) for b in manifest["buckets"]} | touched
             # read ONLY the touched buckets' current data
@@ -1043,8 +1168,12 @@ class ManagedTable:
                 return self._commit(
                     staged, sb, "merge", schema, "replace_all", token=token
                 )
+            # a COW rewrite reads WITH tombstones applied and replaces
+            # every dir of the touched buckets — their tombstones are
+            # spent and folded here
             return self._commit(
-                staged, sb, "merge", schema, "replace", touched, token=token
+                staged, sb, "merge", schema, "replace", touched, token=token,
+                drop_deletes=touched,
             )
         finally:
             upserts.unpersist()
@@ -1081,7 +1210,20 @@ class ManagedTable:
         if not touched:
             return self.current_version()
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-        hit_manifest = {"schema": manifest["schema"], "buckets": {str(b): ps for b, ps in hit.items()}}
+        # tombstones for the hit buckets ride along so already-deleted
+        # rows never enter the rewrite (the rewrite's new version would
+        # otherwise outrank their tombstones and resurrect them);
+        # entries are RETAINED in the new manifest — carried dirs still
+        # need them, and rewritten dirs outrank them harmlessly
+        hit_manifest = {
+            "schema": manifest["schema"],
+            "buckets": {str(b): ps for b, ps in hit.items()},
+            "deletes": {
+                b: ps
+                for b, ps in manifest.get("deletes", {}).items()
+                if int(b) in hit
+            },
+        }
         cur = self._read_manifest_buckets(spark, hit_manifest)
         cond = None
         for col, op, value in where:
@@ -1116,16 +1258,24 @@ class ManagedTable:
         base_v = self.current_version()
         manifest = self._load_manifest(base_v)
         schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+        # merge-on-read tombstone dirs count toward the threshold: each
+        # MoR merge adds one data dir AND one delete dir per touched
+        # bucket, and folding the tombstones is half of compaction's job
+        dels = manifest.get("deletes", {})
         touched = {
-            int(b) for b, ps in manifest["buckets"].items() if len(ps) >= min_files
+            int(b)
+            for b, ps in manifest["buckets"].items()
+            if len(ps) + len(dels.get(b, [])) >= min_files
         }
         if not touched:
             return base_v
         merged = self._read_manifest_buckets(spark, manifest, touched)
         staged, sb = self._stage_bucketed(self._align(merged, schema))
+        # the rewrite read with tombstones applied and replaces every
+        # dir of the touched buckets — their tombstones are spent
         return self._commit(
             staged, sb, "compact", schema, "replace", touched,
-            expected_version=base_v,
+            expected_version=base_v, drop_deletes=touched,
         )
 
     def maybe_compact(
@@ -1145,7 +1295,11 @@ class ManagedTable:
         manifest = self._load_manifest(self.current_version())
         if not manifest["buckets"]:
             return None
-        worst = max(len(ps) for ps in manifest["buckets"].values())
+        dels = manifest.get("deletes", {})
+        worst = max(
+            len(ps) + len(dels.get(b, []))
+            for b, ps in manifest["buckets"].items()
+        )
         if worst < max_files_per_bucket:
             return None
         # compact ONLY the over-threshold buckets (min_files = the
@@ -1227,9 +1381,10 @@ class ManagedTable:
             sort_exprs=[z],
             max_records_per_file=max_records_per_file,
         )
+        # full-table rewrite with tombstones applied: all spent
         return self._commit(
             staged, sb, "zorder", schema, "replace", touched,
-            expected_version=base_v,
+            expected_version=base_v, drop_deletes=touched,
         )
 
     # -- maintenance (reference snapshot_mgmt.py equivalent) ------------------
@@ -1262,9 +1417,15 @@ class ManagedTable:
             else:
                 retained.append(v)
         # GC: any v_*/b_* dir not referenced by a retained manifest
+        # (merge-on-read delete dirs are referenced paths too — a
+        # carried tombstone must survive expiry of the commit that
+        # wrote it, exactly like a carried data dir)
         referenced: set[str] = set()
         for v in retained:
-            for ps in self._load_manifest(v)["buckets"].values():
+            m = self._load_manifest(v)
+            for ps in m["buckets"].values():
+                referenced.update(ps)
+            for ps in m.get("deletes", {}).values():
                 referenced.update(ps)
         for d in os.listdir(self.dir):
             vdir = os.path.join(self.dir, d)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
@@ -50,7 +51,10 @@ def model_apply(ops):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=ops_strategy, n_batches=batch_splits)
-def test_cdc_apply_equals_sequential_model(spark, tmp_path_factory, ops, n_batches):
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_cdc_apply_equals_sequential_model(
+    spark, tmp_path_factory, merge_mode, ops, n_batches
+):
     work = tmp_path_factory.mktemp("prop")
     table = ManagedTable(str(work), "t", ["k"])
     lines = [
@@ -72,7 +76,12 @@ def test_cdc_apply_equals_sequential_model(spark, tmp_path_factory, ops, n_batch
     for start in range(0, len(lines), size):
         chunk = lines[start : start + size]
         raw = spark.createDataFrame([(l,) for l in chunk], "raw string")
-        apply_cdc_batch(table, parse_envelopes(raw, ROW, value_col="raw"), ["k"])
+        apply_cdc_batch(
+            table,
+            parse_envelopes(raw, ROW, value_col="raw"),
+            ["k"],
+            merge_mode=merge_mode,
+        )
     got = {r["k"]: r["v"] for r in table.read(spark).collect()} if table.exists() else {}
     assert got == model_apply(ops)
 
@@ -109,14 +118,19 @@ storage_ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=storage_ops)
-def test_bucketed_storage_under_random_maintenance(spark, tmp_path_factory, ops):
+@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+def test_bucketed_storage_under_random_maintenance(
+    spark, tmp_path_factory, merge_mode, ops
+):
     work = tmp_path_factory.mktemp("storeprop")
     table = ManagedTable(str(work), "t", ["k"], num_buckets=4)
     model: dict[int, str] = {}
     for op, arg in ops:
         if op == "merge":
             rows = [(k, f"v{v}") for k, v in arg]
-            table.merge(spark.createDataFrame(rows, "k int, v string"))
+            table.merge(
+                spark.createDataFrame(rows, "k int, v string"), mode=merge_mode
+            )
             model.update({k: f"v{v}" for k, v in arg})
         elif op == "delete":
             if not table.exists():
@@ -124,6 +138,7 @@ def test_bucketed_storage_under_random_maintenance(spark, tmp_path_factory, ops)
             table.merge(
                 upserts=spark.createDataFrame([], "k int, v string"),
                 deletes=spark.createDataFrame([(k,) for k in arg], "k int"),
+                mode=merge_mode,
             )
             for k in arg:
                 model.pop(k, None)

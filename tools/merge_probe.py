@@ -9,6 +9,12 @@ o_orderkey, then times three write classes a CDC sink actually issues:
   wide merge (1k keys)  — keys hash across most buckets
   point merge (1 key)   — the steady-state CDC update
 
+both in copy-on-write mode (rewrites touched buckets) and
+merge-on-read mode (writes only the batch + key tombstones —
+the Iceberg v2 equality-delete path; cost must be O(|batch|),
+independent of table size), plus the post-MoR read overhead and
+the compact() that folds the tombstones back in.
+
 and reports wall time plus files rewritten vs carried forward. The
 contract under test: merge cost is O(touched buckets), so the point
 merge must rewrite ~1/num_buckets of the files and run in a small
@@ -53,25 +59,40 @@ def main() -> None:
         print(f"rows={n} buckets={num_buckets} files={files_total}")
         print(f"overwrite: {t_full:.2f}s")
 
-        for label, k in (("wide-merge-1000", 1000), ("point-merge-1", 1)):
-            up = (
-                orders.orderBy("o_orderkey")
-                .limit(k)
-                .withColumn("o_orderpriority", F.lit("0-PROBE"))
-            )
-            before = set(t.data_files())
-            t0 = time.perf_counter()
-            t.merge(up)
-            dt = time.perf_counter() - t0
-            after = set(t.data_files())
-            rewritten = len(after - before)
-            carried = len(after & before)
-            print(
-                f"{label}: {dt:.2f}s  files rewritten={rewritten} "
-                f"carried-forward={carried} "
-                f"({100.0 * carried / max(len(after), 1):.0f}% untouched)  "
-                f"{100.0 * dt / t_full:.0f}% of overwrite cost"
-            )
+        for mode in ("cow", "mor"):
+            for label, k in (("wide-merge-1000", 1000), ("point-merge-1", 1)):
+                up = (
+                    orders.orderBy("o_orderkey")
+                    .limit(k)
+                    .withColumn("o_orderpriority", F.lit("0-PROBE"))
+                )
+                before = set(t.data_files())
+                t0 = time.perf_counter()
+                t.merge(up, mode=mode)
+                dt = time.perf_counter() - t0
+                after = set(t.data_files())
+                rewritten = len(after - before)
+                carried = len(after & before)
+                print(
+                    f"{mode} {label}: {dt:.2f}s  files rewritten={rewritten} "
+                    f"carried-forward={carried} "
+                    f"({100.0 * carried / max(len(after), 1):.0f}% untouched)  "
+                    f"{100.0 * dt / t_full:.0f}% of overwrite cost"
+                )
+        # MoR read overhead + compaction fold
+        t0 = time.perf_counter()
+        t.read(spark).count()
+        t_read = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t.compact(spark, min_files=2)
+        t_compact = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        t.read(spark).count()
+        t_read2 = time.perf_counter() - t0
+        print(
+            f"read-with-tombstones: {t_read:.2f}s  "
+            f"compact-fold: {t_compact:.2f}s  read-after-fold: {t_read2:.2f}s"
+        )
         got = (
             t.read(spark)
             .filter(F.col("o_orderpriority") == "0-PROBE")
