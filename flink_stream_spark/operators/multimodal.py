@@ -427,3 +427,153 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("frame_no").cast("int").alias("frame_no"), "n_bytes")
         .orderBy("doc_id", "frame_no")
     )
+
+
+# --- image near-duplicate dedup (difference hash) -------------------------
+#
+# dHash (difference hash, the standard perceptual near-dup fingerprint:
+# resample the image to a (rows+1)-wide grid of grayscale samples, emit
+# one bit per adjacent-sample comparison). Real pixel decode needs a
+# codec library this sandbox cannot install, so the "grayscale resample"
+# is the SAME deterministic fallback the other multimodal stages use —
+# 72 bytes sampled evenly from the payload (positions i*n//72), an 8x9
+# grid, bit = sample[r][c] < sample[r][c+1]. With Pillow installed the
+# sampling swaps for a real grayscale resize; grid shape, banding, and
+# pair verification are identical.
+DHASH_ROWS = 8  # 8 rows x 8 bits = 64-bit hash, stored as 8 byte-bands
+DHASH_HAMMING_MAX = 16  # pair-verify threshold over the full 64 bits
+DHASH_BAND_CAP = 128  # hot-band guard: a (band_idx, value) bucket with
+# more docs than this nominates no pairs (same discipline and rationale
+# as BLOCK_DF_CAP in operators/dedup.py; the oracle mirrors the cap)
+
+DHASH_SCHEMA = "doc_id bigint, bands array<int>"
+
+
+def dhash_bands(media: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> (doc_id, bands array<int> of 8
+    byte-values) — the 64-bit dHash split into its 8 row-bands, the
+    unit the Hamming-LSH blocking groups on. Arrow-batched mapInPandas,
+    narrow (no shuffle): a 100 TB corpus hashes embarrassingly
+    parallel."""
+    import numpy as np
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(DHASH_ROWS)
+
+        def one(b: bytes) -> list[int]:
+            arr = np.frombuffer(bytes(b), dtype=np.uint8)
+            n = len(arr)
+            if n == 0:
+                return [0] * DHASH_ROWS
+            idx = (np.arange(DHASH_ROWS * 9, dtype=np.int64) * n) // (DHASH_ROWS * 9)
+            px = arr[idx].reshape(DHASH_ROWS, 9).astype(np.int16)
+            bits = px[:, :-1] < px[:, 1:]
+            return [int(v) for v in (bits * weights).sum(axis=1)]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "bands": pdf["payload"].map(one)}
+            )
+
+    return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+@register(
+    "multimodal_image_dedup_dhash",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
+          i -> CASE WHEN n = 0 THEN 0
+               ELSE ord(substr(text, CAST(i * n // {DHASH_ROWS * 9} AS INT) + 1, 1))
+               END) AS px
+      FROM p),
+    b AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS - 1}),
+          r -> list_aggregate(list_transform(generate_series(0, 7),
+                 c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
+                      THEN 1 << c ELSE 0 END), 'sum')) AS bands
+      FROM s),
+    e AS (
+      SELECT doc_id, r AS band_idx, bands[r + 1] AS band_val
+      FROM b, unnest(generate_series(0, {DHASH_ROWS - 1})) AS t(r)),
+    grp AS (
+      SELECT band_idx, band_val FROM e
+      GROUP BY 1, 2 HAVING COUNT(*) <= {DHASH_BAND_CAP}),
+    cand AS (
+      SELECT DISTINCT ea.doc_id AS doc_a, eb.doc_id AS doc_b
+      FROM e ea
+      JOIN grp g ON g.band_idx = ea.band_idx AND g.band_val = ea.band_val
+      JOIN e eb ON eb.band_idx = ea.band_idx AND eb.band_val = ea.band_val
+                AND ea.doc_id < eb.doc_id),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(list_aggregate(list_transform(generate_series(1, {DHASH_ROWS}),
+          i -> bit_count(xor(ba.bands[i], bb.bands[i]))), 'sum') AS BIGINT)
+          AS hamming
+      FROM cand c
+      JOIN b ba ON ba.doc_id = c.doc_a
+      JOIN b bb ON bb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, hamming FROM pairs
+    WHERE hamming <= {DHASH_HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    group="multimodal",
+    doc="Image near-dup dedup: 64-bit dHash per payload (Arrow-batched; "
+    "pixel decode stubbed by the deterministic byte resample, the swap "
+    "point for a real codec), Hamming-LSH blocking on the hash's 8 "
+    "byte-bands (a pair is nominated iff it shares one EXACT band — "
+    "pigeonhole guarantees every pair with hamming <= 7 is nominated; "
+    "8-16 is probabilistic, like MinHash banding), then exact Hamming "
+    f"<= {DHASH_HAMMING_MAX} verify over candidates only. Scale: pair "
+    "work is Σ band-bucket², never corpus²; buckets hotter than "
+    f"{DHASH_BAND_CAP} docs nominate nothing (oracle mirrors the cap); "
+    "at web scale widen the bands (4x16-bit) so bucket populations "
+    "stay bounded — the verify stage is unchanged.",
+)
+def multimodal_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    bands = dhash_bands(media)
+    e = bands.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    hot_ok = (
+        e.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= DHASH_BAND_CAP)
+        .select("band_idx", "band_val")
+    )
+    eb = e.join(hot_ok, ["band_idx", "band_val"])
+    cand = (
+        eb.alias("ea")
+        .join(
+            eb.alias("eb"),
+            (F.col("ea.band_idx") == F.col("eb.band_idx"))
+            & (F.col("ea.band_val") == F.col("eb.band_val"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .select(
+            F.col("ea.doc_id").alias("doc_a"), F.col("eb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
+    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
+    # exact Hamming over the full 64 bits: 8 codegen'd
+    # bit_count(xor) terms — no HOF, no Python, verify stays JVM-side
+    ham = None
+    for i in range(DHASH_ROWS):
+        term = F.bit_count(F.col("ba")[i].bitwiseXOR(F.col("bb")[i]))
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select(
+            "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
+        )
+        .filter(F.col("hamming") <= DHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -199,3 +199,55 @@ def test_resize_image_raises_cleanly_without_codecs():
 
     with pytest.raises(NotImplementedError):
         resize_image(b"abc", 2, 2)
+
+
+def test_dhash_planted_near_identical_pair(spark):
+    """A near-identical payload pair (one byte flipped) must be found
+    by the banded dHash dedup: hamming <= 7 pairs are GUARANTEED
+    nominated (pigeonhole over the 8 byte-bands), and distant payloads
+    must not pair up."""
+    import numpy as np
+
+    from flink_stream_spark.operators.multimodal import (
+        DHASH_HAMMING_MAX,
+        dhash_bands,
+    )
+
+    rng = np.random.RandomState(7)
+    base = bytes(rng.randint(0, 256, 600, dtype=np.uint8).tobytes())
+    near = bytearray(base)
+    near[300] ^= 0xFF  # one flipped byte: a handful of dHash bits move
+    rows = [(1, base), (2, bytes(near))] + [
+        (i, bytes(rng.randint(0, 256, 600, dtype=np.uint8).tobytes()))
+        for i in range(3, 20)
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    bands = {r["doc_id"]: r["bands"] for r in dhash_bands(media).collect()}
+    ham = sum(
+        bin(a ^ b).count("1") for a, b in zip(bands[1], bands[2])
+    )
+    assert ham <= 7  # the planted pair is near under the hash itself
+
+    # run the full blocking + verify pipeline on the planted corpus
+    from pyspark.sql import functions as F
+
+    b = dhash_bands(media)
+    e = b.select("doc_id", F.posexplode("bands").alias("bi", "bv"))
+    cand = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.bi") == F.col("y.bi"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    assert (1, 2) in {(r["a"], r["c"]) for r in cand}
+    # sanity: blocking nominates far fewer than all pairs (19*18/2=171)
+    assert len(cand) < 100
+    assert ham <= DHASH_HAMMING_MAX

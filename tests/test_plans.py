@@ -212,6 +212,8 @@ _PYTHON_EVAL_OK = {
     "multimodal_resize",
     "multimodal_frame_sample",
     "multimodal_feature_extract",
+    "multimodal_image_dedup_dhash",  # dHash stage is mapInPandas; the
+    #                                  banding + Hamming verify are JVM
     # distributed linear algebra: Arrow-batched numpy X^T X partials /
     # matmul projection/assignment are the designed shape (bounded
     # d x d traffic; a JVM-side explode would amplify rows by d^2, and
