@@ -224,68 +224,11 @@ GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 
 
-@register(
-    "quality_gopher_rules",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, text, string_split(text, ' ') AS ts,
-             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
-               AS n_spaces
-      FROM documents),
-    feats AS (
-      SELECT doc_id,
-             CAST(len(ts) AS BIGINT) AS n_tokens,
-             CAST(length(text) AS BIGINT) - n_spaces AS sum_tok_len,
-             CAST({' + '.join(f"CASE WHEN list_contains(ts, '{w}') THEN 1 ELSE 0 END" for w in GOPHER_STOPWORDS)}
-                  AS BIGINT) AS n_stopwords,
-             CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]')))
-                  AS BIGINT) AS n_alpha_words,
-             CAST(length(text) - length(replace(replace(text, '#', ''), '...', ''))
-                  AS BIGINT) AS n_symbol_chars
-      FROM toks),
-    rules AS (
-      SELECT doc_id, n_tokens,
-             n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS rule_word_count,
-             sum_tok_len BETWEEN 3 * n_tokens AND 10 * n_tokens AS rule_mean_word_len,
-             n_stopwords >= 2 AS rule_stopwords,
-             5 * n_alpha_words >= 4 * n_tokens AS rule_alpha_frac,
-             10 * n_symbol_chars <= n_tokens AS rule_symbol_ratio
-      FROM feats)
-    SELECT doc_id, n_tokens,
-           rule_word_count, rule_mean_word_len, rule_stopwords,
-           rule_alpha_frac, rule_symbol_ratio,
-           CAST(CASE WHEN rule_word_count THEN 0 ELSE 1 END
-              + CASE WHEN rule_mean_word_len THEN 0 ELSE 2 END
-              + CASE WHEN rule_stopwords THEN 0 ELSE 4 END
-              + CASE WHEN rule_alpha_frac THEN 0 ELSE 8 END
-              + CASE WHEN rule_symbol_ratio THEN 0 ELSE 16 END AS INT)
-             AS fail_mask,
-           rule_word_count AND rule_mean_word_len AND rule_stopwords
-             AND rule_alpha_frac AND rule_symbol_ratio AS gopher_pass
-    FROM rules
-    ORDER BY doc_id
-    """,
-    group="text",
-    doc="Gopher document-level hard-filter battery (Rae et al. 2021 "
-    "table A1): word-count bounds, mean-word-length in [3,10], >= 2 "
-    "distinct required stopwords present, >= 80% words containing an "
-    "alphabetic character, symbol('#'/'...')-to-word ratio <= 0.1. "
-    "Emits each rule verdict, a fail-reason bitmask, and the composite "
-    "pass flag. All thresholds compare scaled integers (5*n_alpha >= "
-    "4*n), never floats, so engines agree exactly. Scale: a pure "
-    "map-only scan projection — no shuffle, no UDF; everything except "
-    "the alpha-word HOF stays in whole-stage codegen, and the HOF is "
-    "per-row bounded by tokens-per-doc.",
-)
-def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    # one fused exchange, two jobs: RANGE-partitioning on doc_id spreads
-    # the per-token HOF/regex work across every core (the compressed
-    # fixture file arrives as 1-2 input splits — text.py:181 trap), and
-    # a partition-local sort then yields the totally-ordered result
-    # without a second global sort exchange of the scored rows.
-    par = spark.sparkContext.defaultParallelism
-    d = d.repartitionByRange(par, "doc_id")
+def gopher_score(d: DataFrame) -> DataFrame:
+    """The Gopher rule battery as a pure map-only projection over any
+    (doc_id, text) frame — shared by the batch query below and the
+    streaming twin (streaming/scoring.py): stateless, so it applies to
+    a stream unchanged (no watermark, no state store)."""
     ts = F.split("text", " ")
     n_spaces = (
         F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))
@@ -351,4 +294,70 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("rule_alpha_frac")
             & F.col("rule_symbol_ratio")
         ).alias("gopher_pass"),
-    ).sortWithinPartitions("doc_id")
+    )
+
+
+@register(
+    "quality_gopher_rules",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS ts,
+             CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+               AS n_spaces
+      FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(ts) AS BIGINT) AS n_tokens,
+             CAST(length(text) AS BIGINT) - n_spaces AS sum_tok_len,
+             CAST({' + '.join(f"CASE WHEN list_contains(ts, '{w}') THEN 1 ELSE 0 END" for w in GOPHER_STOPWORDS)}
+                  AS BIGINT) AS n_stopwords,
+             CAST(len(list_filter(ts, t -> regexp_matches(t, '[a-zA-Z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST(length(text) - length(replace(replace(text, '#', ''), '...', ''))
+                  AS BIGINT) AS n_symbol_chars
+      FROM toks),
+    rules AS (
+      SELECT doc_id, n_tokens,
+             n_tokens BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS rule_word_count,
+             sum_tok_len BETWEEN 3 * n_tokens AND 10 * n_tokens AS rule_mean_word_len,
+             n_stopwords >= 2 AS rule_stopwords,
+             5 * n_alpha_words >= 4 * n_tokens AS rule_alpha_frac,
+             10 * n_symbol_chars <= n_tokens AS rule_symbol_ratio
+      FROM feats)
+    SELECT doc_id, n_tokens,
+           rule_word_count, rule_mean_word_len, rule_stopwords,
+           rule_alpha_frac, rule_symbol_ratio,
+           CAST(CASE WHEN rule_word_count THEN 0 ELSE 1 END
+              + CASE WHEN rule_mean_word_len THEN 0 ELSE 2 END
+              + CASE WHEN rule_stopwords THEN 0 ELSE 4 END
+              + CASE WHEN rule_alpha_frac THEN 0 ELSE 8 END
+              + CASE WHEN rule_symbol_ratio THEN 0 ELSE 16 END AS INT)
+             AS fail_mask,
+           rule_word_count AND rule_mean_word_len AND rule_stopwords
+             AND rule_alpha_frac AND rule_symbol_ratio AS gopher_pass
+    FROM rules
+    ORDER BY doc_id
+    """,
+    group="text",
+    doc="Gopher document-level hard-filter battery (Rae et al. 2021 "
+    "table A1): word-count bounds, mean-word-length in [3,10], >= 2 "
+    "distinct required stopwords present, >= 80% words containing an "
+    "alphabetic character, symbol('#'/'...')-to-word ratio <= 0.1. "
+    "Emits each rule verdict, a fail-reason bitmask, and the composite "
+    "pass flag. All thresholds compare scaled integers (5*n_alpha >= "
+    "4*n), never floats, so engines agree exactly. Scale: a pure "
+    "map-only scan projection — no shuffle, no UDF; everything except "
+    "the alpha-word HOF stays in whole-stage codegen, and the HOF is "
+    "per-row bounded by tokens-per-doc.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # one fused exchange, two jobs: RANGE-partitioning on doc_id spreads
+    # the per-token HOF/regex work across every core (the compressed
+    # fixture file arrives as 1-2 input splits — text.py:181 trap), and
+    # a partition-local sort then yields the totally-ordered result
+    # without a second global sort exchange of the scored rows.
+    par = spark.sparkContext.defaultParallelism
+    return gopher_score(d.repartitionByRange(par, "doc_id")).sortWithinPartitions(
+        "doc_id"
+    )

@@ -243,6 +243,36 @@ DSIR_BUCKETS = 1024
 DSIR_TARGET_MAX = 5  # sources src0..src4 form the target corpus
 
 
+def dsir_bigram_buckets(d: DataFrame) -> DataFrame:
+    """(doc_id, text, source) -> one row per bigram occurrence with its
+    hashed bucket: (doc_id, is_target, b). The shared front half of the
+    batch scorer and the streaming LM twin (streaming/scoring.py) — a
+    narrow explode, no shuffle, works identically on a stream."""
+    split = d.select(
+        "doc_id",
+        F.split("text", " ").alias("ts"),
+        (F.substring("source", 4, 10).cast("int") < DSIR_TARGET_MAX).alias(
+            "is_target"
+        ),
+    )
+    n = F.size("ts")
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), (n - 2).cast("int")),
+            lambda i: (
+                _tok_hash_spark(
+                    F.concat_ws(" ", F.col("ts")[i], F.col("ts")[i + 1])
+                )
+                % DSIR_BUCKETS
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    return split.select(
+        "doc_id", "is_target", F.explode_outer(grams).alias("b")
+    ).filter(F.col("b").isNotNull())
+
+
 @register(
     "sample_dsir_importance",
     f"""
@@ -298,29 +328,7 @@ DSIR_TARGET_MAX = 5  # sources src0..src4 form the target corpus
 def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    split = d.repartition(par, "doc_id").select(
-        "doc_id",
-        F.split("text", " ").alias("ts"),
-        (F.substring("source", 4, 10).cast("int") < DSIR_TARGET_MAX).alias(
-            "is_target"
-        ),
-    )
-    n = F.size("ts")
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(0), (n - 2).cast("int")),
-            lambda i: (
-                _tok_hash_spark(
-                    F.concat_ws(" ", F.col("ts")[i], F.col("ts")[i + 1])
-                )
-                % DSIR_BUCKETS
-            ),
-        ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-    big = split.select(
-        "doc_id", "is_target", F.explode_outer(grams).alias("b")
-    ).filter(F.col("b").isNotNull())
+    big = dsir_bigram_buckets(d.repartition(par, "doc_id"))
     tf = big.groupBy("doc_id", "is_target", "b").agg(F.count(F.lit(1)).alias("tf"))
     ct = tf.filter("is_target").groupBy("b").agg(F.sum("tf").alias("ct"))
     cr = tf.filter("NOT is_target").groupBy("b").agg(F.sum("tf").alias("cr"))
