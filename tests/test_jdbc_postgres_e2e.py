@@ -209,3 +209,56 @@ def test_logical_decoding_cdc_round_trip(pg_url):
         cwd="/root/repo",
     )
     assert "PG_CDC_OK" in res.stdout, res.stdout[-2000:] + res.stderr[-2000:]
+
+
+def test_debezium_golden_capture_matches_live_postgres(pg_url, spark, tmp_path):
+    """Anchor the crafted Debezium capture to reality: execute the
+    REFERENCE'S OWN SQL (seed/001_insert.sql + manual/001-003) against
+    the live Postgres, then compare its final table state with the
+    state the golden capture replays into the managed warehouse
+    (tests/test_debezium_golden.py). If the capture ever drifts from
+    what those scripts actually do, this fails."""
+    import csv
+    import io
+
+    from tests.test_debezium_golden import _final_state, _replay_pipeline
+
+    _psql(
+        pg_url,
+        "CREATE SCHEMA commerce;"
+        "CREATE TABLE commerce.account (user_id SERIAL PRIMARY KEY,"
+        " email VARCHAR(255) UNIQUE NOT NULL,"
+        " created_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP);"
+        "CREATE TABLE commerce.product (product_id SERIAL PRIMARY KEY,"
+        " product_name VARCHAR(255) UNIQUE NOT NULL,"
+        " created_at TIMESTAMP NOT NULL DEFAULT CURRENT_TIMESTAMP);",
+    )
+    for rel in (
+        "postgres/scripts/seed/001_insert.sql",
+        "postgres/scripts/manual/001_insert.sql",
+        "postgres/scripts/manual/002_update.sql",
+        "postgres/scripts/manual/003_delete.sql",
+    ):
+        path = os.path.join("/root/reference", rel)
+        _psql(pg_url, open(path).read())
+
+    def _rows(sql: str) -> list[tuple]:
+        port = pg_url.split("localhost:")[1].split("/")[0]
+        res = subprocess.run(
+            ["psql", "-h", "localhost", "-p", port, "-U", "postgres",
+             "--csv", "-t", "-c", sql],
+            check=True, capture_output=True, text=True,
+        )
+        return [tuple(r) for r in csv.reader(io.StringIO(res.stdout)) if r]
+
+    live_accounts = _rows(
+        "SELECT user_id, email FROM commerce.account ORDER BY user_id"
+    )
+    live_products = _rows(
+        "SELECT product_id, product_name FROM commerce.product ORDER BY product_id"
+    )
+
+    wh = _replay_pipeline(spark, tmp_path, lines_per_file=4)
+    accounts, products = _final_state(spark, wh)
+    assert [(str(u), e) for u, e in accounts] == live_accounts == []
+    assert [(str(p), n) for p, n in products] == live_products
