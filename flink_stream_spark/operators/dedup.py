@@ -936,7 +936,19 @@ K_SPAN = 5
     "hot gram fans out only to its own positions, never pairs); span "
     "merging is a per-doc window (partitioned by doc_id, bounded by "
     "tokens-per-doc). No stage is quadratic in corpus size — this is "
-    "the scan-based alternative to the paper's suffix-array build.",
+    "the scan-based alternative to the paper's suffix-array build. "
+    "FIDELITY vs Lee et al.'s suffix-array method (exact statement of "
+    "what is and isn't detected): a duplicated run of >= K_SPAN tokens "
+    "is always detected with its exact maximal extent (every window "
+    "inside the run repeats); a duplicated run SHORTER than K_SPAN "
+    f"tokens (< {K_SPAN}) is NOT detected — no {K_SPAN}-gram fits "
+    "inside it, while the suffix array finds duplicates at every "
+    "length. The paper itself thresholds at 50 tokens, so the k-gram "
+    "pass computes the same answer as suffix arrays restricted to "
+    "spans >= the threshold; only sub-threshold spans differ "
+    "(suffix-array: reported; here: absent by construction). "
+    "Semantics pinned by tests/test_corpus_curation_ops.py, including "
+    "the negative sub-K_SPAN case.",
 )
 def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window

@@ -85,6 +85,36 @@ def test_exact_substr_clean_doc_all_zero(spark, tmp_path):
         assert r["dup_frac"] == 0.0
 
 
+def test_exact_substr_sub_kspan_run_not_detected(spark, tmp_path):
+    """The documented fidelity bound vs Lee et al.'s suffix-array
+    method: a duplicated run SHORTER than K_SPAN tokens is invisible
+    to the k-gram pass (no K_SPAN-gram fits inside it), while a run of
+    exactly K_SPAN shared tokens IS detected with its exact extent."""
+    short = "p1 p2 p3 p4"  # K_SPAN - 1 shared tokens
+    exact = "q1 q2 q3 q4 q5"  # exactly K_SPAN shared tokens
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (f"{short} x1 x2 x3 x4 x5 x6", "src0"),
+            (f"y1 y2 y3 y4 y5 y6 {short}", "src1"),
+            (f"{exact} z1 z2 z3 z4 z5 z6", "src2"),
+            (f"w1 w2 w3 w4 w5 w6 {exact}", "src3"),
+        ],
+    )
+    got = _rows(spark, sf, "dedup_exact_substr_spans")
+    # sub-K_SPAN duplicated run: NOT detected (by construction)
+    for doc_id in (1, 2):
+        r = got[doc_id]
+        assert (r["dup_positions"], r["dup_tokens"], r["n_spans"]) == (0, 0, 0)
+    # exactly-K_SPAN duplicated run: detected, exact extent
+    for doc_id in (3, 4):
+        r = got[doc_id]
+        assert r["dup_positions"] == 1
+        assert r["dup_tokens"] == K_SPAN
+        assert r["n_spans"] == 1
+
+
 def test_gopher_rules_fail_mask_bits(spark, tmp_path):
     stop = "scan column window order sort agg join group"  # all 8 required
     good = (stop + " tok") * 1  # base that passes stopwords
