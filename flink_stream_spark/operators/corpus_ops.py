@@ -869,30 +869,17 @@ def _bpe_oracle() -> str:
     return "".join(parts) + f"\n    {union}\n    ORDER BY round\n    "
 
 
-@register(
-    "text_bpe_train",
-    _bpe_oracle(),
-    group="corpus",
-    doc=f"BPE training loop, {BPE_ROUNDS} greedy merge rounds "
-    "(Sennrich et al. 2016 at word granularity): per round, count "
-    "adjacent token pairs corpus-wide, merge the most frequent pair "
-    "(ties lexicographic) in every document, recount on the merged "
-    "corpus. Reports each round's winning pair, its frequency, and "
-    "the post-merge vocab/token counts. Scale: the corpus rep is a "
-    "framed string, so a merge round is a codegen'd narrow "
-    "replace() pass (no per-row Python, no array fold); pair counts "
-    "shuffle once per round with map-side combine; the only driver "
-    "traffic is ONE (a, b, count) row per round (same bounded-scalar "
-    "contract as graph_pagerank_bipartite's convergence checks). Each "
-    "round's rep is cached so round r+1 reuses r's merge instead of "
-    "replaying the chain.",
-)
-def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from functools import reduce
+def _bpe_rounds(d: DataFrame, par: int):
+    """Run the BPE_ROUNDS greedy merge loop over the framed corpus rep.
 
-    d = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    rep = d.repartition(par, "doc_id").select(
+    Returns (rep0, [(round, a, b, c, rep_after_round), ...]) — the
+    shared engine of text_bpe_train (which reports per-round stats) and
+    text_bpe_encode (which tokenizes with the final rep). Each round is
+    one pair-count aggregate (map-side combine), ONE (a,b,c) scalar row
+    to the driver, and one codegen'd replace() pass; per-round reps are
+    cached so round r+1 reuses r's merge instead of replaying the
+    chain."""
+    rep0 = d.select(
         "doc_id",
         F.concat(
             F.lit(_BPE_SEP),
@@ -901,7 +888,8 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rep"),
     )
     _EMPTY_PAIRS = "CAST(array() AS ARRAY<STRUCT<a: STRING, b: STRING>>)"
-    out = []
+    rounds = []
+    rep = rep0
     for r in range(1, BPE_ROUNDS + 1):
         rep = rep.cache()
         toks = rep.select(
@@ -926,10 +914,10 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("c"))
         )
         # tie-break on the (a, b) COLUMNS, not their '+'-joined concat:
-        # once merged tokens contain '+', pairs ('x+y','z') and
-        # ('x','y+z') share the concat key and an exact (count, key)
-        # tie would resolve by nondeterministic LIMIT 1 — the column
-        # pair is unambiguous, and the oracle orders the same way.
+        # once merged tokens themselves contain '+', pairs ('x+y','z')
+        # and ('x','y+z') share the concat key and an exact (count,
+        # key) tie would resolve by nondeterministic LIMIT 1 — the
+        # column pair is unambiguous, and the oracle orders the same.
         win = (
             counts.orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
             .limit(1)
@@ -941,6 +929,85 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = rep.select(
             "doc_id", F.replace(F.col("rep"), F.lit(pat), F.lit(rpl)).alias("rep")
         )
+        rounds.append((r, a, b, c, rep))
+    return rep0, rounds
+
+
+def _bpe_encode_oracle() -> str:
+    """Unrolled DuckDB twin of the encode path: the same per-round
+    (count pairs -> pick winner -> replace) chain as _bpe_oracle, ended
+    with a per-document before/after token count instead of the
+    per-round stats."""
+    parts = [
+        """
+    WITH r0 AS (
+      SELECT doc_id,
+             '~' || array_to_string(string_split(text, ' '), '~~') || '~' AS rep
+      FROM documents)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        parts.append(
+            f"""
+    , t{r} AS (
+      SELECT string_split(substr(rep, 2, length(rep) - 2), '~~') AS ts
+      FROM r{r - 1}),
+    p{r} AS (
+      SELECT ts[i] AS a, ts[i + 1] AS b, COUNT(*) AS c
+      FROM t{r}, unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS u(i)
+      GROUP BY 1, 2),
+    w{r} AS (
+      SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1),
+    r{r} AS (
+      SELECT doc_id,
+             replace(rep, '~' || w.a || '~~' || w.b || '~',
+                          '~' || w.a || '+' || w.b || '~') AS rep
+      FROM r{r - 1} CROSS JOIN w{r} w)"""
+        )
+    parts.append(
+        f"""
+    SELECT a.doc_id,
+           CAST(len(string_split(substr(a.rep, 2, length(a.rep) - 2), '~~'))
+                AS BIGINT) AS n_tokens_raw,
+           CAST(len(string_split(substr(z.rep, 2, length(z.rep) - 2), '~~'))
+                AS BIGINT) AS n_tokens_bpe,
+           CAST(ROUND(
+             CAST(len(string_split(substr(a.rep, 2, length(a.rep) - 2), '~~'))
+                  AS DOUBLE)
+             / len(string_split(substr(z.rep, 2, length(z.rep) - 2), '~~')), 6)
+                AS DOUBLE) AS compression
+    FROM r0 a JOIN r{BPE_ROUNDS} z USING (doc_id)
+    ORDER BY a.doc_id
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "text_bpe_train",
+    _bpe_oracle(),
+    group="corpus",
+    doc=f"BPE training loop, {BPE_ROUNDS} greedy merge rounds "
+    "(Sennrich et al. 2016 at word granularity): per round, count "
+    "adjacent token pairs corpus-wide, merge the most frequent pair "
+    "(ties lexicographic) in every document, recount on the merged "
+    "corpus. Reports each round's winning pair, its frequency, and "
+    "the post-merge vocab/token counts. Scale: the corpus rep is a "
+    "framed string, so a merge round is a codegen'd narrow "
+    "replace() pass (no per-row Python, no array fold); pair counts "
+    "shuffle once per round with map-side combine; the only driver "
+    "traffic is ONE (a, b, count) row per round (same bounded-scalar "
+    "contract as graph_pagerank_bipartite's convergence checks). Each "
+    "round's rep is cached so round r+1 reuses r's merge instead of "
+    "replaying the chain.",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    _, rounds = _bpe_rounds(d.repartition(par, "doc_id"), par)
+    out = []
+    for r, a, b, c, rep in rounds:
         stats = (
             rep.select(
                 F.explode(
@@ -962,6 +1029,48 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda x, y: x.unionAll(y), out).orderBy("round")
+
+
+@register(
+    "text_bpe_encode",
+    _bpe_encode_oracle(),
+    group="corpus",
+    doc=f"BPE tokenizer APPLICATION — the per-document op a training "
+    f"pipeline runs after text_bpe_train learns its merges: the same "
+    f"{BPE_ROUNDS} greedy merges are learned, then each document "
+    "reports its raw whitespace token count, its post-merge BPE token "
+    "count, and the compression ratio. Merge application is the same "
+    "codegen'd framed-string replace() pass as training (no per-row "
+    "Python, no array fold); the only driver traffic is ONE scalar "
+    "(a, b, count) row per merge round. At 100 TB the learned merge "
+    "list is tiny driver state and each application pass is a narrow "
+    "map — tokenization parallelizes at the scan.",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    rep0, rounds = _bpe_rounds(d.repartition(par, "doc_id"), par)
+    final_rep = rounds[-1][4]
+
+    def n_of(c: str):
+        return F.size(
+            F.split(F.expr(f"substr({c}, 2, length({c}) - 2)"), _BPE_SEP * 2)
+        ).cast("bigint")
+
+    raw = rep0.select("doc_id", n_of("rep").alias("n_tokens_raw"))
+    enc = final_rep.select("doc_id", n_of("rep").alias("n_tokens_bpe"))
+    return (
+        raw.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens_raw",
+            "n_tokens_bpe",
+            F.round(
+                F.col("n_tokens_raw").cast("double") / F.col("n_tokens_bpe"), 6
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
