@@ -101,6 +101,9 @@ HEADLINE = [
     "dq_constraint_report",
     "dedup_semdedup_cluster",
     "sample_dsir_importance",
+    # round-5 additions
+    "multimodal_image_dedup_dhash",
+    "text_bpe_encode",
 ]
 # not in the set: agg_percentile_approx — its GATE form deliberately
 # computes the exact reference percentiles next to the sketch (the
