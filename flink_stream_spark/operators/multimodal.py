@@ -536,7 +536,15 @@ def dhash_bands(media: DataFrame) -> DataFrame:
 def multimodal_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    bands = dhash_bands(media)
+    # persist: the hash frame feeds three subtrees (band explode + the
+    # two verify joins) and Spark re-evaluates unpersisted subplans per
+    # reference — without this the Arrow-batched Python stage runs 3x.
+    # Keeping the PAIR side skinny (doc ids only) and joining the 8-int
+    # arrays back per side is the measured-faster shape: the distinct
+    # dedupes 16-byte rows and the array joins broadcast/AQE-plan,
+    # whereas carrying both arrays through the candidate exchange
+    # measured ~2x slower at sf0.1.
+    bands = dhash_bands(media).persist()
     e = bands.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
     )
@@ -571,9 +579,7 @@ def multimodal_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ba, "doc_a")
         .join(bb, "doc_b")
-        .select(
-            "doc_a", "doc_b", ham.cast("bigint").alias("hamming")
-        )
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= DHASH_HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
