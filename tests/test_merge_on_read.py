@@ -140,3 +140,26 @@ def test_mor_lookup_and_pruned_read_respect_tombstones(spark, tmp_path):
     assert [r["v"] for r in t.lookup(spark, {"k": 5}).collect()] == ["u5"]
     got = {r["k"] for r in t.read(spark, where=[("k", "between", (1, 6))]).collect()}
     assert got == {1, 3, 4, 5, 6}
+
+
+def test_mor_merge_with_schema_evolution(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "t", ["k"], num_buckets=2)
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    # the MoR batch adds a column: manifest schema evolves, old data
+    # files null-fill on read, tombstone sequencing still applies
+    t.merge(
+        spark.createDataFrame([(1, "a2", 7)], "k int, v string, w int"),
+        mode="mor",
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in t.read(spark).collect()}
+    assert got == {1: ("a2", 7), 2: ("b", None)}
+
+
+def test_mor_merge_idempotency_token_no_ops_replay(spark, tmp_path):
+    t = ManagedTable(str(tmp_path), "t", ["k"], num_buckets=2)
+    t.overwrite(spark.createDataFrame([(1, "a")], "k int, v string"))
+    up = spark.createDataFrame([(1, "a2")], "k int, v string")
+    v1 = t.merge(up, mode="mor", token="epoch-7")
+    v2 = t.merge(up, mode="mor", token="epoch-7")  # replayed micro-batch
+    assert v1 == v2 == t.current_version()
+    assert _state(spark, t) == {1: "a2"}
