@@ -51,18 +51,33 @@ def start_hourly_rollup(
     table: ManagedTable,
     checkpoint_dir: str,
     trigger_seconds: int = 10,
+    merge_mode: str = "cow",
+    autocompact_files_per_bucket: int | None = None,
 ):
     """Maintain ``table`` as the continuously-updated hourly rollup of
     the replayed event stream. Update output mode + keyed MERGE: every
     trigger commits the latest cumulative value for each touched
     (hour, event_type) key — same-key-replaces, the reference's
-    ``write.upsert.enabled`` contract."""
+    ``write.upsert.enabled`` contract.
+
+    ``merge_mode='mor'`` is the reference's LITERAL production shape —
+    Flink streaming upsert into an Iceberg v2 merge-on-read table:
+    each trigger appends the changed keys plus tombstones (commit cost
+    O(batch), never O(table)); pair it with
+    ``autocompact_files_per_bucket`` so ``maybe_compact`` folds the
+    accumulated tombstones once a bucket passes the threshold —
+    exactly the maintenance cadence Iceberg deployments schedule."""
     hourly = hourly_rollup_stream(stream_events(spark, sf_dir))
 
     def _apply(batch: DataFrame, epoch_id: int) -> None:
         if not batch.columns or batch.isEmpty():
             return
-        table.merge(batch, keys=ROLLUP_KEYS)
+        table.merge(batch, keys=ROLLUP_KEYS, mode=merge_mode)
+        if autocompact_files_per_bucket is not None:
+            table.maybe_compact(
+                batch.sparkSession,
+                max_files_per_bucket=autocompact_files_per_bucket,
+            )
 
     return (
         hourly.writeStream.outputMode("update")

@@ -91,3 +91,43 @@ def test_dsir_scores_from_drained_stream_equal_batch_query(spark, sf_small):
         for r in REGISTRY["sample_dsir_importance"].build(spark, sf_small).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_hourly_rollup_merge_on_read_with_autocompact(spark, sf_small, tmp_path):
+    """The reference's literal production shape: streaming upsert into
+    a merge-on-read table (Flink -> Iceberg v2 equality deletes), with
+    threshold auto-compaction folding the tombstones. Final state must
+    equal the copy-on-write run AND the batch aggregate."""
+    from flink_stream_spark.streaming.rollup import start_hourly_rollup
+    from flink_stream_spark.tables.managed import Warehouse
+
+    states = {}
+    for mode in ("cow", "mor"):
+        wh = Warehouse(str(tmp_path / f"wh_{mode}"))
+        table = wh.table(f"rollup_{mode}", key_columns=["h_ms", "event_type"])
+        q = start_hourly_rollup(
+            spark,
+            sf_small,
+            table,
+            str(tmp_path / f"ckpt_{mode}"),
+            trigger_seconds=1,
+            merge_mode=mode,
+            autocompact_files_per_bucket=4 if mode == "mor" else None,
+        )
+        q.processAllAvailable()
+        q.stop()
+        states[mode] = {
+            (r["h_ms"], r["event_type"]): (r["n"], r["cents"])
+            for r in table.read(spark).collect()
+        }
+        if mode == "mor":
+            # after a drained replay the table must be readable cheaply:
+            # auto-compaction bounded the per-bucket file count
+            manifest = table._load_manifest(table.current_version())
+            dels = manifest.get("deletes", {})
+            worst = max(
+                len(ps) + len(dels.get(b, []))
+                for b, ps in manifest["buckets"].items()
+            )
+            assert worst <= 4 + 1  # threshold + the trigger that tripped it
+    assert states["mor"] == states["cow"] and len(states["cow"]) > 0
