@@ -361,3 +361,80 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_score(d.repartitionByRange(par, "doc_id")).sortWithinPartitions(
         "doc_id"
     )
+
+
+@register(
+    "quality_mad_outliers",
+    """
+    WITH t AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS x
+      FROM documents),
+    m AS (SELECT source, quantile_cont(x, 0.5) AS med FROM t GROUP BY source),
+    a AS (
+      SELECT t.source, t.x, abs(t.x - m.med) AS ad, m.med
+      FROM t JOIN m USING (source)),
+    md AS (
+      SELECT source, quantile_cont(ad, 0.5) AS mad, MIN(med) AS med
+      FROM a GROUP BY source)
+    SELECT a.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(md.med, 6) AS DOUBLE) AS median_tokens,
+           CAST(ROUND(md.mad, 6) AS DOUBLE) AS mad_tokens,
+           CAST(SUM(CASE WHEN md.mad > 0 AND a.ad > 3 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(ROUND(CAST(SUM(CASE WHEN md.mad > 0 AND a.ad > 3 * md.mad
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*), 6) AS DOUBLE) AS outlier_frac
+    FROM a JOIN md USING (source)
+    GROUP BY a.source, md.med, md.mad
+    ORDER BY a.source
+    """,
+    group="text",
+    doc="Robust per-source quality calibration: per source, the exact "
+    "interpolated MEDIAN token count and MAD (median absolute "
+    "deviation), and the count of robust-z outliers (|x − median| > "
+    "3·MAD, skipped when MAD = 0) — the per-domain calibration step a "
+    "curation pipeline runs so one verbose domain's length "
+    "distribution doesn't set the global filter threshold (median/MAD "
+    "because mean/stddev are themselves dragged by the outliers being "
+    "hunted). Exactness: both engines interpolate percentiles of "
+    "exact integers in float64 and compare the same float products, "
+    "so verdicts agree bit-for-bit. Scale: two aggregate passes plus "
+    "one flagging join, all keyed on source (map-side partial "
+    "combine); per-source medians are exact percentile AGGREGATES, "
+    "never a global sort; the per-source stat table is tiny and "
+    "broadcast back for flagging.",
+)
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", F.size(F.split("text", " ")).cast("bigint").alias("x")
+    )
+    med = t.groupBy("source").agg(F.expr("percentile(x, 0.5D)").alias("med"))
+    a = t.join(F.broadcast(med), "source").withColumn(
+        "ad", F.abs(F.col("x") - F.col("med"))
+    )
+    md = a.groupBy("source").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad"), F.min("med").alias("med")
+    )
+    out_flag = (F.col("mad") > 0) & (F.col("ad") > 3 * F.col("mad"))
+    return (
+        a.drop("med")
+        .join(F.broadcast(md), "source")
+        .groupBy("source", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(out_flag.cast("int")).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round("med", 6).alias("median_tokens"),
+            F.round("mad", 6).alias("mad_tokens"),
+            "n_outliers",
+            F.round(
+                F.col("n_outliers").cast("double") / F.col("n_docs"), 6
+            ).alias("outlier_frac"),
+        )
+        .orderBy("source")
+    )
