@@ -38,6 +38,11 @@ PROBES = [
     "text_bpe_pair_merges",
     "quality_classifier_score",
     "corpus_pack_sequences",
+    # round-5 additions
+    "multimodal_image_dedup_dhash",
+    "text_bpe_encode",
+    "quality_mad_outliers",
+    "dedup_semdedup_cluster",
 ]
 
 
