@@ -445,6 +445,27 @@ DHASH_HAMMING_MAX = 16  # pair-verify threshold over the full 64 bits
 DHASH_BAND_CAP = 128  # hot-band guard: a (band_idx, value) bucket with
 # more docs than this nominates no pairs (same discipline and rationale
 # as BLOCK_DF_CAP in operators/dedup.py; the oracle mirrors the cap)
+# CORPUS-ADAPTIVE band width (the SemDeDup-K lesson applied to
+# banding): with a fixed 8-bit band alphabet, expected bucket
+# population grows ∝ n/256 per band index, so candidate pairs grow
+# ∝ n² — quadratic at web scale, and the hot-band cap would then kill
+# recall instead. Widening the band (merging adjacent byte-bands) as
+# the corpus grows keeps the expected bucket population bounded:
+# 8 bands x 8 bits while n <= 16384 (n/256 <= 64), 4 bands x 16 bits
+# to n <= 4.2M (n/65536 <= 64), 2 bands x 32 bits beyond. Both engines
+# derive the SAME tier from one scalar COUNT(*). Trade-off: the
+# pigeonhole guarantee is hamming <= nbands-1 (7 / 3 / 1), the
+# standard multi-index-hashing recall curve (Norouzi et al. 2012).
+DHASH_TIER1_MAX = 16_384  # corpus size ceilings for the band tiers
+DHASH_TIER2_MAX = 4_194_304
+
+
+def dhash_num_bands(n_docs: int) -> int:
+    if n_docs <= DHASH_TIER1_MAX:
+        return 8
+    if n_docs <= DHASH_TIER2_MAX:
+        return 4
+    return 2
 
 DHASH_SCHEMA = "doc_id bigint, bands array<int>"
 
@@ -496,9 +517,23 @@ def dhash_bands(media: DataFrame) -> DataFrame:
                  c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
                       THEN 1 << c ELSE 0 END), 'sum')) AS bands
       FROM s),
+    kk AS (
+      SELECT CASE WHEN COUNT(*) <= {DHASH_TIER1_MAX} THEN 8
+                  WHEN COUNT(*) <= {DHASH_TIER2_MAX} THEN 4
+                  ELSE 2 END AS nb
+      FROM documents),
     e AS (
-      SELECT doc_id, r AS band_idx, bands[r + 1] AS band_val
-      FROM b, unnest(generate_series(0, {DHASH_ROWS - 1})) AS t(r)),
+      SELECT doc_id, r AS band_idx,
+             CASE (SELECT nb FROM kk)
+               WHEN 8 THEN CAST(bands[r + 1] AS BIGINT)
+               WHEN 4 THEN CAST(bands[2*r + 1] AS BIGINT)
+                         + 256 * CAST(bands[2*r + 2] AS BIGINT)
+               ELSE CAST(bands[4*r + 1] AS BIGINT)
+                  + 256 * CAST(bands[4*r + 2] AS BIGINT)
+                  + 65536 * CAST(bands[4*r + 3] AS BIGINT)
+                  + 16777216 * CAST(bands[4*r + 4] AS BIGINT)
+             END AS band_val
+      FROM b, unnest(generate_series(0, (SELECT nb FROM kk) - 1)) AS t(r)),
     grp AS (
       SELECT band_idx, band_val FROM e
       GROUP BY 1, 2 HAVING COUNT(*) <= {DHASH_BAND_CAP}),
@@ -523,15 +558,18 @@ def dhash_bands(media: DataFrame) -> DataFrame:
     group="multimodal",
     doc="Image near-dup dedup: 64-bit dHash per payload (Arrow-batched; "
     "pixel decode stubbed by the deterministic byte resample, the swap "
-    "point for a real codec), Hamming-LSH blocking on the hash's 8 "
-    "byte-bands (a pair is nominated iff it shares one EXACT band — "
-    "pigeonhole guarantees every pair with hamming <= 7 is nominated; "
-    "8-16 is probabilistic, like MinHash banding), then exact Hamming "
-    f"<= {DHASH_HAMMING_MAX} verify over candidates only. Scale: pair "
-    "work is Σ band-bucket², never corpus²; buckets hotter than "
-    f"{DHASH_BAND_CAP} docs nominate nothing (oracle mirrors the cap); "
-    "at web scale widen the bands (4x16-bit) so bucket populations "
-    "stay bounded — the verify stage is unchanged.",
+    "point for a real codec), Hamming-LSH blocking on CORPUS-ADAPTIVE "
+    "bands — 8x8-bit / 4x16-bit / 2x32-bit chosen from one scalar "
+    "COUNT(*) so expected bucket population stays bounded (~n/2^width) "
+    "as the corpus grows; the oracle derives the same tier. A pair is "
+    "nominated iff it shares one EXACT band — pigeonhole guarantees "
+    "every pair with hamming <= nbands-1 is nominated (multi-index "
+    "hashing recall curve); above that it's probabilistic, like "
+    f"MinHash banding. Exact Hamming <= {DHASH_HAMMING_MAX} verify "
+    "over candidates only, as 8 codegen'd bit_count(xor) terms. "
+    "Scale: pair work is Σ band-bucket², never corpus²; buckets "
+    f"hotter than {DHASH_BAND_CAP} docs nominate nothing (oracle "
+    "mirrors the cap).",
 )
 def multimodal_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -545,8 +583,22 @@ def multimodal_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whereas carrying both arrays through the candidate exchange
     # measured ~2x slower at sf0.1.
     bands = dhash_bands(media).persist()
+    # adaptive band width from ONE scalar count (see dhash_num_bands);
+    # wider bands are algebraic merges of adjacent byte-bands, so the
+    # hash stage and the Hamming verify are tier-independent
+    nb = dhash_num_bands(media.count())
+    g = DHASH_ROWS // nb
+    band_vals = F.array(
+        *[
+            sum(
+                F.col("bands")[g * r + t].cast("bigint") * F.lit(256**t)
+                for t in range(g)
+            )
+            for r in range(nb)
+        ]
+    )
     e = bands.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_val")
+        "doc_id", F.posexplode(band_vals).alias("band_idx", "band_val")
     )
     hot_ok = (
         e.groupBy("band_idx", "band_val")
