@@ -251,3 +251,41 @@ def test_dhash_planted_near_identical_pair(spark):
     # sanity: blocking nominates far fewer than all pairs (19*18/2=171)
     assert len(cand) < 100
     assert ham <= DHASH_HAMMING_MAX
+
+
+def test_dhash_adaptive_band_tiers(spark):
+    """The corpus-size → band-tier rule and the band-merge algebra:
+    a 16-bit band value is exactly b[2r] + 256*b[2r+1] over the same
+    byte-bands, so signatures (and the Hamming verify) are
+    tier-independent."""
+    from flink_stream_spark.operators.multimodal import (
+        DHASH_TIER1_MAX,
+        DHASH_TIER2_MAX,
+        dhash_bands,
+        dhash_num_bands,
+    )
+
+    assert dhash_num_bands(500) == 8
+    assert dhash_num_bands(DHASH_TIER1_MAX) == 8
+    assert dhash_num_bands(DHASH_TIER1_MAX + 1) == 4
+    assert dhash_num_bands(DHASH_TIER2_MAX) == 4
+    assert dhash_num_bands(DHASH_TIER2_MAX + 1) == 2
+
+    media = spark.createDataFrame(
+        [(1, b"some payload bytes for hashing xyz")],
+        "doc_id bigint, payload binary",
+    )
+    b = dhash_bands(media).collect()[0]["bands"]
+    merged16 = [b[2 * r] + 256 * b[2 * r + 1] for r in range(4)]
+    merged32 = [
+        sum(b[4 * r + t] * (256**t) for t in range(4)) for r in range(2)
+    ]
+    # the merge is information-preserving: byte-bands recover exactly
+    for r in range(4):
+        assert merged16[r] % 256 == b[2 * r]
+        assert merged16[r] // 256 == b[2 * r + 1]
+    for r in range(2):
+        v = merged32[r]
+        assert [v % 256, (v >> 8) % 256, (v >> 16) % 256, (v >> 24) % 256] == b[
+            4 * r : 4 * r + 4
+        ]
