@@ -118,19 +118,29 @@ storage_ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=storage_ops)
-@pytest.mark.parametrize("merge_mode", ["cow", "mor"])
+@pytest.mark.parametrize("merge_mode", ["cow", "mor", "mix"])
 def test_bucketed_storage_under_random_maintenance(
     spark, tmp_path_factory, merge_mode, ops
 ):
     work = tmp_path_factory.mktemp("storeprop")
     table = ManagedTable(str(work), "t", ["k"], num_buckets=4)
     model: dict[int, str] = {}
+    # "mix" interleaves copy-on-write and merge-on-read commits on ONE
+    # table — COW folding another commit's tombstones, MoR tombstoning
+    # COW-written rows — the cross-mode interactions no single-mode
+    # run exercises
+    n_writes = 0
     for op, arg in ops:
+        if merge_mode == "mix":
+            mode = ("cow", "mor")[n_writes % 2]
+        else:
+            mode = merge_mode
         if op == "merge":
             rows = [(k, f"v{v}") for k, v in arg]
             table.merge(
-                spark.createDataFrame(rows, "k int, v string"), mode=merge_mode
+                spark.createDataFrame(rows, "k int, v string"), mode=mode
             )
+            n_writes += 1
             model.update({k: f"v{v}" for k, v in arg})
         elif op == "delete":
             if not table.exists():
@@ -138,8 +148,9 @@ def test_bucketed_storage_under_random_maintenance(
             table.merge(
                 upserts=spark.createDataFrame([], "k int, v string"),
                 deletes=spark.createDataFrame([(k,) for k in arg], "k int"),
-                mode=merge_mode,
+                mode=mode,
             )
+            n_writes += 1
             for k in arg:
                 model.pop(k, None)
         elif op == "compact":
