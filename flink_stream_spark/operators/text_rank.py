@@ -389,3 +389,136 @@ def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+RRF_LIST_K = 20  # fuse the top-20 of each retrieval list
+RRF_OUT_K = 10
+
+
+@register(
+    "retrieval_hybrid_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    qterms AS (
+      SELECT d.term, d.df FROM dfreq d CROSS JOIN stats s
+      WHERE d.df >= 3 AND d.df * 2 <= s.n_docs
+      ORDER BY d.df DESC, d.term LIMIT 5),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(FLOOR(
+               ln(CAST(s.n_docs AS DOUBLE) / CAST(q.df AS DOUBLE))
+               * CAST(t.tf AS DOUBLE) * 2.2
+               / (CAST(t.tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+      FROM tf t
+      JOIN qterms q ON t.term = q.term
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s),
+    bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY SUM(s_micro) DESC, doc_id) AS r
+      FROM scored GROUP BY doc_id),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT c.vec_id AS doc_id,
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM embeddings c CROSS JOIN qv q WHERE c.vec_id <> 0),
+    cr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r
+      FROM cs),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+             b.r AS bm25_rank, c.r AS cos_rank,
+             COALESCE(1.0 / ({RRF_K} + b.r), 0)
+               + COALESCE(1.0 / ({RRF_K} + c.r), 0) AS rrf
+      FROM (SELECT * FROM bm WHERE r <= {RRF_LIST_K}) b
+      FULL JOIN (SELECT * FROM cr WHERE r <= {RRF_LIST_K}) c
+        ON c.doc_id = b.doc_id)
+    SELECT doc_id,
+           CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(cos_rank AS BIGINT) AS cos_rank,
+           CAST(ROUND(rrf, 6) AS DOUBLE) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT {RRF_OUT_K}
+    """,
+    group="text",
+    doc="Hybrid retrieval with reciprocal-rank fusion (the RAG-stack "
+    "retrieval shape): lexical list = BM25 top-20 for the corpus's "
+    "deterministic 5-term query (same arithmetic as text_bm25_topk), "
+    "dense list = cosine top-20 against the vec_id-0 query embedding "
+    "(doc_id and vec_id share the fixture's 0..n-1 id space), fused "
+    f"by RRF score = Σ 1/({RRF_K} + rank) over the lists a doc "
+    "appears in, top-10 reported with both ranks (NULL = absent from "
+    "that list). Exactness: RRF is computed from INTEGER ranks, so "
+    "the fused ordering is engine-independent even though the "
+    "underlying scores are floats. Scale: both lists are TakeOrdered "
+    "top-k (never a global sort of the corpus — ranks are assigned "
+    "WITHIN the 20-row lists); BM25 aggregates shuffle with map-side "
+    "combine; the query embedding broadcasts.",
+)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.operators.dedup import _dot_expr, _norm_expr
+
+    # lexical list: the registered BM25 scorer's exact top-20 (its
+    # LIMIT and RRF_LIST_K are both 20; the oracle unrolls the same
+    # CTE chain, so a drift would fail the hash gate loudly)
+    bm_top = text_bm25_topk(spark, sf_dir)
+    w_all = W.orderBy(F.col("bm25_micro").desc(), "doc_id")
+    bm = bm_top.select(
+        "doc_id", F.row_number().over(w_all).alias("bm25_rank")
+    )
+    # dense list: cosine vs the vec_id-0 query embedding
+    e = load_table(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        _norm_expr(F.col("embedding")).alias("q_norm"),
+    )
+    cs = (
+        e.filter(F.col("vec_id") != 0)
+        .repartition(par, "vec_id")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("c_emb"),
+            _norm_expr(F.col("embedding")).alias("c_norm"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            (
+                _dot_expr(F.col("q_emb"), F.col("c_emb"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("cos"),
+        )
+    )
+    cr_top = cs.orderBy(F.col("cos").desc(), "doc_id").limit(RRF_LIST_K)
+    cr = cr_top.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(F.col("cos").desc(), "doc_id")).alias(
+            "cos_rank"
+        ),
+    )
+    fused = bm.join(cr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("bm25_rank").cast("bigint").alias("bm25_rank"),
+        F.col("cos_rank").cast("bigint").alias("cos_rank"),
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_OUT_K)
