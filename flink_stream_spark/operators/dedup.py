@@ -602,6 +602,16 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     fault-tolerant truncation instead. Convergence is detected by the
     strictly-decreasing label sum (min-propagation is monotone), one
     scalar per round — no full-frame comparison.
+
+    Each round ALSO applies pointer doubling (label <- label(label), a
+    self-join on the label key): plain neighbor-min needs DIAMETER
+    rounds, so a chain-shaped component — boilerplate docs forming a
+    path in the pair graph, a real web-corpus shape — would need as
+    many rounds as its length; with compression the label horizon
+    doubles per round, so convergence is O(log diameter) (the
+    path-halving half of classic parallel CC, cf. Shiloach-Vishkin).
+    Pinned by a planted 400-node chain test that must converge within
+    the fixed iteration budget.
     """
     bidir = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -619,13 +629,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_min"))
         )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: label <- label(label). label(u) is always a
+        # node of u's component with a label <= its own (min-propagation
+        # invariant), so the substitution stays inside the component and
+        # is monotone non-increasing — same fixpoint, O(log diameter)
+        # rounds instead of O(diameter).
+        via = stepped.select(
+            F.col("doc_id").alias("label"), F.col("label").alias("label2")
+        )
         labels = (
-            labels.join(nbr, "doc_id", "left")
+            stepped.join(via, "label", "left")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-                ).alias("label"),
+                F.coalesce(F.col("label2"), F.col("label")).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

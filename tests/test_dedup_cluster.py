@@ -78,3 +78,18 @@ def test_hot_shingle_blocking_stays_linear(spark):
     # common" shingle the blocking stage excluded
     ov = _exact_pair_overlap(cand, sh).collect()[0]
     assert ov["shared"] == 5
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 400-node path graph has diameter 399: plain neighbor-min would
+    need ~399 rounds, far past the max_iter budget — pointer doubling
+    must converge it within 25 rounds to the single min label."""
+    from flink_stream_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "doc_a long, doc_b long"
+    )
+    labels = connected_components(edges, max_iter=25)
+    got = {r["doc_id"]: r["label"] for r in labels.collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 401
