@@ -576,6 +576,13 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 # table and the point estimates are exactly reproducible. Counters are
 # plain sums -> partial aggregation map-side, and sketches from any
 # partitioning merge by cell-wise addition.
+#
+# Sizing is a USER ACCURACY PARAMETER, not a scale hazard: the sketch
+# state is D x W cells regardless of corpus size, and the estimate
+# error bound is n·e/W — at a larger corpus one sizes W to the
+# desired absolute error (W = e·n/err), which changes memory only
+# linearly in W and leaves every plan shape identical. The fixture
+# values are small so the oracle's exact twin stays cheap to verify.
 CMS_DEPTH = 4
 CMS_WIDTH = 64
 
