@@ -27,6 +27,7 @@ import flink_stream_spark.operators.text  # noqa: F401,E402
 import flink_stream_spark.operators.similarity  # noqa: F401,E402
 import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
 import flink_stream_spark.operators.quality  # noqa: F401,E402
+import flink_stream_spark.operators.multimodal  # noqa: F401,E402
 
 PROBES = [
     "dedup_exact_hash",
