@@ -28,6 +28,19 @@ TOP_K = 10
 N_PLANES = 12
 DIM = 64
 NLIST = 16  # IVF inverted lists (deterministic centroids: vec_id < NLIST)
+# NLIST is pinned (not corpus-derived like SEMDEDUP's K) because the
+# IVF family's cross-engine contract ranks by FLOAT cosine, and the
+# JVM-HOF dot product reproduces DuckDB's left-to-right accumulation
+# exactly — the property the oracle gate rests on. A fixed NLIST keeps
+# every stage linear (assignment n·NLIST, query scan n·NPROBE/NLIST):
+# selectivity degrades with corpus growth but nothing goes quadratic
+# or OOMs. The production contract is NLIST ∝ √n with the assignment
+# as an Arrow-batched matmul — the exact kernel this repo ships,
+# measures, and oracle-locks in dedup_semdedup_cluster (adaptive K,
+# exact int64 scores); porting it here requires moving the IVF rank
+# key from float cosine to an exact integer score, which changes the
+# oracle SQL of three queries and is deliberately left as one unit of
+# work rather than half-done.
 NPROBE = 2  # IVF lists probed per query
 IVF_K = 5
 
