@@ -27,22 +27,78 @@ N_QUERIES = 5  # query set: vec_id < 5
 TOP_K = 10
 N_PLANES = 12
 DIM = 64
-NLIST = 16  # IVF inverted lists (deterministic centroids: vec_id < NLIST)
-# NLIST is pinned (not corpus-derived like SEMDEDUP's K) because the
-# IVF family's cross-engine contract ranks by FLOAT cosine, and the
-# JVM-HOF dot product reproduces DuckDB's left-to-right accumulation
-# exactly — the property the oracle gate rests on. A fixed NLIST keeps
-# every stage linear (assignment n·NLIST, query scan n·NPROBE/NLIST):
-# selectivity degrades with corpus growth but nothing goes quadratic
-# or OOMs. The production contract is NLIST ∝ √n with the assignment
-# as an Arrow-batched matmul — the exact kernel this repo ships,
-# measures, and oracle-locks in dedup_semdedup_cluster (adaptive K,
-# exact int64 scores); porting it here requires moving the IVF rank
-# key from float cosine to an exact integer score, which changes the
-# oracle SQL of three queries and is deliberately left as one unit of
-# work rather than half-done.
+NLIST_MIN = 16  # floor on the IVF inverted-list count
+# NLIST is CORPUS-ADAPTIVE: max(16, floor(sqrt(n))) from one scalar
+# count — the standard IVF sizing, keeping per-list population ~√n so
+# a query's scan cost (NPROBE lists) grows ∝ √n, not ∝ n. Both
+# engines derive the same value (FLOOR(SQRT(COUNT(*))) — IEEE double
+# sqrt on both sides). The n×NLIST assignment runs as an Arrow-batched
+# numpy matmul that is BIT-IDENTICAL to the oracle's float arithmetic:
+# the scaled-integer embeddings make every dot product an exact
+# integer < 2^53 (products ≤ 1e12, 64-term sums ≤ 6.4e13), so the
+# matmul's summation order is irrelevant, and the final
+# divide-by-norms is the same single float64 op both engines perform.
 NPROBE = 2  # IVF lists probed per query
 IVF_K = 5
+
+
+def ivf_nlist(n_vecs: int) -> int:
+    import math
+
+    return max(NLIST_MIN, int(math.floor(math.sqrt(float(n_vecs)))))
+
+
+_NLC_DUCK = (
+    f"(SELECT GREATEST({NLIST_MIN}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) "
+    "FROM embeddings)"
+)
+
+
+def _ivf_assign(n_df: DataFrame, nlist: int) -> DataFrame:
+    """(vec_id, s, nrm) -> + (cent_id, probes): every vector's
+    argmax-cosine centroid and its NPROBE nearest centroid ids, via ONE
+    Arrow-batched numpy pass against the nlist collected centroid rows
+    (driver state ≤ √n rows — the SemDeDup-K pattern). Cosine values
+    are bit-identical to the JVM/DuckDB arithmetic (exact integer dots,
+    one float multiply + divide), and ties rank by ascending cent_id
+    (stable argsort over id-sorted centroids) — the same
+    (cos DESC, cent_id) rule as the oracle's ROW_NUMBER."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = sorted(
+        n_df.filter(F.col("vec_id") < nlist)
+        .select("vec_id", "s", "nrm")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype="int64")
+    C = np.array([r["s"] for r in cent_rows], dtype="float64")
+    cnrm = np.array([r["nrm"] for r in cent_rows], dtype="float64")
+
+    def assign(it):
+        for pdf in it:
+            X = np.stack(pdf["s"].to_numpy()).astype("float64")
+            nrm = pdf["nrm"].to_numpy()
+            cos = (X @ C.T) / (nrm[:, None] * cnrm[None, :])
+            order = np.argsort(-cos, axis=1, kind="stable")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "s": pdf["s"],
+                    "nrm": pdf["nrm"],
+                    "cent_id": cids[order[:, 0]],
+                    "probes": [
+                        [int(c) for c in cids[row[:NPROBE]]] for row in order
+                    ],
+                }
+            )
+
+    return n_df.mapInPandas(
+        assign,
+        "vec_id long, s array<double>, nrm double, cent_id long, "
+        "probes array<long>",
+    )
 
 
 @register(
@@ -139,7 +195,8 @@ _IVF_RANKED_DUCK = f"""
     WITH se AS (
       SELECT vec_id, {_SCALED_DUCK.format(c='embedding')} AS s FROM embeddings),
     n AS (SELECT vec_id, s, sqrt(list_dot_product(s, s)) AS nrm FROM se),
-    cent AS (SELECT vec_id AS cent_id, s AS cs, nrm AS cnrm FROM n WHERE vec_id < {NLIST}),
+    cent AS (SELECT vec_id AS cent_id, s AS cs, nrm AS cnrm FROM n
+             WHERE vec_id < {_NLC_DUCK}),
     ass AS (
       SELECT vec_id, cent_id,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -174,12 +231,18 @@ _IVF_RANKED_DUCK = f"""
     ORDER BY query_id, rank
     """,
     group="similarity",
-    doc=f"IVF ANN: {NLIST} deterministic centroids, every vector "
-    f"assigned to its argmax-cosine list (one broadcast pass over the "
-    f"corpus), queries probe their {NPROBE} nearest lists, candidates "
-    f"re-ranked by exact cosine. At scale the corpus shuffles once on "
-    f"cent_id and each query touches NPROBE/NLIST of the data — the "
-    f"partition-pruned ANN path, vs the LSH variant's bit-bucket join.",
+    doc=f"IVF ANN with CORPUS-ADAPTIVE list count: "
+    f"NLIST = max({NLIST_MIN}, floor(sqrt(n))) from one scalar count "
+    "(both engines derive the same value), every vector assigned to "
+    "its argmax-cosine list by an Arrow-batched numpy pass whose "
+    "cosines are bit-identical to the oracle's float arithmetic "
+    "(exact-integer dots < 2^53, order-independent), queries probe "
+    f"their {NPROBE} nearest lists, candidates re-ranked by exact "
+    "cosine. At scale the corpus shuffles once on cent_id, per-list "
+    "population is ~sqrt(n), and each query touches NPROBE*sqrt(n) "
+    "rows — the partition-pruned ANN path, vs the LSH variant's "
+    "bit-bucket join. Driver state is the NLIST centroid rows (<= "
+    "sqrt(n) — the SemDeDup-K pattern).",
 )
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -189,31 +252,18 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
         .withColumn("nrm", F.sqrt(_sdot(F.col("s"), F.col("s"))))
     )
-    cent = n.filter(F.col("vec_id") < NLIST).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("s").alias("cs"),
-        F.col("nrm").alias("cnrm"),
-    )
-    # one broadcast pass: every vector scored against all NLIST centroids
-    ass = (
-        n.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(
-                    (_sdot(F.col("s"), F.col("cs")) / (F.col("nrm") * F.col("cnrm"))).desc(),
-                    "cent_id",
-                )
-            ),
+    # corpus-adaptive list count + Arrow-batched numpy assignment
+    # (bit-identical cosines — see _ivf_assign)
+    asg = _ivf_assign(n, ivf_nlist(e.count()))
+    assign = asg.select("vec_id", "cent_id", "s", "nrm")
+    probes = (
+        asg.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode("probes").alias("p_cent"),
+            F.col("s").alias("qs"),
+            F.col("nrm").alias("qnrm"),
         )
-        .select("vec_id", "cent_id", "rn", "s", "nrm")
-    )
-    assign = ass.filter(F.col("rn") == 1).select("vec_id", "cent_id", "s", "nrm")
-    probes = ass.filter((F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE)).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("cent_id").alias("p_cent"),
-        F.col("s").alias("qs"),
-        F.col("nrm").alias("qnrm"),
     )
     scored = (
         assign.join(
@@ -272,7 +322,8 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     group="similarity",
     doc=f"ANN index-quality evaluation: recall@{IVF_K} of the IVF "
-    f"(nprobe={NPROBE}/{NLIST}) result against the exact top-{IVF_K} "
+    f"(nprobe={NPROBE} of the sqrt(n)-adaptive lists) result against "
+    f"the exact top-{IVF_K} "
     "— the measurement loop that tunes nlist/nprobe before committing "
     "a 100 TB index build. The exact side broadcasts only the query "
     "vectors over one corpus scan; both sides use the ×1e6 scaled-"
@@ -814,7 +865,8 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PQ_BASE_DUCK
     + f"""
     , n AS (SELECT vec_id, s, sqrt(list_dot_product(s, s)) AS nrm FROM se),
-    cent AS (SELECT vec_id AS cent_id, s AS cs, nrm AS cnrm FROM n WHERE vec_id < {NLIST}),
+    cent AS (SELECT vec_id AS cent_id, s AS cs, nrm AS cnrm FROM n
+             WHERE vec_id < {_NLC_DUCK}),
     ass AS (
       SELECT vec_id, cent_id,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -845,8 +897,9 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY query_id, rank
     """,
     group="similarity",
-    doc=f"IVF+PQ — the production ANN shape: IVF prunes the corpus to "
-    f"each query's {NPROBE}/{NLIST} nearest inverted lists, then PQ "
+    doc=f"IVF+PQ — the production ANN shape: IVF (sqrt(n)-adaptive "
+    f"list count) prunes the corpus to each query's {NPROBE} nearest "
+    "inverted lists, then PQ "
     f"ADC ranks ONLY those candidates from their {PQ_M} codes (raw "
     f"vectors never re-read at query time). At 100 TB: corpus "
     f"partitioned by list, each query reads NPROBE partitions of "
@@ -861,28 +914,15 @@ def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
         .withColumn("nrm", F.sqrt(_sdot(F.col("s"), F.col("s"))))
     )
-    cent = n.filter(F.col("vec_id") < NLIST).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("s").alias("cs"),
-        F.col("nrm").alias("cnrm"),
-    )
-    ass = (
-        n.crossJoin(F.broadcast(cent))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("vec_id").orderBy(
-                    (_sdot(F.col("s"), F.col("cs")) / (F.col("nrm") * F.col("cnrm"))).desc(),
-                    "cent_id",
-                )
-            ),
+    asg = _ivf_assign(n, ivf_nlist(e.count()))
+    assign = asg.select("vec_id", "cent_id")
+    probes = (
+        asg.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode("probes").alias("p_cent"),
         )
-        .select("vec_id", "cent_id", "rn")
     )
-    assign = ass.filter(F.col("rn") == 1).select("vec_id", "cent_id")
-    probes = ass.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= NPROBE)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("p_cent"))
 
     dists = _pq_dists(spark, sf_dir)
     codes = dists.groupBy("vec_id", "m").agg(

@@ -221,6 +221,13 @@ _PYTHON_EVAL_OK = {
     "embedding_covariance_exact",
     "embedding_pca_project",
     "dedup_semdedup_cluster",
+    # IVF assignment is an Arrow-batched numpy matmul against the
+    # sqrt(n)-adaptive centroid set (bit-identical exact-integer
+    # cosines) — the interpreted-HOF n x NLIST pass measured 200x
+    # slower at scale (PLANS.md, SemDeDup arc)
+    "simsearch_ivf_topk",
+    "simsearch_recall_at_k",
+    "simsearch_ivfpq_topk",
 }
 
 _PYTHON_NODES = (
