@@ -25,7 +25,16 @@ from flink_stream_spark.operators.registry import register
 
 N_QUERIES = 5  # query set: vec_id < 5
 TOP_K = 10
-N_PLANES = 12
+N_PLANES = 12  # hyperplane signature bits -> 2^12 = 4096 buckets.
+# Production sizing is P = max(12, ceil(log2(n / TARGET_BUCKET))) so
+# expected bucket population stays ~TARGET_BUCKET as the corpus grows
+# — the same one-scalar-count derivation implemented (and 5-scale
+# oracle-proven) for SEMDEDUP's K, the dHash band tiers, and IVF's
+# NLIST. It stays a constant HERE because the adaptive value equals 12
+# at every scale this repo can generate data for (it first exceeds 12
+# past 2^18 vectors), so an adaptive branch would be dead, untestable
+# code; the derivation threads through identically to ivf_nlist when
+# a deployment crosses that size.
 DIM = 64
 NLIST_MIN = 16  # floor on the IVF inverted-list count
 # NLIST is CORPUS-ADAPTIVE: max(16, floor(sqrt(n))) from one scalar
