@@ -432,14 +432,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- image near-duplicate dedup (difference hash) -------------------------
 #
 # dHash (difference hash, the standard perceptual near-dup fingerprint:
-# resample the image to a (rows+1)-wide grid of grayscale samples, emit
-# one bit per adjacent-sample comparison). Real pixel decode needs a
-# codec library this sandbox cannot install, so the "grayscale resample"
-# is the SAME deterministic fallback the other multimodal stages use —
-# 72 bytes sampled evenly from the payload (positions i*n//72), an 8x9
-# grid, bit = sample[r][c] < sample[r][c+1]. With Pillow installed the
-# sampling swaps for a real grayscale resize; grid shape, banding, and
-# pair verification are identical.
+# resample the image to a (rows, cols+1) grid of grayscale samples, emit
+# one bit per adjacent-sample comparison). The grayscale resample ladder
+# is best-real-first, like decode_meta's: REAL PNG pixel decode via the
+# stdlib-zlib codec in operators/png.py (inflate + the 5 unfilters +
+# palette/luma — no external library) → integer block-mean downsample
+# to the 8x9 grid; payloads that are not decodable PNGs fall back to
+# the deterministic byte resample (72 bytes at positions i*n//72). The
+# fixture corpus's payloads are UTF-8 text — never PNGs — so the
+# oracled query stays on the fallback and its history is unchanged,
+# while real PNG near-dups (re-encodes, one-pixel edits) now hash by
+# CONTENT: a re-encode rewrites nearly every container byte but decodes
+# to identical pixels, so its pixel-domain dHash distance is 0 where
+# the byte-domain distance was ~32 (random). Grid shape, banding, and
+# pair verification are identical on both branches.
 DHASH_ROWS = 8  # 8 rows x 8 bits = 64-bit hash, stored as 8 byte-bands
 DHASH_HAMMING_MAX = 16  # pair-verify threshold over the full 64 bits
 DHASH_BAND_CAP = 128  # hot-band guard: a (band_idx, value) bucket with
@@ -473,21 +479,34 @@ DHASH_SCHEMA = "doc_id bigint, bands array<int>"
 def dhash_bands(media: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> (doc_id, bands array<int> of 8
     byte-values) — the 64-bit dHash split into its 8 row-bands, the
-    unit the Hamming-LSH blocking groups on. Arrow-batched mapInPandas,
-    narrow (no shuffle): a 100 TB corpus hashes embarrassingly
-    parallel."""
+    unit the Hamming-LSH blocking groups on. PNG payloads are decoded
+    to PIXELS (stdlib codec, operators/png.py) and block-mean
+    downsampled; everything else uses the deterministic byte resample.
+    Arrow-batched mapInPandas, narrow (no shuffle): a 100 TB corpus
+    hashes embarrassingly parallel."""
     import numpy as np
+
+    from flink_stream_spark.operators.png import decode_png_gray, gray_grid
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = 1 << np.arange(DHASH_ROWS)
 
         def one(b: bytes) -> list[int]:
-            arr = np.frombuffer(bytes(b), dtype=np.uint8)
-            n = len(arr)
-            if n == 0:
-                return [0] * DHASH_ROWS
-            idx = (np.arange(DHASH_ROWS * 9, dtype=np.int64) * n) // (DHASH_ROWS * 9)
-            px = arr[idx].reshape(DHASH_ROWS, 9).astype(np.int16)
+            b = bytes(b)
+            px = None
+            if b[:8] == b"\x89PNG\r\n\x1a\n":
+                gray = decode_png_gray(b)
+                if gray is not None:
+                    px = gray_grid(gray, DHASH_ROWS, 9)
+            if px is None:
+                arr = np.frombuffer(b, dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    return [0] * DHASH_ROWS
+                idx = (np.arange(DHASH_ROWS * 9, dtype=np.int64) * n) // (
+                    DHASH_ROWS * 9
+                )
+                px = arr[idx].reshape(DHASH_ROWS, 9).astype(np.int16)
             bits = px[:, :-1] < px[:, 1:]
             return [int(v) for v in (bits * weights).sum(axis=1)]
 
@@ -497,6 +516,75 @@ def dhash_bands(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
+
+
+def dhash_near_dup_pairs(media: DataFrame, n_docs: "int | None" = None) -> DataFrame:
+    """Full image near-dup pipeline over (doc_id, payload binary):
+    dHash → corpus-adaptive Hamming-LSH banding → hot-band cap → exact
+    Hamming verify. Returns (doc_a, doc_b, hamming), ordered. Shared by
+    the registered batch query and the PNG/streaming scenario tests so
+    every caller exercises the identical plan."""
+    # persist: the hash frame feeds three subtrees (band explode + the
+    # two verify joins) and Spark re-evaluates unpersisted subplans per
+    # reference — without this the Arrow-batched Python stage runs 3x.
+    # Keeping the PAIR side skinny (doc ids only) and joining the 8-int
+    # arrays back per side is the measured-faster shape: the distinct
+    # dedupes 16-byte rows and the array joins broadcast/AQE-plan,
+    # whereas carrying both arrays through the candidate exchange
+    # measured ~2x slower at sf0.1.
+    bands = dhash_bands(media).persist()
+    # adaptive band width from ONE scalar count (see dhash_num_bands);
+    # wider bands are algebraic merges of adjacent byte-bands, so the
+    # hash stage and the Hamming verify are tier-independent
+    nb = dhash_num_bands(media.count() if n_docs is None else n_docs)
+    g = DHASH_ROWS // nb
+    band_vals = F.array(
+        *[
+            sum(
+                F.col("bands")[g * r + t].cast("bigint") * F.lit(256**t)
+                for t in range(g)
+            )
+            for r in range(nb)
+        ]
+    )
+    e = bands.select(
+        "doc_id", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    hot_ok = (
+        e.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= DHASH_BAND_CAP)
+        .select("band_idx", "band_val")
+    )
+    eb = e.join(hot_ok, ["band_idx", "band_val"])
+    cand = (
+        eb.alias("ea")
+        .join(
+            eb.alias("eb"),
+            (F.col("ea.band_idx") == F.col("eb.band_idx"))
+            & (F.col("ea.band_val") == F.col("eb.band_val"))
+            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
+        )
+        .select(
+            F.col("ea.doc_id").alias("doc_a"), F.col("eb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ba = bands.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
+    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
+    # exact Hamming over the full 64 bits: 8 codegen'd
+    # bit_count(xor) terms — no HOF, no Python, verify stays JVM-side
+    ham = None
+    for i in range(DHASH_ROWS):
+        term = F.bit_count(F.col("ba")[i].bitwiseXOR(F.col("bb")[i]))
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(ba, "doc_a")
+        .join(bb, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= DHASH_HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
 
 
 @register(
@@ -557,8 +645,10 @@ def dhash_bands(media: DataFrame) -> DataFrame:
     """,
     group="multimodal",
     doc="Image near-dup dedup: 64-bit dHash per payload (Arrow-batched; "
-    "pixel decode stubbed by the deterministic byte resample, the swap "
-    "point for a real codec), Hamming-LSH blocking on CORPUS-ADAPTIVE "
+    "PNG payloads decode to REAL pixels via the stdlib-zlib codec in "
+    "operators/png.py and block-mean downsample to the 8x9 grid — "
+    "non-PNG payloads, including this fixture's text bytes, use the "
+    "deterministic byte resample), Hamming-LSH blocking on CORPUS-ADAPTIVE "
     "bands — 8x8-bit / 4x16-bit / 2x32-bit chosen from one scalar "
     "COUNT(*) so expected bucket population stays bounded (~n/2^width) "
     "as the corpus grows; the oracle derives the same tier. A pair is "
@@ -574,64 +664,83 @@ def dhash_bands(media: DataFrame) -> DataFrame:
 def multimodal_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    # persist: the hash frame feeds three subtrees (band explode + the
-    # two verify joins) and Spark re-evaluates unpersisted subplans per
-    # reference — without this the Arrow-batched Python stage runs 3x.
-    # Keeping the PAIR side skinny (doc ids only) and joining the 8-int
-    # arrays back per side is the measured-faster shape: the distinct
-    # dedupes 16-byte rows and the array joins broadcast/AQE-plan,
-    # whereas carrying both arrays through the candidate exchange
-    # measured ~2x slower at sf0.1.
-    bands = dhash_bands(media).persist()
-    # adaptive band width from ONE scalar count (see dhash_num_bands);
-    # wider bands are algebraic merges of adjacent byte-bands, so the
-    # hash stage and the Hamming verify are tier-independent
-    nb = dhash_num_bands(media.count())
-    g = DHASH_ROWS // nb
-    band_vals = F.array(
-        *[
-            sum(
-                F.col("bands")[g * r + t].cast("bigint") * F.lit(256**t)
-                for t in range(g)
-            )
-            for r in range(nb)
-        ]
-    )
-    e = bands.select(
-        "doc_id", F.posexplode(band_vals).alias("band_idx", "band_val")
-    )
-    hot_ok = (
-        e.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= DHASH_BAND_CAP)
-        .select("band_idx", "band_val")
-    )
-    eb = e.join(hot_ok, ["band_idx", "band_val"])
-    cand = (
-        eb.alias("ea")
-        .join(
-            eb.alias("eb"),
-            (F.col("ea.band_idx") == F.col("eb.band_idx"))
-            & (F.col("ea.band_val") == F.col("eb.band_val"))
-            & (F.col("ea.doc_id") < F.col("eb.doc_id")),
-        )
-        .select(
-            F.col("ea.doc_id").alias("doc_a"), F.col("eb.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    ba = bands.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
-    bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
-    # exact Hamming over the full 64 bits: 8 codegen'd
-    # bit_count(xor) terms — no HOF, no Python, verify stays JVM-side
-    ham = None
-    for i in range(DHASH_ROWS):
-        term = F.bit_count(F.col("ba")[i].bitwiseXOR(F.col("bb")[i]))
-        ham = term if ham is None else ham + term
-    return (
-        cand.join(ba, "doc_a")
-        .join(bb, "doc_b")
-        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
-        .filter(F.col("hamming") <= DHASH_HAMMING_MAX)
-        .orderBy("doc_a", "doc_b")
-    )
+    return dhash_near_dup_pairs(media)
+
+
+# --- PNG round-trip: the pixel decoder under the DuckDB oracle ------------
+#
+# The PNG decoder (operators/png.py) cannot be expressed in SQL — but
+# its CORRECTNESS can still be driver-oracled end-to-end: synthesize a
+# deterministic 16x18 grayscale image from each document's text bytes
+# (pixel[y][x] = byte[(y*18+x) mod n]), ENCODE it as a real PNG with
+# the scanline filter cycling through all five types (doc_id % 5) and
+# zlib-compressed IDAT, then run the encoded container through the
+# SAME dhash_bands stage the dedup query uses — which must detect the
+# PNG magic, inflate, unfilter, and block-mean downsample back to the
+# 8x9 grid. The oracle computes the grid STRAIGHT from the text bytes
+# (2x2 integer block means), never seeing a PNG: the hashes can only
+# match if inflate+unfilter reproduced every pixel exactly, for every
+# filter type. This is the strongest evidence the sandbox can produce
+# that the codec is real, at every fixture scale, on every document.
+PNGRT_H, PNGRT_W = 16, 18  # 2x the 8x9 hash grid -> 2x2 block means
+
+
+@register(
+    "multimodal_png_roundtrip_dhash",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
+          i -> CASE WHEN n = 0 THEN 0 ELSE (
+                 ord(substr(text, ((i // 9) * 2 * {PNGRT_W} + (i % 9) * 2) % n + 1, 1))
+               + ord(substr(text, ((i // 9) * 2 * {PNGRT_W} + (i % 9) * 2 + 1) % n + 1, 1))
+               + ord(substr(text, (((i // 9) * 2 + 1) * {PNGRT_W} + (i % 9) * 2) % n + 1, 1))
+               + ord(substr(text, (((i // 9) * 2 + 1) * {PNGRT_W} + (i % 9) * 2 + 1) % n + 1, 1))
+               ) // 4 END) AS px
+      FROM p),
+    b AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS - 1}),
+          r -> CAST(list_aggregate(list_transform(generate_series(0, 7),
+                 c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
+                      THEN 1 << c ELSE 0 END), 'sum') AS INTEGER)) AS bands
+      FROM s)
+    SELECT doc_id, bands FROM b ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="PNG codec round-trip under the oracle: text bytes → 16x18 "
+    "grayscale pixels → REAL PNG encode (scanline filter = doc_id % 5, "
+    "all five types exercised; zlib IDAT) → stdlib decode (inflate + "
+    "unfilter, operators/png.py) → 2x2 block-mean grid → dHash bands. "
+    "The oracle derives the grid directly from the text, so a hash "
+    "match proves the decoder reproduced every pixel for every filter "
+    "type. Both mapInPandas stages are narrow (no shuffle) — at scale "
+    "this is the embarrassingly-parallel decode posture of the dedup "
+    "query itself.",
+)
+def multimodal_png_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.png import encode_png
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(PNGRT_H * PNGRT_W, dtype=np.int64)
+        for pdf in batches:
+            pngs = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                pix = (
+                    np.zeros((PNGRT_H, PNGRT_W), dtype=np.uint8)
+                    if n == 0
+                    else arr[idx % n].reshape(PNGRT_H, PNGRT_W)
+                )
+                pngs.append(encode_png(pix, filter_type=int(doc_id) % 5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": pngs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return dhash_bands(media).orderBy("doc_id")

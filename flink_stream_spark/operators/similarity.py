@@ -25,16 +25,20 @@ from flink_stream_spark.operators.registry import register
 
 N_QUERIES = 5  # query set: vec_id < 5
 TOP_K = 10
-N_PLANES = 12  # hyperplane signature bits -> 2^12 = 4096 buckets.
-# Production sizing is P = max(12, ceil(log2(n / TARGET_BUCKET))) so
-# expected bucket population stays ~TARGET_BUCKET as the corpus grows
-# — the same one-scalar-count derivation implemented (and 5-scale
-# oracle-proven) for SEMDEDUP's K, the dHash band tiers, and IVF's
-# NLIST. It stays a constant HERE because the adaptive value equals 12
-# at every scale this repo can generate data for (it first exceeds 12
-# past 2^18 vectors), so an adaptive branch would be dead, untestable
-# code; the derivation threads through identically to ivf_nlist when
-# a deployment crosses that size.
+N_PLANES_MIN = 12  # floor on hyperplane signature bits (2^12 buckets)
+LSH_TARGET_BUCKET = 64  # expected bucket population the plane count holds
+# The plane count is CORPUS-ADAPTIVE: P = max(12, ceil(log2(n / 64)))
+# keeps the expected bucket population ~LSH_TARGET_BUCKET as the
+# corpus grows (same-bucket pair work stays Σ bucket² with bounded
+# buckets, never n²) — the same one-scalar-count derivation as
+# SemDeDup's K, the dHash band tiers, and IVF's NLIST/NPROBE. Both
+# engines compute it from COUNT(*): n/64.0 is exact (power-of-two
+# divisor), and ceil(log2(x)) boundaries occur only at exact powers
+# of two where IEEE log2 is exact, so there is no float-divergence
+# window. The adaptive branch first exceeds 12 past 2^18 vectors —
+# below that (every fixture scale) it returns exactly the historical
+# 12, so driver history is unchanged; the unit test exercises the
+# boundary directly.
 DIM = 64
 NLIST_MIN = 16  # floor on the IVF inverted-list count
 # NLIST is CORPUS-ADAPTIVE: max(16, floor(sqrt(n))) from one scalar
@@ -47,7 +51,18 @@ NLIST_MIN = 16  # floor on the IVF inverted-list count
 # integer < 2^53 (products ≤ 1e12, 64-term sums ≤ 6.4e13), so the
 # matmul's summation order is irrelevant, and the final
 # divide-by-norms is the same single float64 op both engines perform.
-NPROBE = 2  # IVF lists probed per query
+NPROBE_MIN = 2  # floor on IVF lists probed per query
+# NPROBE is CORPUS-ADAPTIVE alongside NLIST: with NLIST = √n growing
+# and a fixed probe count, recall@k can only fall as the corpus grows
+# (each probe covers a shrinking 1/NLIST fraction). The policy is
+# NPROBE = max(2, ceil(sqrt(NLIST) / 4)) — probes grow as n^(1/4), so
+# per-query scanned rows are NPROBE·(n/NLIST) ∝ n^(3/4): still deeply
+# sublinear, while the probed FRACTION decays as n^(-1/4) instead of
+# n^(-1/2), which is what keeps the measured recall curve flat-ish
+# across scales (recorded in PLANS.md: recall probe at sf0.1/1/3).
+# Both engines derive the value from the same COUNT(*): sqrt is exact
+# IEEE on both sides, /4 is exact, and ceil boundaries only occur at
+# perfect squares where sqrt is exact — no float-divergence window.
 IVF_K = 5
 
 
@@ -57,30 +72,61 @@ def ivf_nlist(n_vecs: int) -> int:
     return max(NLIST_MIN, int(math.floor(math.sqrt(float(n_vecs)))))
 
 
+def ivf_nprobe(nlist: int) -> int:
+    import math
+
+    return max(NPROBE_MIN, int(math.ceil(math.sqrt(float(nlist)) / 4.0)))
+
+
+def lsh_num_planes(n_vecs: int) -> int:
+    import math
+
+    if n_vecs <= LSH_TARGET_BUCKET:
+        return N_PLANES_MIN
+    return max(
+        N_PLANES_MIN, int(math.ceil(math.log2(n_vecs / float(LSH_TARGET_BUCKET))))
+    )
+
+
+_NPLANES_DUCK = (
+    f"(SELECT GREATEST({N_PLANES_MIN}, CAST(CEIL(LOG2(COUNT(*) / "
+    f"{LSH_TARGET_BUCKET}.0)) AS BIGINT)) FROM embeddings)"
+)
+
+
 _NLC_DUCK = (
     f"(SELECT GREATEST({NLIST_MIN}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) "
     "FROM embeddings)"
 )
 
+_NPROBE_DUCK = (
+    f"GREATEST({NPROBE_MIN}, "
+    f"CAST(CEIL(SQRT(CAST({_NLC_DUCK} AS DOUBLE)) / 4) AS BIGINT))"
+)
 
-def _ivf_assign(n_df: DataFrame, nlist: int) -> DataFrame:
-    """(vec_id, s, nrm) -> + (cent_id, probes): every vector's
-    argmax-cosine centroid and its NPROBE nearest centroid ids, via ONE
-    Arrow-batched numpy pass against the nlist collected centroid rows
-    (driver state ≤ √n rows — the SemDeDup-K pattern). Cosine values
-    are bit-identical to the JVM/DuckDB arithmetic (exact integer dots,
-    one float multiply + divide), and ties rank by ascending cent_id
-    (stable argsort over id-sorted centroids) — the same
-    (cos DESC, cent_id) rule as the oracle's ROW_NUMBER."""
+
+def _ivf_centroids(n_df: DataFrame, nlist: int) -> list:
+    """Collect the nlist centroid rows (vec_id < nlist), id-sorted.
+    Driver state ≤ √n rows — the SemDeDup-K pattern. Shared by the
+    assignment pass and the driver-side query-probe derivation so the
+    corpus subplan is evaluated ONCE for centroid state."""
+    return sorted(
+        n_df.filter(F.col("vec_id") < nlist).select("vec_id", "s", "nrm").collect(),
+        key=lambda r: r["vec_id"],
+    )
+
+
+def _ivf_assign(n_df: DataFrame, cent_rows: list) -> DataFrame:
+    """(vec_id, s, nrm) -> + cent_id: every vector's argmax-cosine
+    centroid via ONE Arrow-batched numpy pass against the collected
+    centroid rows. Cosine values are bit-identical to the JVM/DuckDB
+    arithmetic (exact integer dots, one float multiply + divide), and
+    ties rank by ascending cent_id (stable argsort over id-sorted
+    centroids) — the same (cos DESC, cent_id) rule as the oracle's
+    ROW_NUMBER."""
     import numpy as np
     import pandas as pd
 
-    cent_rows = sorted(
-        n_df.filter(F.col("vec_id") < nlist)
-        .select("vec_id", "s", "nrm")
-        .collect(),
-        key=lambda r: r["vec_id"],
-    )
     cids = np.array([r["vec_id"] for r in cent_rows], dtype="int64")
     C = np.array([r["s"] for r in cent_rows], dtype="float64")
     cnrm = np.array([r["nrm"] for r in cent_rows], dtype="float64")
@@ -97,16 +143,42 @@ def _ivf_assign(n_df: DataFrame, nlist: int) -> DataFrame:
                     "s": pdf["s"],
                     "nrm": pdf["nrm"],
                     "cent_id": cids[order[:, 0]],
-                    "probes": [
-                        [int(c) for c in cids[row[:NPROBE]]] for row in order
-                    ],
                 }
             )
 
     return n_df.mapInPandas(
-        assign,
-        "vec_id long, s array<double>, nrm double, cent_id long, "
-        "probes array<long>",
+        assign, "vec_id long, s array<double>, nrm double, cent_id long"
+    )
+
+
+def _ivf_query_probes(spark: SparkSession, cent_rows: list, nprobe: int) -> DataFrame:
+    """The query vectors' nprobe nearest centroids, computed ON THE
+    DRIVER from the already-collected centroid rows (the query set
+    vec_id < N_QUERIES is a subset of the centroids since NLIST ≥ 16 >
+    N_QUERIES), exploded to (query_id, p_cent, qs, qnrm) rows for the
+    broadcast probe join. This removes the second full corpus Python
+    pass the previous shape paid: an unpersisted mapInPandas subplan
+    re-evaluates per reference, and probes used to be the second
+    reference. Same exact-integer cosine + stable-argsort tie rule as
+    _ivf_assign, so the probe sets are unchanged."""
+    import numpy as np
+
+    cids = np.array([r["vec_id"] for r in cent_rows], dtype="int64")
+    C = np.array([r["s"] for r in cent_rows], dtype="float64")
+    cnrm = np.array([r["nrm"] for r in cent_rows], dtype="float64")
+    rows = []
+    for r in cent_rows:
+        if r["vec_id"] >= N_QUERIES:
+            continue
+        q = np.array(r["s"], dtype="float64")
+        cos = (C @ q) / (r["nrm"] * cnrm)
+        order = np.argsort(-cos, kind="stable")
+        for p in cids[order[:nprobe]]:
+            rows.append(
+                (int(r["vec_id"]), int(p), [float(x) for x in r["s"]], float(r["nrm"]))
+            )
+    return spark.createDataFrame(
+        rows, "query_id long, p_cent long, qs array<double>, qnrm double"
     )
 
 
@@ -214,7 +286,7 @@ _IVF_RANKED_DUCK = f"""
       FROM n CROSS JOIN cent),
     assign AS (SELECT vec_id, cent_id FROM ass WHERE rn = 1),
     probes AS (SELECT vec_id AS query_id, cent_id FROM ass
-               WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}),
+               WHERE vec_id < {N_QUERIES} AND rn <= {_NPROBE_DUCK}),
     scored AS (
       SELECT p.query_id, a.vec_id AS match_id,
              list_dot_product(q.s, m.s) / (q.nrm * m.nrm) AS cos
@@ -246,12 +318,15 @@ _IVF_RANKED_DUCK = f"""
     "its argmax-cosine list by an Arrow-batched numpy pass whose "
     "cosines are bit-identical to the oracle's float arithmetic "
     "(exact-integer dots < 2^53, order-independent), queries probe "
-    f"their {NPROBE} nearest lists, candidates re-ranked by exact "
+    "their NPROBE = max(2, ceil(sqrt(NLIST)/4)) nearest lists "
+    "(adaptive too — see NPROBE_MIN), candidates re-ranked by exact "
     "cosine. At scale the corpus shuffles once on cent_id, per-list "
     "population is ~sqrt(n), and each query touches NPROBE*sqrt(n) "
-    "rows — the partition-pruned ANN path, vs the LSH variant's "
-    "bit-bucket join. Driver state is the NLIST centroid rows (<= "
-    "sqrt(n) — the SemDeDup-K pattern).",
+    "~ n^(3/4) rows — the partition-pruned ANN path, vs the LSH "
+    "variant's bit-bucket join. Driver state is the NLIST centroid "
+    "rows (<= sqrt(n) — the SemDeDup-K pattern); query probes derive "
+    "on the driver from those same rows, so the corpus runs through "
+    "Python exactly ONCE.",
 )
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -262,18 +337,12 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("nrm", F.sqrt(_sdot(F.col("s"), F.col("s"))))
     )
     # corpus-adaptive list count + Arrow-batched numpy assignment
-    # (bit-identical cosines — see _ivf_assign)
-    asg = _ivf_assign(n, ivf_nlist(e.count()))
-    assign = asg.select("vec_id", "cent_id", "s", "nrm")
-    probes = (
-        asg.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode("probes").alias("p_cent"),
-            F.col("s").alias("qs"),
-            F.col("nrm").alias("qnrm"),
-        )
-    )
+    # (bit-identical cosines — see _ivf_assign); probes derived
+    # driver-side from the same collected centroids (no 2nd pass)
+    nlist = ivf_nlist(e.count())
+    cent_rows = _ivf_centroids(n, nlist)
+    assign = _ivf_assign(n, cent_rows)
+    probes = _ivf_query_probes(spark, cent_rows, ivf_nprobe(nlist))
     scored = (
         assign.join(
             F.broadcast(probes),
@@ -331,7 +400,7 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     group="similarity",
     doc=f"ANN index-quality evaluation: recall@{IVF_K} of the IVF "
-    f"(nprobe={NPROBE} of the sqrt(n)-adaptive lists) result against "
+    "(adaptive nprobe of the sqrt(n)-adaptive lists) result against "
     f"the exact top-{IVF_K} "
     "— the measurement loop that tunes nlist/nprobe before committing "
     "a 100 TB index build. The exact side broadcasts only the query "
@@ -399,16 +468,22 @@ _PLANE_DUCK = (
 )
 
 
-def lsh_bucket(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
-    """(id, bucket): sign-bit signature over N_PLANES fixed hyperplanes.
+def lsh_bucket(
+    vectors: DataFrame, id_col: str = "vec_id", n_planes: "int | None" = None
+) -> DataFrame:
+    """(id, bucket): sign-bit signature over fixed md5-derived
+    hyperplanes; the plane count is corpus-adaptive (``lsh_num_planes``
+    from one scalar count) unless pinned by the caller.
 
     The projection is an exact integer dot product (embedding values
     scaled ×1e6 and truncated) so bucket assignment is bit-identical
     across engines — no float threshold flakiness at the sign boundary.
     """
     spark = vectors.sparkSession
+    if n_planes is None:
+        n_planes = lsh_num_planes(vectors.count())
     planes = (
-        spark.range(0, N_PLANES)
+        spark.range(0, n_planes)
         .select(F.col("id").alias("j"))
         .crossJoin(spark.range(0, DIM).select(F.col("id").alias("d")))
         .select("j", "d", _plane_component_spark(F.col("j"), F.col("d")).alias("w"))
@@ -438,7 +513,7 @@ def lsh_bucket(vectors: DataFrame, id_col: str = "vec_id") -> DataFrame:
     f"""
     WITH planes AS (
       SELECT j, d, {_PLANE_DUCK} AS w
-      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
+      FROM (SELECT unnest(generate_series(0, {_NPLANES_DUCK} - 1)) AS j)
       CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS d)),
     comp AS (
       SELECT vec_id, u.d,
@@ -471,7 +546,7 @@ def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH planes AS (
       SELECT j, d, {_PLANE_DUCK} AS w
-      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS j)
+      FROM (SELECT unnest(generate_series(0, {_NPLANES_DUCK} - 1)) AS j)
       CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS d)),
     comp AS (
       SELECT vec_id, u.d,
@@ -884,7 +959,7 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM n CROSS JOIN cent),
     assign AS (SELECT vec_id, cent_id FROM ass WHERE rn = 1),
     probes AS (SELECT vec_id AS query_id, cent_id FROM ass
-               WHERE vec_id < {N_QUERIES} AND rn <= {NPROBE}),
+               WHERE vec_id < {N_QUERIES} AND rn <= {_NPROBE_DUCK}),
     qd AS (
       SELECT d.vec_id AS query_id, d.m, d.code, d.d
       FROM dists d WHERE d.vec_id < {N_QUERIES}),
@@ -907,7 +982,7 @@ def simsearch_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     group="similarity",
     doc=f"IVF+PQ — the production ANN shape: IVF (sqrt(n)-adaptive "
-    f"list count) prunes the corpus to each query's {NPROBE} nearest "
+    "list count) prunes the corpus to each query's adaptive-NPROBE "
     "inverted lists, then PQ "
     f"ADC ranks ONLY those candidates from their {PQ_M} codes (raw "
     f"vectors never re-read at query time). At 100 TB: corpus "
@@ -923,14 +998,11 @@ def simsearch_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _scaled_expr(F.col("embedding")).alias("s"))
         .withColumn("nrm", F.sqrt(_sdot(F.col("s"), F.col("s"))))
     )
-    asg = _ivf_assign(n, ivf_nlist(e.count()))
-    assign = asg.select("vec_id", "cent_id")
-    probes = (
-        asg.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode("probes").alias("p_cent"),
-        )
+    nlist = ivf_nlist(e.count())
+    cent_rows = _ivf_centroids(n, nlist)
+    assign = _ivf_assign(n, cent_rows).select("vec_id", "cent_id")
+    probes = _ivf_query_probes(spark, cent_rows, ivf_nprobe(nlist)).select(
+        "query_id", "p_cent"
     )
 
     dists = _pq_dists(spark, sf_dir)

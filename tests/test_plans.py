@@ -214,6 +214,9 @@ _PYTHON_EVAL_OK = {
     "multimodal_feature_extract",
     "multimodal_image_dedup_dhash",  # dHash stage is mapInPandas; the
     #                                  banding + Hamming verify are JVM
+    "multimodal_png_roundtrip_dhash",  # PNG encode + stdlib-zlib pixel
+    #                                    decode are codec work — the
+    #                                    Python surface is the point
     # distributed linear algebra: Arrow-batched numpy X^T X partials /
     # matmul projection/assignment are the designed shape (bounded
     # d x d traffic; a JVM-side explode would amplify rows by d^2, and
