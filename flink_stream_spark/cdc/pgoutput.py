@@ -1,0 +1,220 @@
+"""Binary ``pgoutput`` logical-replication protocol parse.
+
+The reference's Debezium connector consumes PostgreSQL's standard
+``pgoutput`` plugin (reference: connect-postgres-source.json:13 —
+"plugin.name": "pgoutput"); the repo's live CDC e2e previously decoded
+only the ``test_decoding`` TEXT plugin (cdc/pg_logical.py). This
+module closes that last protocol gap: it decodes the BINARY
+logical-replication messages (protocol version 1, documented in the
+PostgreSQL manual under "Logical Streaming Replication Protocol" /
+protocol.sgml) as fetched by ``pg_logical_slot_peek_binary_changes``
+over JDBC (bytea → Spark binary).
+
+Message kinds handled: Begin 'B', Commit 'C', Origin 'O', Relation
+'R', Type 'Y', Insert 'I', Update 'U', Delete 'D', Truncate 'T',
+Message 'M'. TupleData columns arrive text-format ('t') under proto
+version 1 without the binary option; 'n' (NULL) and 'u' (unchanged
+TOAST) columns are omitted from the emitted image — for a full
+old-image on UPDATE/DELETE set ``REPLICA IDENTITY FULL``, exactly as
+Debezium requires for the same fidelity.
+
+Shape: one narrow Arrow-batched pass parses DML; Relation messages
+(the per-table column catalogs, re-sent once per decoding session or
+schema change — cardinality is tables × schema epochs, never row
+volume) are parsed from a byte-prefix-filtered subplan and collected
+to the driver, then broadcast into the DML pass as a seq-ordered
+lookup so each change row resolves the LATEST relation descriptor
+preceding it (schema drift mid-stream resolves per-row, an as-of
+lookup, not last-wins). Output schema matches
+``parse_test_decoding`` — (seq, tbl, op, after map<string,string>) —
+so ``cdc_final_state_from_log`` replays either plugin unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+from bisect import bisect_right
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DML_KINDS = {0x49: "INSERT", 0x55: "UPDATE", 0x44: "DELETE"}  # I U D
+
+
+def _cstring(b: bytes, pos: int) -> tuple[str, int]:
+    end = b.index(0, pos)
+    return b[pos:end].decode("utf-8"), end + 1
+
+
+def _tuple_data(b: bytes, pos: int) -> tuple[list, int]:
+    """Parse TupleData -> (values, new_pos); values[i] is the text
+    value, None for NULL ('n') and unchanged TOAST ('u')."""
+    (ncols,) = struct.unpack_from(">H", b, pos)
+    pos += 2
+    vals: list = []
+    for _ in range(ncols):
+        kind = b[pos]
+        pos += 1
+        if kind in (0x6E, 0x75):  # 'n' null / 'u' unchanged toast
+            vals.append(None)
+        elif kind in (0x74, 0x62):  # 't' text / 'b' binary (proto>=v1 opt)
+            (vlen,) = struct.unpack_from(">I", b, pos)
+            pos += 4
+            raw = b[pos : pos + vlen]
+            pos += vlen
+            vals.append(raw.decode("utf-8", errors="replace"))
+        else:
+            raise ValueError(f"unknown TupleData column kind {kind:#x}")
+    return vals, pos
+
+
+def parse_relation_message(data: bytes) -> "dict | None":
+    """Relation ('R') -> {relid, schema, table, cols}; None for any
+    other message kind."""
+    b = bytes(data)
+    if not b or b[0] != 0x52:
+        return None
+    pos = 1
+    (relid,) = struct.unpack_from(">I", b, pos)
+    pos += 4
+    schema, pos = _cstring(b, pos)
+    table, pos = _cstring(b, pos)
+    pos += 1  # replica identity setting
+    (ncols,) = struct.unpack_from(">H", b, pos)
+    pos += 2
+    cols = []
+    for _ in range(ncols):
+        pos += 1  # column flags (1 = part of key)
+        name, pos = _cstring(b, pos)
+        pos += 8  # type oid + type modifier
+        cols.append(name)
+    return {
+        "relid": relid,
+        "schema": schema or "pg_catalog",
+        "table": table,
+        "cols": cols,
+    }
+
+
+def parse_dml_message(data: bytes) -> "dict | None":
+    """Insert/Update/Delete -> {op, relid, vals}; None for every
+    non-DML message (Begin/Commit/Relation/Origin/Type/Truncate/...).
+
+    ``vals`` is the NEW row image for INSERT/UPDATE and the key/old
+    image for DELETE (that is what the wire carries), positional
+    against the relation's column list.
+    """
+    b = bytes(data)
+    if not b or b[0] not in _DML_KINDS:
+        return None
+    op = _DML_KINDS[b[0]]
+    pos = 1
+    (relid,) = struct.unpack_from(">I", b, pos)
+    pos += 4
+    if op == "INSERT":
+        if b[pos] != 0x4E:  # 'N'
+            raise ValueError("INSERT without new-tuple marker")
+        vals, pos = _tuple_data(b, pos + 1)
+        return {"op": op, "relid": relid, "vals": vals}
+    if op == "UPDATE":
+        marker = b[pos]
+        if marker in (0x4B, 0x4F):  # 'K' key / 'O' old image: skip it
+            _, pos = _tuple_data(b, pos + 1)
+            marker = b[pos]
+        if marker != 0x4E:
+            raise ValueError("UPDATE without new-tuple marker")
+        vals, pos = _tuple_data(b, pos + 1)
+        return {"op": op, "relid": relid, "vals": vals}
+    # DELETE: 'K' (replica-identity key) or 'O' (full old image)
+    marker = b[pos]
+    if marker not in (0x4B, 0x4F):
+        raise ValueError("DELETE without key/old-tuple marker")
+    vals, pos = _tuple_data(b, pos + 1)
+    return {"op": op, "relid": relid, "vals": vals}
+
+
+def parse_pgoutput(changes: DataFrame, data_col: str = "data") -> DataFrame:
+    """(seq, data binary) -> (seq, tbl, op, after map<string,string>) —
+    the same envelope schema ``parse_test_decoding`` produces, so
+    ``cdc_final_state_from_log`` replays the binary stream unchanged.
+
+    Relation descriptors are prefix-filtered JVM-side (first byte
+    'R'), parsed in a tiny Arrow batch, and collected — driver state
+    is tables × schema epochs, independent of change volume. The DML
+    pass is one narrow mapInPandas over the full stream with the
+    descriptor table in closure, resolving each row against the
+    latest Relation with a smaller seq (as-of semantics: a mid-stream
+    ALTER TABLE re-sends the descriptor and later rows pick it up).
+    NULL and unchanged-TOAST columns are omitted from the image.
+    """
+    import pandas as pd
+
+    rel_src = changes.filter(
+        F.substring(F.col(data_col).cast("binary"), 1, 1) == F.lit(b"R")
+    ).select("seq", data_col)
+
+    def _rels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"seq": [], "relid": [], "schema": [], "tbl": [], "cols": []}
+            for seq, raw in zip(pdf["seq"], pdf[data_col]):
+                r = parse_relation_message(raw)
+                if r is None:
+                    continue
+                out["seq"].append(seq)
+                out["relid"].append(r["relid"])
+                out["schema"].append(r["schema"])
+                out["tbl"].append(r["table"])
+                out["cols"].append(r["cols"])
+            if out["seq"]:  # empty batch: Arrow can't infer list dtypes
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype=object) for k, v in out.items()}
+                )
+
+    rel_rows = rel_src.mapInPandas(
+        _rels, "seq long, relid long, schema string, tbl string, cols array<string>"
+    ).collect()
+    # relid -> ([seq...asc], [(tbl, cols)...]) for as-of resolution
+    by_rel: dict = {}
+    for r in sorted(rel_rows, key=lambda r: r["seq"]):
+        by_rel.setdefault(int(r["relid"]), ([], []))
+        seqs, descs = by_rel[int(r["relid"])]
+        seqs.append(int(r["seq"]))
+        descs.append((f"{r['schema']}.{r['tbl']}", list(r["cols"])))
+
+    def _dml(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"seq": [], "tbl": [], "op": [], "ks": [], "vs": []}
+            for seq, raw in zip(pdf["seq"], pdf[data_col]):
+                d = parse_dml_message(raw)
+                if d is None:
+                    continue
+                ent = by_rel.get(d["relid"])
+                if not ent:
+                    raise ValueError(
+                        f"DML for relid {d['relid']} with no Relation message"
+                    )
+                seqs, descs = ent
+                i = bisect_right(seqs, int(seq)) - 1
+                if i < 0:
+                    i = 0  # defensive: descriptor precedes DML on the wire
+                tbl, cols = descs[i]
+                keys = [c for c, v in zip(cols, d["vals"]) if v is not None]
+                vals = [v for v in d["vals"] if v is not None]
+                out["seq"].append(seq)
+                out["tbl"].append(tbl)
+                out["op"].append(d["op"])
+                out["ks"].append(keys)
+                out["vs"].append(vals)
+            if out["seq"]:  # empty batch: Arrow can't infer list dtypes
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype=object) for k, v in out.items()}
+                )
+
+    parsed = changes.select("seq", data_col).mapInPandas(
+        _dml,
+        "seq long, tbl string, op string, ks array<string>, vs array<string>",
+    )
+    return parsed.select(
+        "seq", "tbl", "op", F.map_from_arrays("ks", "vs").alias("after")
+    )

@@ -518,6 +518,35 @@ def dhash_bands(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hash, schema=DHASH_SCHEMA)
 
 
+def dhash_band_vals(nb: int):
+    """Column expression: the 8 byte-bands merged into ``nb`` wider
+    band values (little-endian byte packing) — the corpus-adaptive
+    blocking key. Algebraic merge of adjacent byte-bands, so the
+    stored hash is tier-independent and an index built at one tier
+    re-blocks at another without rehashing."""
+    g = DHASH_ROWS // nb
+    return F.array(
+        *[
+            sum(
+                F.col("bands")[g * r + t].cast("bigint") * F.lit(256**t)
+                for t in range(g)
+            )
+            for r in range(nb)
+        ]
+    )
+
+
+def dhash_hamming(a, b):
+    """Exact Hamming distance between two 8-byte-band arrays as 8
+    codegen'd bit_count(xor) terms — no HOF, no Python, stays
+    JVM-side."""
+    ham = None
+    for i in range(DHASH_ROWS):
+        term = F.bit_count(a[i].bitwiseXOR(b[i]))
+        ham = term if ham is None else ham + term
+    return ham.cast("bigint")
+
+
 def dhash_near_dup_pairs(media: DataFrame, n_docs: "int | None" = None) -> DataFrame:
     """Full image near-dup pipeline over (doc_id, payload binary):
     dHash → corpus-adaptive Hamming-LSH banding → hot-band cap → exact
@@ -537,18 +566,8 @@ def dhash_near_dup_pairs(media: DataFrame, n_docs: "int | None" = None) -> DataF
     # wider bands are algebraic merges of adjacent byte-bands, so the
     # hash stage and the Hamming verify are tier-independent
     nb = dhash_num_bands(media.count() if n_docs is None else n_docs)
-    g = DHASH_ROWS // nb
-    band_vals = F.array(
-        *[
-            sum(
-                F.col("bands")[g * r + t].cast("bigint") * F.lit(256**t)
-                for t in range(g)
-            )
-            for r in range(nb)
-        ]
-    )
     e = bands.select(
-        "doc_id", F.posexplode(band_vals).alias("band_idx", "band_val")
+        "doc_id", F.posexplode(dhash_band_vals(nb)).alias("band_idx", "band_val")
     )
     hot_ok = (
         e.groupBy("band_idx", "band_val")
@@ -572,16 +591,16 @@ def dhash_near_dup_pairs(media: DataFrame, n_docs: "int | None" = None) -> DataF
     )
     ba = bands.select(F.col("doc_id").alias("doc_a"), F.col("bands").alias("ba"))
     bb = bands.select(F.col("doc_id").alias("doc_b"), F.col("bands").alias("bb"))
-    # exact Hamming over the full 64 bits: 8 codegen'd
-    # bit_count(xor) terms — no HOF, no Python, verify stays JVM-side
-    ham = None
-    for i in range(DHASH_ROWS):
-        term = F.bit_count(F.col("ba")[i].bitwiseXOR(F.col("bb")[i]))
-        ham = term if ham is None else ham + term
+    # exact Hamming over the full 64 bits (dhash_hamming: 8 codegen'd
+    # bit_count(xor) terms — no HOF, no Python, verify stays JVM-side)
     return (
         cand.join(ba, "doc_a")
         .join(bb, "doc_b")
-        .select("doc_a", "doc_b", ham.cast("bigint").alias("hamming"))
+        .select(
+            "doc_a",
+            "doc_b",
+            dhash_hamming(F.col("ba"), F.col("bb")).alias("hamming"),
+        )
         .filter(F.col("hamming") <= DHASH_HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
