@@ -284,3 +284,49 @@ def test_dsir_scores_target_like_docs_higher(spark, tmp_path):
     assert set(got) == {3, 4}  # only the raw pool is scored
     assert got[3]["avg_log_ratio"] > got[4]["avg_log_ratio"]
     assert got[3]["score_micro"] > 0 > got[4]["score_micro"]
+
+
+def test_suffix_array_detects_sub_kspan_within_doc_repeat(spark, tmp_path):
+    """The round-6 suffix-array variant removes the k-gram fidelity
+    bound for the within-doc case: a repeated run SHORTER than K_SPAN
+    (here 2 tokens) that the k-gram query is blind to is reported
+    exactly — length, duplicated starts, and span coverage."""
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            # "p1 p2" repeats at positions 1 and 6 (1-based): lrs 2,
+            # 2 duplicated starts, 4 covered tokens
+            ("p1 p2 x1 x2 x3 p1 p2 x4", "src0"),
+            # no repeat of length >= 2, one repeated single token:
+            # lrs 1, nothing >= SA_MIN_REP
+            ("a b c d a e f g", "src1"),
+            # all-distinct control
+            ("u1 u2 u3 u4 u5 u6", "src2"),
+        ],
+    )
+    got = _rows(spark, sf, "dedup_exact_substr_sa")
+    r1 = got[1]
+    assert (r1["lrs_len"], r1["dup_starts"], r1["dup_cover"]) == (2, 2, 4)
+    r2 = got[2]
+    assert (r2["lrs_len"], r2["dup_starts"], r2["dup_cover"]) == (1, 0, 0)
+    r3 = got[3]
+    assert (r3["lrs_len"], r3["dup_starts"], r3["dup_cover"]) == (0, 0, 0)
+    # the k-gram query (K_SPAN=5) is blind to doc 1's repeat — the
+    # exact gap the SA variant closes
+    kg = _rows(spark, sf, "dedup_exact_substr_spans")
+    assert kg[1]["n_spans"] == 0
+
+
+def test_suffix_array_overlapping_spans_union_coverage(spark, tmp_path):
+    """Overlapping repeat spans merge: 'a b a b a' — 'a b a' repeats
+    at positions 1 and 3 (overlapping itself), 'b a' at 2 and 4; the
+    per-position spans chain and their union covers the whole doc."""
+    sf = _write_documents(spark, tmp_path, [("a b a b a", "src0")])
+    r = _rows(spark, sf, "dedup_exact_substr_sa")[1]
+    # suffixes: 1:'a b a b a', 3:'a b a' share lcp 3; 2:'b a b a',
+    # 4:'b a' share lcp 2; 5:'a' matches 1/3 at lcp 1
+    assert r["n_tokens"] == 5
+    assert r["lrs_len"] == 3
+    assert r["dup_starts"] == 4  # positions 1,2,3,4 (repeat >= 2)
+    assert r["dup_cover"] == 5  # union [1,4) u [2,4) u [3,5) u [4,6) = 1..5
