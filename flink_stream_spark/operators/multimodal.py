@@ -763,3 +763,526 @@ def multimodal_png_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
     return dhash_bands(media).orderBy("doc_id")
+
+
+# --- audio: WAV codec round-trip + envelope near-dup ----------------------
+#
+# The second REAL modality codec (operators/wav.py — RIFF/PCM is pure
+# struct + numpy, no library): audio payloads decode to integer sample
+# frames, reduce to an exact integer mean-|amplitude| envelope (the
+# acoustic analogue of the dHash block-mean grid), and near-dup by
+# banded envelope signatures + exact L1 verify. Same oracle trick as
+# the PNG round-trip: samples synthesize deterministically from text
+# bytes, Spark encodes a REAL WAV container and decodes it back, the
+# oracle computes the envelope straight from the text — a hash match
+# proves the codec reproduced every sample.
+WAVRT_N = 256  # synthesized frames per doc (16 envelope windows of 16)
+WAVRT_RATE = 16000
+ENV_WINDOWS = 16
+AUDIO_QSTEP = 1024  # envelope quantization for banding (<=32 levels)
+AUDIO_BANDS = 4  # 4 bands x 4 quantized windows each
+AUDIO_L1_MAX = 2048  # exact L1 verify threshold over the 16 windows
+AUDIO_BAND_CAP = 128  # hot-band guard, mirrored by the oracle
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id bigint, n_frames bigint, peak_abs bigint, sum_abs bigint, "
+    "env array<bigint>"
+)
+
+
+def wav_envelope_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> decoded-PCM statistics via the REAL
+    WAV codec: frame count, peak/sum |amplitude|, and the
+    ENV_WINDOWS-point integer energy envelope. Payloads that are not
+    integer-PCM WAVs yield the zero row (n_frames=0) rather than
+    failing — the decode-ladder discipline. Arrow-batched, narrow."""
+    import numpy as np
+
+    from flink_stream_spark.operators.wav import decode_wav, energy_envelope
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "peak_abs": [], "sum_abs": [], "env": []}
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(b))
+                if d is None or len(d["samples"]) == 0:
+                    out["doc_id"].append(doc_id)
+                    out["n_frames"].append(0)
+                    out["peak_abs"].append(0)
+                    out["sum_abs"].append(0)
+                    out["env"].append([0] * ENV_WINDOWS)
+                    continue
+                mono = d["samples"].sum(axis=1) // d["samples"].shape[1]
+                a = np.abs(mono)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(len(mono))
+                out["peak_abs"].append(int(a.max()))
+                out["sum_abs"].append(int(a.sum()))
+                out["env"].append(
+                    [int(v) for v in energy_envelope(d["samples"], ENV_WINDOWS)]
+                )
+            if out["doc_id"]:
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype=object) for k, v in out.items()}
+                )
+
+    return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
+
+
+def _wav_media(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload): a REAL int16 mono WAV per doc,
+    samples synthesized from the text bytes (sample[i] =
+    byte[i mod n]·256 − 32768), so the oracle can derive everything
+    downstream of the codec straight from the text."""
+    import numpy as np
+
+    from flink_stream_spark.operators.wav import encode_wav
+
+    src = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(WAVRT_N, dtype=np.int64)
+        for pdf in batches:
+            wavs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    samples = np.zeros(WAVRT_N, dtype=np.int64)
+                else:
+                    samples = arr[idx % n].astype(np.int64) * 256 - 32768
+                wavs.append(encode_wav(samples, rate=WAVRT_RATE, bits=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": wavs})
+
+    return src.mapInPandas(_encode, "doc_id bigint, payload binary")
+
+
+_WAV_ENV_DUCK = f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {WAVRT_N - 1}),
+          i -> CASE WHEN n = 0 THEN 0
+               ELSE ord(substr(text, (i % n) + 1, 1)) * 256 - 32768
+               END) AS sm
+      FROM p),
+    e AS (
+      SELECT doc_id, sm,
+        list_transform(generate_series(0, {ENV_WINDOWS - 1}),
+          w -> list_aggregate(
+                 list_transform(generate_series(w * {WAVRT_N // ENV_WINDOWS} + 1,
+                                                (w + 1) * {WAVRT_N // ENV_WINDOWS}),
+                                j -> abs(sm[j])), 'sum')
+               // {WAVRT_N // ENV_WINDOWS}) AS env
+      FROM s)
+"""
+
+
+@register(
+    "multimodal_wav_roundtrip_stats",
+    _WAV_ENV_DUCK
+    + f"""
+    SELECT doc_id,
+           CAST({WAVRT_N} AS BIGINT) AS n_frames,
+           CAST(list_aggregate(list_transform(sm, x -> abs(x)), 'max') AS BIGINT)
+             AS peak_abs,
+           CAST(list_aggregate(list_transform(sm, x -> abs(x)), 'sum') AS BIGINT)
+             AS sum_abs,
+           list_transform(env, x -> CAST(x AS BIGINT)) AS env
+    FROM e
+    ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="WAV codec round-trip under the oracle: text bytes → int16 "
+    "mono samples → REAL RIFF/PCM encode → stdlib decode "
+    "(operators/wav.py, strict chunk walk + format validation) → "
+    "frame count, peak/sum |amplitude|, and the 16-window integer "
+    "energy envelope. The oracle derives every statistic straight "
+    "from the text, so a hash match proves the codec reproduced "
+    "every sample. Both mapInPandas stages narrow (no shuffle) — the "
+    "embarrassingly-parallel decode posture; sample math is "
+    "numpy-vectorized, never a per-sample Python loop.",
+)
+def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return wav_envelope_stats(_wav_media(d)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_audio_dedup_envelope",
+    _WAV_ENV_DUCK
+    + f"""
+    , q AS (
+      SELECT doc_id, env,
+             list_transform(env, x -> x // {AUDIO_QSTEP}) AS qe
+      FROM e),
+    bv AS (
+      SELECT doc_id, env, b AS band_idx,
+             qe[4*b + 1] + 33 * qe[4*b + 2] + 1089 * qe[4*b + 3]
+               + 35937 * qe[4*b + 4] AS band_val
+      FROM q, unnest(generate_series(0, {AUDIO_BANDS - 1})) AS t(b)),
+    grp AS (
+      SELECT band_idx, band_val FROM bv
+      GROUP BY 1, 2 HAVING COUNT(*) <= {AUDIO_BAND_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bv a
+      JOIN grp g ON g.band_idx = a.band_idx AND g.band_val = a.band_val
+      JOIN bv b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+               AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(list_aggregate(list_transform(generate_series(1, {ENV_WINDOWS}),
+          i -> abs(ea.env[i] - eb.env[i])), 'sum') AS BIGINT) AS l1_dist
+      FROM cand c
+      JOIN e ea ON ea.doc_id = c.doc_a
+      JOIN e eb ON eb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, l1_dist FROM pairs
+    WHERE l1_dist <= {AUDIO_L1_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    group="multimodal",
+    doc="Audio near-dup dedup over DECODED PCM: WAV payloads → "
+    "16-window integer energy envelope (the acoustic fingerprint) → "
+    f"banded signatures ({AUDIO_BANDS} bands of 4 windows quantized "
+    f"to {AUDIO_QSTEP}-wide levels, packed base-33) → exact L1 verify "
+    f"<= {AUDIO_L1_MAX} over candidates only, as 16 codegen'd "
+    "abs-diff terms (JVM-side). A pair sharing one exact band is "
+    "nominated — the dHash/MinHash banding discipline on a "
+    f"continuous signal; buckets hotter than {AUDIO_BAND_CAP} docs "
+    "nominate nothing (oracle mirrors the cap). Pair work is "
+    "Σ bucket², never corpus². The envelope stage runs ONCE "
+    "(persisted) and feeds banding + both verify joins.",
+)
+def multimodal_audio_dedup_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = wav_envelope_stats(_wav_media(d)).select("doc_id", "env").persist()
+    qe = F.transform(F.col("env"), lambda x: (x / F.lit(AUDIO_QSTEP)).cast("bigint"))
+    band_vals = F.array(
+        *[
+            sum(
+                F.element_at(qe, 4 * b + t + 1) * F.lit(33**t)
+                for t in range(4)
+            )
+            for b in range(AUDIO_BANDS)
+        ]
+    )
+    bv = stats.select(
+        "doc_id", F.posexplode(band_vals).alias("band_idx", "band_val")
+    )
+    hot_ok = (
+        bv.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= AUDIO_BAND_CAP)
+        .select("band_idx", "band_val")
+    )
+    bvk = bv.join(hot_ok, ["band_idx", "band_val"])
+    cand = (
+        bvk.alias("a")
+        .join(
+            bvk.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ea = stats.select(F.col("doc_id").alias("doc_a"), F.col("env").alias("ea"))
+    eb = stats.select(F.col("doc_id").alias("doc_b"), F.col("env").alias("eb"))
+    l1 = None
+    for i in range(ENV_WINDOWS):
+        term = F.abs(F.col("ea")[i] - F.col("eb")[i])
+        l1 = term if l1 is None else l1 + term
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select("doc_a", "doc_b", l1.cast("bigint").alias("l1_dist"))
+        .filter(F.col("l1_dist") <= AUDIO_L1_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --- video: Y4M codec round-trip + motion-signature near-dup --------------
+#
+# The third REAL modality codec (operators/y4m.py — YUV4MPEG2 is the
+# uncompressed interchange format of the mjpegtools/ffmpeg toolchains:
+# text header + raw planar frames). Video payloads decode to luma
+# frame stacks, reduce to exact-integer per-frame means / block means
+# / total motion, and near-dup by banded per-frame spatial signatures
+# + exact L1 verify. Same oracle trick as the PNG and WAV round-trips:
+# frames synthesize deterministically from text bytes, Spark encodes a
+# REAL Y4M container (colorspace cycling doc_id % 3 over mono/420/444
+# so chroma-plane framing is exercised corpus-wide) and decodes it
+# back; the oracle computes every statistic straight from the text — a
+# hash match proves the codec reproduced every luma pixel.
+VID_FRAMES = 8
+VID_H, VID_W = 8, 16  # 128 luma bytes per frame
+VID_BLOCKS = 4  # vertical strips per frame (4 cols x 8 rows = 32 px)
+VID_QSTEP = 8  # block-mean quantization for banding (32 levels)
+VID_BAND_CAP = 128  # hot-band guard, mirrored by the oracle
+VID_L1_MAX = 48  # exact L1 verify threshold over the 32 block means
+_VID_CS = ["mono", "420", "444"]
+
+VIDEO_STATS_SCHEMA = (
+    "doc_id bigint, n_frames bigint, frame_means array<bigint>, "
+    "block_means array<bigint>, motion bigint"
+)
+
+
+def video_motion_stats(media: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> decoded-luma statistics via the
+    REAL Y4M codec: frame count, per-frame integer mean luma, the
+    flattened per-frame vertical-strip block means (VID_FRAMES x
+    VID_BLOCKS), and total motion Σ|mean[f]−mean[f−1]|. Payloads that
+    are not valid Y4M yield the zero row (n_frames=0) rather than
+    failing — the decode-ladder discipline. Arrow-batched, narrow."""
+    from flink_stream_spark.operators.y4m import decode_y4m, motion_profile
+
+    zero_blocks = [0] * (VID_FRAMES * VID_BLOCKS)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_frames": [], "frame_means": [],
+                "block_means": [], "motion": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_y4m(bytes(b))
+                out["doc_id"].append(doc_id)
+                if d is None or len(d["frames"]) == 0:
+                    out["n_frames"].append(0)
+                    out["frame_means"].append([0] * VID_FRAMES)
+                    out["block_means"].append(zero_blocks)
+                    out["motion"].append(0)
+                    continue
+                prof = motion_profile(d["frames"], n_blocks=VID_BLOCKS)
+                out["n_frames"].append(len(d["frames"]))
+                out["frame_means"].append(prof["frame_means"])
+                out["block_means"].append(
+                    [v for row in prof["block_means"] for v in row]
+                )
+                out["motion"].append(prof["motion"])
+            if out["doc_id"]:
+                yield pd.DataFrame(
+                    {k: pd.Series(v, dtype=object) for k, v in out.items()}
+                )
+
+    return media.mapInPandas(_stats, schema=VIDEO_STATS_SCHEMA)
+
+
+def _y4m_media(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload): a REAL Y4M clip per doc —
+    VID_FRAMES frames of VID_H x VID_W luma reading the text HEAD:
+    pixel i (row-major across frames) = (byte[i] · 37) mod 256 for
+    i < n, else 0 (zero-padded; texts longer than the clip truncate).
+    Head-indexing keeps byte→pixel alignment independent of document
+    length, so near-identical texts (shared prefix, small tail edit)
+    produce near-identical clips — modular wraparound would shift
+    every pixel when lengths differ by one. The ×37 mod 256 bijection
+    spreads ASCII's narrow [32, 126] band over the full luma range
+    (unspread, every block mean collapses toward the same value and
+    the dedup signature loses all discrimination — measured 34% of
+    all pairs flagged). Colorspace cycles doc_id % 3 over
+    mono/420/444 so chroma-plane framing is exercised corpus-wide.
+    The oracle derives everything downstream of the codec straight
+    from the text."""
+    import numpy as np
+
+    from flink_stream_spark.operators.y4m import encode_y4m
+
+    src = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    total = VID_FRAMES * VID_H * VID_W
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)[:total]
+                px = np.zeros(total, dtype=np.uint8)
+                px[: len(arr)] = (arr.astype(np.int64) * 37) % 256
+                frames = px.reshape(VID_FRAMES, VID_H, VID_W)
+                vids.append(
+                    encode_y4m(frames, colorspace=_VID_CS[int(doc_id) % 3])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": vids})
+
+    return src.mapInPandas(_encode, "doc_id bigint, payload binary")
+
+
+_VID_FRAME_PX = VID_H * VID_W
+_VID_STRIP_W = VID_W // VID_BLOCKS
+_VID_STRIP_PX = VID_H * _VID_STRIP_W
+
+_VID_STATS_DUCK = f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id, n,
+        list_transform(generate_series(0, {VID_FRAMES - 1}),
+          f -> list_aggregate(list_transform(generate_series(0, {_VID_FRAME_PX - 1}),
+                 i -> CASE WHEN f * {_VID_FRAME_PX} + i < n THEN
+                      (ord(substr(text, f * {_VID_FRAME_PX} + i + 1, 1)) * 37) % 256
+                      ELSE 0 END),
+                 'sum') // {_VID_FRAME_PX}) AS fm,
+        list_transform(generate_series(0, {VID_FRAMES * VID_BLOCKS - 1}),
+          j -> list_aggregate(list_transform(generate_series(0, {_VID_STRIP_PX - 1}),
+                 t -> CASE WHEN (j // {VID_BLOCKS}) * {_VID_FRAME_PX}
+                         + (t // {_VID_STRIP_W}) * {VID_W}
+                         + (j % {VID_BLOCKS}) * {_VID_STRIP_W}
+                         + (t % {_VID_STRIP_W}) < n THEN
+                      (ord(substr(text,
+                        (j // {VID_BLOCKS}) * {_VID_FRAME_PX}
+                         + (t // {_VID_STRIP_W}) * {VID_W}
+                         + (j % {VID_BLOCKS}) * {_VID_STRIP_W}
+                         + (t % {_VID_STRIP_W}) + 1, 1)) * 37) % 256
+                      ELSE 0 END),
+                 'sum') // {_VID_STRIP_PX}) AS bm
+      FROM p)
+"""
+
+
+@register(
+    "multimodal_y4m_roundtrip_stats",
+    _VID_STATS_DUCK
+    + f"""
+    SELECT doc_id,
+           CAST({VID_FRAMES} AS BIGINT) AS n_frames,
+           list_transform(fm, x -> CAST(x AS BIGINT)) AS frame_means,
+           list_transform(bm, x -> CAST(x AS BIGINT)) AS block_means,
+           CAST(list_aggregate(list_transform(generate_series(2, {VID_FRAMES}),
+                  f -> abs(fm[f] - fm[f - 1])), 'sum') AS BIGINT) AS motion
+    FROM s
+    ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="Y4M video codec round-trip under the oracle: text bytes → "
+    f"{VID_FRAMES} frames of {VID_H}x{VID_W} luma → REAL YUV4MPEG2 "
+    "encode (colorspace cycling doc_id % 3 over mono/420/444, so "
+    "chroma-plane framing is exercised corpus-wide) → stdlib decode "
+    "(operators/y4m.py, strict header + per-frame size validation) → "
+    "per-frame integer mean luma, per-frame vertical-strip block "
+    "means, and total motion Σ|mean[f]−mean[f−1]|. The oracle derives "
+    "every statistic straight from the text, so a hash match proves "
+    "the codec reproduced every luma pixel for every colorspace. Both "
+    "mapInPandas stages narrow (no shuffle) — the embarrassingly-"
+    "parallel decode posture; plane math is numpy-vectorized.",
+)
+def multimodal_y4m_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return video_motion_stats(_y4m_media(d)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_video_dedup_motion",
+    _VID_STATS_DUCK
+    + f"""
+    , q AS (
+      SELECT doc_id, bm,
+             list_transform(bm, x -> x // {VID_QSTEP}) AS qb
+      FROM s),
+    bv AS (
+      SELECT doc_id, bm, f AS band_idx,
+             qb[{VID_BLOCKS}*f + 1] + 33 * qb[{VID_BLOCKS}*f + 2]
+               + 1089 * qb[{VID_BLOCKS}*f + 3]
+               + 35937 * qb[{VID_BLOCKS}*f + 4] AS band_val
+      FROM q, unnest(generate_series(0, {VID_FRAMES - 1})) AS t(f)),
+    bvc AS (SELECT * FROM bv WHERE band_val > 0),
+    grp AS (
+      SELECT band_idx, band_val FROM bvc
+      GROUP BY 1, 2 HAVING COUNT(*) <= {VID_BAND_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bvc a
+      JOIN grp g ON g.band_idx = a.band_idx AND g.band_val = a.band_val
+      JOIN bvc b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+               AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(list_aggregate(list_transform(
+               generate_series(1, {VID_FRAMES * VID_BLOCKS}),
+               i -> abs(sa.bm[i] - sb.bm[i])), 'sum') AS BIGINT) AS l1_dist
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.doc_a
+      JOIN s sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, l1_dist FROM pairs
+    WHERE l1_dist <= {VID_L1_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+    group="multimodal",
+    doc="Video near-dup dedup over DECODED luma: Y4M payloads → "
+    f"per-frame {VID_BLOCKS}-strip block means (the spatial layout "
+    f"signature) → {VID_FRAMES} banded signatures (one per frame: its "
+    f"strip means quantized to {VID_QSTEP}-wide levels, packed "
+    "base-33) → exact L1 verify <= "
+    f"{VID_L1_MAX} over the full {VID_FRAMES * VID_BLOCKS}-value "
+    "signature, candidates only, as codegen'd abs-diff terms "
+    "(JVM-side). A pair sharing ANY one frame's exact spatial band is "
+    "nominated — temporal misalignment of the other frames doesn't "
+    "kill recall (the dHash/MinHash banding discipline, banded over "
+    "TIME). All-zero bands (pure zero-padding tail frames — clips "
+    "shorter than the container) nominate nothing: a shared EMPTY "
+    "frame is no evidence of similarity, and structurally every "
+    "short clip would collide there (measured: the filter plus this "
+    "threshold cuts 1658 promiscuous pairs to 34 while keeping all "
+    "17 planted near-dups at sf0.01); buckets hotter than "
+    f"{VID_BAND_CAP} videos nominate nothing (oracle mirrors the "
+    "cap). Pair work is Σ bucket², never corpus². The decode stage "
+    "runs ONCE (persisted) and feeds banding + both verify joins.",
+)
+def multimodal_video_dedup_motion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stats = (
+        video_motion_stats(_y4m_media(d))
+        .select("doc_id", "block_means")
+        .persist()
+    )
+    qb = F.transform(
+        F.col("block_means"), lambda x: (x / F.lit(VID_QSTEP)).cast("bigint")
+    )
+    band_vals = F.array(
+        *[
+            sum(
+                F.element_at(qb, VID_BLOCKS * f + t + 1) * F.lit(33**t)
+                for t in range(VID_BLOCKS)
+            )
+            for f in range(VID_FRAMES)
+        ]
+    )
+    bv = stats.select(
+        "doc_id", F.posexplode(band_vals).alias("band_idx", "band_val")
+    ).filter(F.col("band_val") > 0)
+    hot_ok = (
+        bv.groupBy("band_idx", "band_val")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= VID_BAND_CAP)
+        .select("band_idx", "band_val")
+    )
+    bvk = bv.join(hot_ok, ["band_idx", "band_val"])
+    cand = (
+        bvk.alias("a")
+        .join(
+            bvk.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = stats.select(F.col("doc_id").alias("doc_a"), F.col("block_means").alias("ba"))
+    sb = stats.select(F.col("doc_id").alias("doc_b"), F.col("block_means").alias("bb"))
+    l1 = None
+    for i in range(VID_FRAMES * VID_BLOCKS):
+        term = F.abs(F.col("ba")[i] - F.col("bb")[i])
+        l1 = term if l1 is None else l1 + term
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", l1.cast("bigint").alias("l1_dist"))
+        .filter(F.col("l1_dist") <= VID_L1_MAX)
+        .orderBy("doc_a", "doc_b")
+    )

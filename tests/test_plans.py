@@ -217,6 +217,17 @@ _PYTHON_EVAL_OK = {
     "multimodal_png_roundtrip_dhash",  # PNG encode + stdlib-zlib pixel
     #                                    decode are codec work — the
     #                                    Python surface is the point
+    "multimodal_wav_roundtrip_stats",  # WAV encode + RIFF/PCM decode:
+    #                                    same codec-surface rationale
+    "multimodal_audio_dedup_envelope",  # envelope stage decodes WAV;
+    #                                     banding + L1 verify are JVM
+    "multimodal_y4m_roundtrip_stats",  # Y4M encode + decode: codec
+    #                                    surface, same rationale
+    "multimodal_video_dedup_motion",  # decode stage only; banding +
+    #                                   L1 verify are JVM
+    "dedup_exact_substr_sa",  # per-doc suffix-array build is inherently
+    #                           procedural (narrow Arrow-batched pass,
+    #                           bounded by tokens-per-doc, no shuffle)
     # distributed linear algebra: Arrow-batched numpy X^T X partials /
     # matmul projection/assignment are the designed shape (bounded
     # d x d traffic; a JVM-side explode would amplify rows by d^2, and
