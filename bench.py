@@ -112,8 +112,9 @@ HEADLINE = [
 # anti-scale path the sketch replaces), so timing it says nothing
 # about the production sketch path this set showcases.
 # Also not in the set: the codec round-trip gadgets
-# (multimodal_png_roundtrip_dhash, multimodal_wav_roundtrip_stats,
-# multimodal_y4m_roundtrip_stats) and the audio/video dedup twins
+# (multimodal_png_roundtrip_dhash, multimodal_gif_roundtrip_dhash,
+# multimodal_wav_roundtrip_stats, multimodal_y4m_roundtrip_stats)
+# and the audio/video dedup twins
 # that synthesize+encode a container per doc — they exist so the
 # oracle can pin each stdlib codec pixel/sample-exact; their cost is
 # per-byte Python encode loops a production cluster replaces with a

@@ -479,13 +479,15 @@ DHASH_SCHEMA = "doc_id bigint, bands array<int>"
 def dhash_bands(media: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> (doc_id, bands array<int> of 8
     byte-values) — the 64-bit dHash split into its 8 row-bands, the
-    unit the Hamming-LSH blocking groups on. PNG payloads are decoded
-    to PIXELS (stdlib codec, operators/png.py) and block-mean
-    downsampled; everything else uses the deterministic byte resample.
-    Arrow-batched mapInPandas, narrow (no shuffle): a 100 TB corpus
-    hashes embarrassingly parallel."""
+    unit the Hamming-LSH blocking groups on. PNG and GIF payloads are
+    decoded to PIXELS (stdlib codecs, operators/png.py and
+    operators/gif.py — zlib inflate + unfilter, and real LZW) and
+    block-mean downsampled; everything else uses the deterministic
+    byte resample. Arrow-batched mapInPandas, narrow (no shuffle): a
+    100 TB corpus hashes embarrassingly parallel."""
     import numpy as np
 
+    from flink_stream_spark.operators.gif import decode_gif_gray
     from flink_stream_spark.operators.png import decode_png_gray, gray_grid
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -496,6 +498,10 @@ def dhash_bands(media: DataFrame) -> DataFrame:
             px = None
             if b[:8] == b"\x89PNG\r\n\x1a\n":
                 gray = decode_png_gray(b)
+                if gray is not None:
+                    px = gray_grid(gray, DHASH_ROWS, 9)
+            elif b[:6] in (b"GIF87a", b"GIF89a"):
+                gray = decode_gif_gray(b)
                 if gray is not None:
                     px = gray_grid(gray, DHASH_ROWS, 9)
             if px is None:
@@ -760,6 +766,71 @@ def multimodal_png_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
                 )
                 pngs.append(encode_png(pix, filter_type=int(doc_id) % 5))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": pngs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return dhash_bands(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_gif_roundtrip_dhash",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
+          i -> CASE WHEN n = 0 THEN 0 ELSE (
+                 ord(substr(text, ((i // 9) * 2 * {PNGRT_W} + (i % 9) * 2) % n + 1, 1))
+               + ord(substr(text, ((i // 9) * 2 * {PNGRT_W} + (i % 9) * 2 + 1) % n + 1, 1))
+               + ord(substr(text, (((i // 9) * 2 + 1) * {PNGRT_W} + (i % 9) * 2) % n + 1, 1))
+               + ord(substr(text, (((i // 9) * 2 + 1) * {PNGRT_W} + (i % 9) * 2 + 1) % n + 1, 1))
+               ) // 4 END) AS px
+      FROM p),
+    b AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS - 1}),
+          r -> CAST(list_aggregate(list_transform(generate_series(0, 7),
+                 c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
+                      THEN 1 << c ELSE 0 END), 'sum') AS INTEGER)) AS bands
+      FROM s)
+    SELECT doc_id, bands FROM b ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="GIF codec round-trip under the oracle: the same 16x18 "
+    "grayscale grid as the PNG round-trip, but encoded as a REAL "
+    "single-frame GIF — grayscale palette + genuine greedy LZW "
+    "compression (variable-width codes, dictionary growth, "
+    "CLEAR/EOI), interlaced for every odd doc_id so the 4-pass row "
+    "order is exercised corpus-wide — then decoded back through "
+    "dhash_bands' GIF branch (operators/gif.py). The oracle (the "
+    "same SQL as the PNG round-trip: same pixels, different "
+    "container) derives the grid straight from the text, so a hash "
+    "match proves the LZW decoder reproduced every pixel in both "
+    "row orders. Both mapInPandas stages narrow (no shuffle).",
+)
+def multimodal_gif_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.gif import encode_gif_gray
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(PNGRT_H * PNGRT_W, dtype=np.int64)
+        for pdf in batches:
+            gifs = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                pix = (
+                    np.zeros((PNGRT_H, PNGRT_W), dtype=np.int64)
+                    if n == 0
+                    else arr[idx % n].reshape(PNGRT_H, PNGRT_W).astype(np.int64)
+                )
+                gifs.append(
+                    encode_gif_gray(pix, interlace=bool(int(doc_id) % 2))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": gifs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
     return dhash_bands(media).orderBy("doc_id")

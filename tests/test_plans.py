@@ -217,6 +217,8 @@ _PYTHON_EVAL_OK = {
     "multimodal_png_roundtrip_dhash",  # PNG encode + stdlib-zlib pixel
     #                                    decode are codec work — the
     #                                    Python surface is the point
+    "multimodal_gif_roundtrip_dhash",  # GIF encode + real-LZW decode:
+    #                                    same codec-surface rationale
     "multimodal_wav_roundtrip_stats",  # WAV encode + RIFF/PCM decode:
     #                                    same codec-surface rationale
     "multimodal_audio_dedup_envelope",  # envelope stage decodes WAV;
