@@ -43,7 +43,9 @@ _DML_KINDS = {0x49: "INSERT", 0x55: "UPDATE", 0x44: "DELETE"}  # I U D
 
 
 def _cstring(b: bytes, pos: int) -> tuple[str, int]:
-    end = b.index(0, pos)
+    end = b.find(0, pos)
+    if end < 0:
+        raise ValueError("pgoutput: unterminated string (truncated message)")
     return b[pos:end].decode("utf-8"), end + 1
 
 
@@ -71,10 +73,24 @@ def _tuple_data(b: bytes, pos: int) -> tuple[list, int]:
 
 def parse_relation_message(data: bytes) -> "dict | None":
     """Relation ('R') -> {relid, schema, table, cols}; None for any
-    other message kind."""
+    OTHER message kind. A truncated or structurally corrupt 'R'
+    message raises ValueError (with context) rather than a bare
+    struct.error — CDC must fail LOUDLY on stream corruption, never
+    silently drop a schema change (pointing this parser at a
+    non-pgoutput slot is then a one-line diagnosis, not a crash in
+    unpack_from)."""
     b = bytes(data)
     if not b or b[0] != 0x52:
         return None
+    try:
+        return _parse_relation_body(b)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"pgoutput: malformed Relation message ({len(b)} bytes): {e}"
+        ) from e
+
+
+def _parse_relation_body(b: bytes) -> dict:
     pos = 1
     (relid,) = struct.unpack_from(">I", b, pos)
     pos += 4
@@ -100,6 +116,8 @@ def parse_relation_message(data: bytes) -> "dict | None":
 def parse_dml_message(data: bytes) -> "dict | None":
     """Insert/Update/Delete -> {op, relid, vals}; None for every
     non-DML message (Begin/Commit/Relation/Origin/Type/Truncate/...).
+    Truncated/corrupt DML raises a contextual ValueError (loud-fail:
+    silently skipping a change is CDC data loss).
 
     ``vals`` is the NEW row image for INSERT/UPDATE and the key/old
     image for DELETE (that is what the wire carries), positional
@@ -108,6 +126,16 @@ def parse_dml_message(data: bytes) -> "dict | None":
     b = bytes(data)
     if not b or b[0] not in _DML_KINDS:
         return None
+    try:
+        return _parse_dml_body(b)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(
+            f"pgoutput: malformed {_DML_KINDS[b[0]]} message "
+            f"({len(b)} bytes): {e}"
+        ) from e
+
+
+def _parse_dml_body(b: bytes) -> dict:
     op = _DML_KINDS[b[0]]
     pos = 1
     (relid,) = struct.unpack_from(">I", b, pos)
@@ -150,9 +178,18 @@ def parse_pgoutput(changes: DataFrame, data_col: str = "data") -> DataFrame:
     """
     import pandas as pd
 
-    rel_src = changes.filter(
+    # ONE materialization of the source: the Relation collect and the
+    # DML pass are two actions over the same frame, and an unpersisted
+    # source (e.g. a live pg_logical_slot_peek_binary_changes JDBC
+    # read) would be re-queried per action with no snapshot
+    # consistency between them — a Relation arriving between the two
+    # reads would be missing from the collected catalog while its DML
+    # rows appear in the second pass (and the python-stage-reuse cost
+    # lesson applies too). persist() pins one snapshot for both.
+    base = changes.select("seq", data_col).persist()
+    rel_src = base.filter(
         F.substring(F.col(data_col).cast("binary"), 1, 1) == F.lit(b"R")
-    ).select("seq", data_col)
+    )
 
     def _rels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -199,6 +236,13 @@ def parse_pgoutput(changes: DataFrame, data_col: str = "data") -> DataFrame:
                 if i < 0:
                     i = 0  # defensive: descriptor precedes DML on the wire
                 tbl, cols = descs[i]
+                if len(d["vals"]) != len(cols):
+                    raise ValueError(
+                        f"pgoutput: seq {seq} {d['op']} on {tbl} carries "
+                        f"{len(d['vals'])} columns but the as-of Relation "
+                        f"descriptor declares {len(cols)} — stream "
+                        "corruption or a descriptor/DML ordering violation"
+                    )
                 keys = [c for c, v in zip(cols, d["vals"]) if v is not None]
                 vals = [v for v in d["vals"] if v is not None]
                 out["seq"].append(seq)
@@ -211,7 +255,7 @@ def parse_pgoutput(changes: DataFrame, data_col: str = "data") -> DataFrame:
                     {k: pd.Series(v, dtype=object) for k, v in out.items()}
                 )
 
-    parsed = changes.select("seq", data_col).mapInPandas(
+    parsed = base.mapInPandas(
         _dml,
         "seq long, tbl string, op string, ks array<string>, vs array<string>",
     )

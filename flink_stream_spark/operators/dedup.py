@@ -1055,25 +1055,74 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 SA_MIN_REP = 2  # a position is duplicated if >= this many tokens repeat
 
 
+def _suffix_array(ts: list) -> list:
+    """Rank-doubling suffix array: O(L log² L) time, O(L) MEMORY. The
+    obvious ``sorted(range(n), key=lambda k: ts[k:])`` materializes
+    every suffix slice simultaneously — O(L²) space, which OOMs the
+    Arrow worker on one long document (50k tokens ≈ 2.5e9 list cells)
+    even though per-doc work is otherwise safe."""
+    n = len(ts)
+    first = {t: i for i, t in enumerate(sorted(set(ts)))}
+    r = [first[t] for t in ts]
+    k = 1
+    while True:
+        def key(i: int) -> tuple:
+            return (r[i], r[i + k] if i + k < n else -1)
+
+        sa = sorted(range(n), key=key)
+        tmp = [0] * n
+        for j in range(1, n):
+            tmp[sa[j]] = tmp[sa[j - 1]] + (key(sa[j]) != key(sa[j - 1]))
+        r = tmp
+        if r[sa[-1]] == n - 1:
+            return sa
+        k *= 2
+
+
+def _adjacent_lcp(ts: list, sa: list) -> list:
+    """Kasai's algorithm: lcp[j] = LCP(suffix sa[j-1], suffix sa[j]),
+    O(L) total (lcp[0] = 0)."""
+    n = len(ts)
+    rank = [0] * n
+    for j, i in enumerate(sa):
+        rank[i] = j
+    lcp = [0] * n
+    h = 0
+    for i in range(n):
+        if rank[i] > 0:
+            j = sa[rank[i] - 1]
+            while i + h < n and j + h < n and ts[i + h] == ts[j + h]:
+                h += 1
+            lcp[rank[i]] = h
+            if h:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
 def sa_span_stats_rows(ts: list) -> tuple[int, int, int, int]:
     """(n_tokens, lrs_len, dup_starts, dup_cover) for one token list.
 
     lrs_len: longest repeated substring (tokens, any length >= 1);
     dup_starts: positions whose max-repeat >= SA_MIN_REP;
     dup_cover: tokens covered by the union of [i, i + maxrep_i) spans.
-    Naive O(L² log L) suffix sort — per-DOC, L is tokens-per-doc
-    (bounded small), never corpus-sized.
+    Rank-doubling suffix sort + Kasai LCP — O(L log² L) time and O(L)
+    memory per DOC, so one pathologically long document can't OOM its
+    Arrow worker (the naive suffix-slice sort is O(L²) in SPACE).
+    maxrep_i = max(LCP with the two SA-adjacent suffixes) — the
+    standard suffix-array property the oracle reproduces by
+    brute-force pairwise LCP.
     """
     n = len(ts)
     if n == 0:
         return 0, 0, 0, 0
-    order = sorted(range(n), key=lambda k: ts[k:])
+    order = _suffix_array(ts)
+    lcp = _adjacent_lcp(ts, order)
     maxl = [0] * n
     for r in range(1, n):
+        l = lcp[r]
         a, b = order[r - 1], order[r]
-        l = 0
-        while a + l < n and b + l < n and ts[a + l] == ts[b + l]:
-            l += 1
         if l > maxl[a]:
             maxl[a] = l
         if l > maxl[b]:

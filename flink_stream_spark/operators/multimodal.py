@@ -869,7 +869,11 @@ def wav_envelope_stats(media: DataFrame) -> DataFrame:
     failing — the decode-ladder discipline. Arrow-batched, narrow."""
     import numpy as np
 
-    from flink_stream_spark.operators.wav import decode_wav, energy_envelope
+    from flink_stream_spark.operators.wav import (
+        decode_wav,
+        envelope_from_abs,
+        mono_abs,
+    )
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -883,14 +887,14 @@ def wav_envelope_stats(media: DataFrame) -> DataFrame:
                     out["sum_abs"].append(0)
                     out["env"].append([0] * ENV_WINDOWS)
                     continue
-                mono = d["samples"].sum(axis=1) // d["samples"].shape[1]
-                a = np.abs(mono)
+                a = mono_abs(d["samples"])  # computed ONCE: feeds
+                #                             peak/sum AND the envelope
                 out["doc_id"].append(doc_id)
-                out["n_frames"].append(len(mono))
+                out["n_frames"].append(len(a))
                 out["peak_abs"].append(int(a.max()))
                 out["sum_abs"].append(int(a.sum()))
                 out["env"].append(
-                    [int(v) for v in energy_envelope(d["samples"], ENV_WINDOWS)]
+                    [int(v) for v in envelope_from_abs(a, ENV_WINDOWS)]
                 )
             if out["doc_id"]:
                 yield pd.DataFrame(
@@ -1028,13 +1032,17 @@ def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
 def multimodal_audio_dedup_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     stats = wav_envelope_stats(_wav_media(d)).select("doc_id", "env").persist()
-    qe = F.transform(F.col("env"), lambda x: (x / F.lit(AUDIO_QSTEP)).cast("bigint"))
+    # quantize per extracted element, NOT via an F.transform HOF: a
+    # transform expression embedded in each of the 16 band terms is
+    # re-evaluated whole per term (16x the work) and HOF lambdas don't
+    # codegen; element_at + divide + cast stays in codegen and is
+    # numerically identical (values nonnegative, truncation == floor)
+    def qat(i: int):
+        return (F.element_at(F.col("env"), i) / F.lit(AUDIO_QSTEP)).cast("bigint")
+
     band_vals = F.array(
         *[
-            sum(
-                F.element_at(qe, 4 * b + t + 1) * F.lit(33**t)
-                for t in range(4)
-            )
+            sum(qat(4 * b + t + 1) * F.lit(33**t) for t in range(4))
             for b in range(AUDIO_BANDS)
         ]
     )
@@ -1309,15 +1317,16 @@ def multimodal_video_dedup_motion(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "block_means")
         .persist()
     )
-    qb = F.transform(
-        F.col("block_means"), lambda x: (x / F.lit(VID_QSTEP)).cast("bigint")
-    )
+    # per-element quantization (no F.transform HOF — see the audio
+    # twin's note: codegen + no whole-array re-evaluation per term)
+    def qat(i: int):
+        return (
+            F.element_at(F.col("block_means"), i) / F.lit(VID_QSTEP)
+        ).cast("bigint")
+
     band_vals = F.array(
         *[
-            sum(
-                F.element_at(qb, VID_BLOCKS * f + t + 1) * F.lit(33**t)
-                for t in range(VID_BLOCKS)
-            )
+            sum(qat(VID_BLOCKS * f + t + 1) * F.lit(33**t) for t in range(VID_BLOCKS))
             for f in range(VID_FRAMES)
         ]
     )

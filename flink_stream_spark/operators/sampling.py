@@ -303,9 +303,9 @@ def dsir_bigram_buckets(d: DataFrame) -> DataFrame:
     SELECT f.doc_id,
            CAST(SUM(f.tf) AS BIGINT) AS n_bigrams,
            CAST(SUM(f.tf * l.lr_micro) AS BIGINT) AS score_micro,
-           CAST(ROUND(CAST(SUM(f.tf * l.lr_micro) AS DOUBLE)
-                      / CAST(SUM(f.tf) AS DOUBLE) / 1000000.0, 6) AS DOUBLE)
-             AS avg_log_ratio
+           CAST(FLOOR(CAST(SUM(f.tf * l.lr_micro) AS DOUBLE)
+                      / CAST(SUM(f.tf) AS DOUBLE) + 0.5) AS BIGINT)
+             / 1000000.0 AS avg_log_ratio
     FROM tf f JOIN lr l ON l.b = f.b
     WHERE NOT f.is_target
     GROUP BY f.doc_id
@@ -372,11 +372,22 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_bigrams",
             "score_micro",
-            F.round(
-                F.col("score_micro").cast("double")
-                / F.col("n_bigrams").cast("double")
-                / F.lit(1000000.0),
-                6,
+            # average rounded half-up AT MICRO PRECISION as an exact
+            # integer, then ONE identical int->double division in both
+            # engines. ROUND(double, 6) here is engine-divergent on
+            # representational half-boundaries: Spark rounds the
+            # shortest decimal repr (BigDecimal HALF_UP of
+            # Double.toString), DuckDB the raw binary double — at
+            # sf0.1, 256024/16/1e6 = 0.0160015 landed on opposite
+            # sides (0.016002 vs 0.016001). floor(x + 0.5) of the same
+            # int-derived double is bit-deterministic in both.
+            (
+                F.floor(
+                    F.col("score_micro").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1000000.0)
             ).alias("avg_log_ratio"),
         )
         .orderBy("doc_id")

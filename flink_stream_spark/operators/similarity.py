@@ -4,9 +4,11 @@
   once, window top-k — the exact baseline. At 100 TB scale this is
   one corpus scan per query batch with no shuffle of the corpus
   (queries broadcast; the only shuffle is |queries|×k result rows).
-- hyperplane-LSH bucketed ANN: 12 fixed md5-derived hyperplanes →
-  sign-bit bucket per vector; candidates = same-bucket pairs → exact
-  cosine re-rank. The scale path: bucket join instead of cross join.
+- hyperplane-LSH bucketed ANN: corpus-adaptive plane count
+  (``lsh_num_planes`` — max(12, ceil(log2(n/64))) from one scalar
+  count) of fixed md5-derived hyperplanes → sign-bit bucket per
+  vector; candidates = same-bucket pairs → exact cosine re-rank. The
+  scale path: bucket join instead of cross join.
 
 Both are exact-arithmetic reproducible: cosine is computed in float64
 with left-to-right accumulation in both engines, and hyperplane
@@ -89,8 +91,12 @@ def lsh_num_planes(n_vecs: int) -> int:
 
 
 _NPLANES_DUCK = (
-    f"(SELECT GREATEST({N_PLANES_MIN}, CAST(CEIL(LOG2(COUNT(*) / "
-    f"{LSH_TARGET_BUCKET}.0)) AS BIGINT)) FROM embeddings)"
+    # the n <= 64 guard mirrors lsh_num_planes: LOG2(0) errors in
+    # DuckDB (GREATEST does not short-circuit), so an empty/tiny
+    # corpus must take the floor branch explicitly
+    f"(SELECT CASE WHEN COUNT(*) <= {LSH_TARGET_BUCKET} THEN {N_PLANES_MIN} "
+    f"ELSE GREATEST({N_PLANES_MIN}, CAST(CEIL(LOG2(COUNT(*) / "
+    f"{LSH_TARGET_BUCKET}.0)) AS BIGINT)) END FROM embeddings)"
 )
 
 
@@ -533,8 +539,12 @@ def lsh_bucket(
     ORDER BY vec_id
     """,
     group="similarity",
-    doc="Random-hyperplane LSH bucket assignment (12 fixed md5-derived "
-    "planes, integer dot products) — the blocking key for ANN at scale.",
+    doc="Random-hyperplane LSH bucket assignment: a corpus-adaptive "
+    "plane count (max(12, ceil(log2(n/64))) from one scalar COUNT(*), "
+    "both engines derive it — 12 below 2^18 vectors, growing with the "
+    "corpus to hold expected bucket population ~64) of fixed "
+    "md5-derived planes, integer dot products — the blocking key for "
+    "ANN at scale.",
 )
 def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
@@ -584,8 +594,10 @@ def simsearch_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     group="similarity",
     doc="Bucketed ANN: same-bucket candidates re-ranked by exact cosine, "
-    "top-3 per query vector. Join is on the 12-bit bucket — Σ bucket² "
-    "work instead of n²; recall traded for the missing cross-bucket "
+    "top-3 per query vector. Join is on the adaptive-width LSH bucket "
+    "(lsh_num_planes bits — 12 at fixture scales, wider past 2^18 "
+    "vectors so expected population stays ~64) — Σ bucket² work "
+    "instead of n²; recall traded for the missing cross-bucket "
     "neighbors, the standard IVF/LSH trade.",
 )
 def simsearch_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

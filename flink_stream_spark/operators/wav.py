@@ -123,6 +123,29 @@ def encode_wav(samples, rate: int = 16000, bits: int = 16) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def mono_abs(samples: "np.ndarray") -> "np.ndarray":
+    """|mono mix| of (n_frames, channels) samples: integer floor-mean
+    across channels, then abs — the shared input of peak/sum stats AND
+    the energy envelope (computed once per payload, not per consumer)."""
+    return np.abs(samples.sum(axis=1) // samples.shape[1])
+
+
+def envelope_from_abs(a: "np.ndarray", n_windows: int) -> "np.ndarray":
+    """Integer mean envelope over ``n_windows`` equal integer
+    partitions of an |amplitude| stream (exact floor-divisions, so an
+    oracle reproduces every value)."""
+    n = len(a)
+    out = np.zeros(n_windows, dtype=np.int64)
+    if n == 0:
+        return out
+    bounds = [(w * n) // n_windows for w in range(n_windows + 1)]
+    for w in range(n_windows):
+        lo, hi = bounds[w], bounds[w + 1]
+        if hi > lo:
+            out[w] = int(a[lo:hi].sum()) // (hi - lo)
+    return out
+
+
 def energy_envelope(samples: "np.ndarray", n_windows: int) -> "np.ndarray":
     """Integer mean-absolute-amplitude envelope over ``n_windows``
     equal integer partitions of the (mono-mixed) sample stream — the
@@ -130,15 +153,4 @@ def energy_envelope(samples: "np.ndarray", n_windows: int) -> "np.ndarray":
     (the audio analogue of the dHash block-mean grid). Mono mix is an
     integer floor-mean across channels; window mean is an exact
     integer floor-division, so an oracle reproduces every value."""
-    mono = samples.sum(axis=1) // samples.shape[1]
-    n = len(mono)
-    out = np.zeros(n_windows, dtype=np.int64)
-    if n == 0:
-        return out
-    bounds = [(w * n) // n_windows for w in range(n_windows + 1)]
-    a = np.abs(mono)
-    for w in range(n_windows):
-        lo, hi = bounds[w], bounds[w + 1]
-        if hi > lo:
-            out[w] = int(a[lo:hi].sum()) // (hi - lo)
-    return out
+    return envelope_from_abs(mono_abs(samples), n_windows)

@@ -64,8 +64,14 @@ def test_headline_within_2x_of_committed_sf1_record():
         cwd=REPO,
         env=env,
     )
+    assert res.returncode == 0, (
+        f"bench.py failed (rc={res.returncode}); stderr tail: "
+        f"{res.stderr[-2000:]}"
+    )
     line = res.stdout.strip().splitlines()[-1]
     measured = json.loads(line)["queries"]
+    absent = [q for q in HEADLINE if q not in measured]
+    assert not absent, f"bench.py output is missing headline queries: {absent}"
 
     breaches = []
     for name in HEADLINE:
