@@ -13,6 +13,7 @@ import numpy as np
 from pyspark.sql import functions as F
 
 from flink_stream_spark.operators.multimodal import dhash_near_dup_pairs
+from flink_stream_spark.operators.gif import encode_gif_gray
 from flink_stream_spark.operators.png import encode_png
 from flink_stream_spark.streaming.image_dedup_stream import (
     start_incremental_image_dedup,
@@ -37,9 +38,11 @@ def _greedy_reference(all_ids, verified_pairs):
 
 def _corpus() -> list[tuple[int, bytes]]:
     """24 images: 8 distinct bases; each base followed later in the
-    stream by a re-encode (filter/level change — identical pixels)
-    and a patch-edit near-dup, interleaved so duplicates land in
-    DIFFERENT micro-batches than their originals."""
+    stream by a re-encode (identical pixels — PNG filter/level change
+    for odd k, a CROSS-CONTAINER GIF re-encode for even k, interlaced
+    every other time: the stream must dedup the same image across
+    codecs) and a patch-edit near-dup, interleaved so duplicates land
+    in DIFFERENT micro-batches than their originals."""
     rng = np.random.RandomState(23)
     bases = []
     for k in range(8):
@@ -52,7 +55,13 @@ def _corpus() -> list[tuple[int, bytes]]:
     for k, img in enumerate(bases):
         docs.append((k, encode_png(img, filter_type=k % 5, level=9)))
     for k, img in enumerate(bases):
-        docs.append((100 + k, encode_png(img, filter_type=(k + 2) % 5, level=1)))
+        if k % 2 == 0:
+            payload = encode_gif_gray(
+                img.astype(np.int64), interlace=bool((k // 2) % 2)
+            )
+        else:
+            payload = encode_png(img, filter_type=(k + 2) % 5, level=1)
+        docs.append((100 + k, payload))
     for k, img in enumerate(bases):
         edited = img.copy()
         edited[6:9, 8:12] = 255 - edited[6:9, 8:12]
@@ -111,7 +120,8 @@ def test_incremental_image_dedup_matches_greedy_batch(spark, tmp_path):
     got_kept = {r["doc_id"] for r in flag_rows if not r["is_dup"]}
     assert got_dups == dup_of_ref
     assert got_kept == kept_ref
-    # every re-encode (100+k) was caught as a dup of its base
+    # every re-encode (100+k) was caught as a dup of its base —
+    # including the cross-container GIF copies of PNG originals
     assert all(100 + k in got_dups for k in range(8))
 
     # bounded index growth: exactly one 16-byte hash row per KEPT image
