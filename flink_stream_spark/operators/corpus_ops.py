@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.exactmath import round6_ratio, round6_ratio_sql
 from flink_stream_spark.operators.dedup import (
     _VERIFIED_CLUSTERED_DUCK,
     connected_components,
@@ -251,7 +252,7 @@ def dedup_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_rate_by_source",
     _VERIFIED_CLUSTERED_DUCK
-    + """
+    + f"""
     , member AS (
       SELECT d.doc_id, d.source,
              COALESCE(c.cluster_id, d.doc_id) AS cluster_id
@@ -262,9 +263,9 @@ def dedup_canonical_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) FILTER (WHERE s.sz > 1 AND m.doc_id <> m.cluster_id)
                 AS BIGINT) AS n_dup_docs,
-           CAST(ROUND(CAST(COUNT(*) FILTER (WHERE s.sz > 1
-                                            AND m.doc_id <> m.cluster_id)
-                           AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS dup_rate
+           {round6_ratio_sql(
+               "COUNT(*) FILTER (WHERE s.sz > 1 AND m.doc_id <> m.cluster_id)",
+               "COUNT(*)")} AS dup_rate
     FROM member m JOIN csize s USING (cluster_id)
     GROUP BY m.source
     ORDER BY m.source
@@ -303,9 +304,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_dup_docs",
-            F.round(F.col("n_dup_docs").cast("double") / F.col("n_docs"), 6).alias(
-                "dup_rate"
-            ),
+            round6_ratio(F.col("n_dup_docs"), F.col("n_docs")).alias("dup_rate"),
         )
         .orderBy("source")
     )
@@ -480,7 +479,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_unigram_rarity",
-    """
+    f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     counts AS (
@@ -496,7 +495,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks k JOIN freq f USING (token)
       GROUP BY k.doc_id)
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(ROUND(CAST(s AS DOUBLE) / n_tokens, 6) AS DOUBLE)
+           {round6_ratio_sql("s", "n_tokens")}
              AS mean_token_freq_ppm
     FROM scored
     ORDER BY doc_id
@@ -529,7 +528,7 @@ def text_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
-            F.round(F.col("s").cast("double") / F.col("n_tokens"), 6).alias(
+            round6_ratio(F.col("s"), F.col("n_tokens")).alias(
                 "mean_token_freq_ppm"
             ),
         )
@@ -555,7 +554,7 @@ VOCAB_TOPK = 100
              SUM(cnt) OVER () AS total
       FROM counts)
     SELECT token, CAST(cnt AS BIGINT) AS cnt,
-           CAST(ROUND(CAST(cum AS DOUBLE) / total, 6) AS DOUBLE) AS cum_share
+           {round6_ratio_sql("cum", "total")} AS cum_share
     FROM ranked
     ORDER BY cnt DESC, token ASC
     LIMIT {VOCAB_TOPK}
@@ -595,7 +594,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             F.col("cnt").cast("bigint").alias("cnt"),
-            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias("cum_share"),
+            round6_ratio(F.col("cum"), F.col("total")).alias("cum_share"),
         )
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
     )
@@ -970,11 +969,10 @@ def _bpe_encode_oracle() -> str:
                 AS BIGINT) AS n_tokens_raw,
            CAST(len(string_split(substr(z.rep, 2, length(z.rep) - 2), '~~'))
                 AS BIGINT) AS n_tokens_bpe,
-           CAST(ROUND(
-             CAST(len(string_split(substr(a.rep, 2, length(a.rep) - 2), '~~'))
-                  AS DOUBLE)
-             / len(string_split(substr(z.rep, 2, length(z.rep) - 2), '~~')), 6)
-                AS DOUBLE) AS compression
+           {round6_ratio_sql(
+               "len(string_split(substr(a.rep, 2, length(a.rep) - 2), '~~'))",
+               "len(string_split(substr(z.rep, 2, length(z.rep) - 2), '~~'))")}
+             AS compression
     FROM r0 a JOIN r{BPE_ROUNDS} z USING (doc_id)
     ORDER BY a.doc_id
     """
@@ -1065,8 +1063,8 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens_raw",
             "n_tokens_bpe",
-            F.round(
-                F.col("n_tokens_raw").cast("double") / F.col("n_tokens_bpe"), 6
+            round6_ratio(
+                F.col("n_tokens_raw"), F.col("n_tokens_bpe")
             ).alias("compression"),
         )
         .orderBy("doc_id")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.exactmath import round6_ratio, round6_ratio_sql
 from flink_stream_spark.operators.registry import register
 from flink_stream_spark.operators.text import tok_hash_duck, _tok_hash_spark
 
@@ -395,7 +396,7 @@ def lsh_candidate_pairs(sig_wide: DataFrame) -> DataFrame:
     sizes AS (
       SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
     SELECT p.doc_a, p.doc_b,
-           CAST(ROUND(CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared), 6) AS DOUBLE) AS jaccard
+           {round6_ratio_sql('p.shared', 'za.n + zb.n - p.shared')} AS jaccard
     FROM pair_overlap p JOIN sizes za ON za.doc_id = p.doc_a
                         JOIN sizes zb ON zb.doc_id = p.doc_b
     WHERE CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared) >= 0.5
@@ -420,15 +421,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline (verified: a candidate-semi-filtered variant that broke
     # the reuse measured ~1.6x slower end-to-end).
     shared = F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles")))
-    jac = shared.cast("double") / (
-        F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - shared
-    )
+    union = F.size(F.col("sa.shingles")) + F.size(F.col("sb.shingles")) - shared
+    jac = shared.cast("double") / union
     return (
         cand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .withColumn("jaccard_raw", jac)
-        .filter(F.col("jaccard_raw") >= 0.5)
-        .select("doc_a", "doc_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", round6_ratio(shared, union).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -496,7 +495,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_RARE_CAND_DUCK},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
     SELECT p.doc_a, p.doc_b,
-           CAST(ROUND(CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared), 6) AS DOUBLE) AS jaccard
+           {round6_ratio_sql('p.shared', 'za.n + zb.n - p.shared')} AS jaccard
     FROM pair_overlap p JOIN sizes za ON za.doc_id = p.doc_a
                         JOIN sizes zb ON zb.doc_id = p.doc_b
     WHERE CAST(p.shared AS DOUBLE) / (za.n + zb.n - p.shared) >= 0.6
@@ -523,14 +522,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = _exact_pair_overlap(shared_shingle_candidates(sh), sh)
     za = sizes.alias("za")
     zb = sizes.alias("zb")
-    jac = F.col("shared").cast("double") / (
-        F.col("za.n") + F.col("zb.n") - F.col("shared")
-    )
+    union = F.col("za.n") + F.col("zb.n") - F.col("shared")
+    jac = F.col("shared").cast("double") / union
     return (
         overlap.join(za, F.col("za.doc_id") == F.col("doc_a"))
         .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.6)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", round6_ratio(F.col("shared"), union).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -815,7 +813,7 @@ def dedup_prefix_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_RARE_CAND_DUCK},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id)
     SELECT p.doc_a, p.doc_b,
-           CAST(ROUND(CAST(p.shared AS DOUBLE) / LEAST(za.n, zb.n), 6) AS DOUBLE)
+           {round6_ratio_sql('p.shared', 'LEAST(za.n, zb.n)')}
              AS containment
     FROM pair_overlap p JOIN sizes za ON za.doc_id = p.doc_a
                         JOIN sizes zb ON zb.doc_id = p.doc_b
@@ -844,12 +842,13 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap = _exact_pair_overlap(shared_shingle_candidates(sh), sh)
     za = sizes.alias("za")
     zb = sizes.alias("zb")
-    cont = F.col("shared").cast("double") / F.least(F.col("za.n"), F.col("zb.n"))
+    mins = F.least(F.col("za.n"), F.col("zb.n"))
+    cont = F.col("shared").cast("double") / mins
     return (
         overlap.join(za, F.col("za.doc_id") == F.col("doc_a"))
         .join(zb, F.col("zb.doc_id") == F.col("doc_b"))
         .filter(cont >= 0.8)
-        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+        .select("doc_a", "doc_b", round6_ratio(F.col("shared"), mins).alias("containment"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -939,8 +938,7 @@ K_SPAN = 5
            COALESCE(d.dup_positions, 0) AS dup_positions,
            COALESCE(d.dup_tokens, 0) AS dup_tokens,
            COALESCE(d.n_spans, 0) AS n_spans,
-           CAST(ROUND(CAST(COALESCE(d.dup_tokens, 0) AS DOUBLE) / s.n_tokens, 6)
-                AS DOUBLE) AS dup_frac
+           {round6_ratio_sql('COALESCE(d.dup_tokens, 0)', 's.n_tokens')} AS dup_frac
     FROM stats s LEFT JOIN per_doc d USING (doc_id)
     ORDER BY doc_id
     """,
@@ -1031,9 +1029,8 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_positions", F.lit(0)).cast("bigint").alias("dup_positions"),
             F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
             F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
-            F.round(
-                F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("n_tokens"),
-                6,
+            round6_ratio(
+                F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens")
             ).alias("dup_frac"),
         )
         .orderBy("doc_id")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from flink_stream_spark.catalog import load_table
+from flink_stream_spark.operators.exactmath import round6_ratio, round6_ratio_sql
 from flink_stream_spark.operators.registry import register
 
 
@@ -145,7 +146,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_zipf_entropy",
-    """
+    f"""
     WITH toks AS (
       SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
     counts AS (
@@ -161,7 +162,7 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST(vocab AS BIGINT) AS vocab,
            CAST(ROUND(ln(CAST(n_tokens AS DOUBLE)) - s / n_tokens, 6) AS DOUBLE) AS entropy,
-           CAST(ROUND(CAST(top_c AS DOUBLE) / n_tokens, 6) AS DOUBLE) AS top_token_frac
+           {round6_ratio_sql("top_c", "n_tokens")} AS top_token_frac
     FROM stats
     ORDER BY source
     """,
@@ -197,9 +198,7 @@ def text_zipf_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.log(F.col("n_tokens").cast("double")) - F.col("s") / F.col("n_tokens"), 6
         ).alias("entropy"),
-        F.round(F.col("top_c").cast("double") / F.col("n_tokens"), 6).alias(
-            "top_token_frac"
-        ),
+        round6_ratio(F.col("top_c"), F.col("n_tokens")).alias("top_token_frac"),
     ).orderBy("source")
 
 
@@ -325,9 +324,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT f.doc_id,
            CAST(SUM(f.tf) AS BIGINT) AS n_tokens,
            CAST(SUM(f.tf * n.nll_micro) AS BIGINT) AS nll_micro_total,
-           CAST(ROUND(CAST(SUM(f.tf * n.nll_micro) AS DOUBLE)
-                      / CAST(SUM(f.tf) AS DOUBLE) / 1000000.0, 6) AS DOUBLE)
-             AS avg_nll
+           CAST(FLOOR(CAST(SUM(f.tf * n.nll_micro) AS DOUBLE)
+                      / CAST(SUM(f.tf) AS DOUBLE) + 0.5) AS BIGINT)
+             / 1000000.0 AS avg_nll
     FROM tf f JOIN nll n ON f.term = n.term
     GROUP BY f.doc_id
     ORDER BY f.doc_id
@@ -378,14 +377,17 @@ def text_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "nll_micro_total",
-            F.round(
-                F.col("nll_micro_total").cast("double")
-                / F.col("n_tokens").cast("double")
-                / F.lit(1000000.0),
-                6,
-            )
-            .cast("double")
-            .alias("avg_nll"),
+            # half-up at micro precision in exact integers, then one
+            # int->double division (see exactmath: ROUND(double, 6)
+            # diverges between engines on half-boundaries)
+            (
+                F.floor(
+                    F.col("nll_micro_total").cast("double")
+                    / F.col("n_tokens").cast("double")
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("avg_nll"),
         )
         .orderBy("doc_id")
     )

@@ -123,13 +123,17 @@ def dsir_score_batch(raw_docs: DataFrame, lm_cells: DataFrame) -> DataFrame:
             F.sum(F.col("tf") * F.col("lr_micro")).cast("bigint").alias(
                 "score_micro"
             ),
-            F.round(
-                F.sum(F.col("tf") * F.col("lr_micro")).cast("double")
-                / F.sum("tf").cast("double")
-                / 1_000_000.0,
-                6,
-            )
-            .cast("double")
-            .alias("avg_log_ratio"),
+            # mirror the batch query exactly: half-up at micro
+            # precision in exact integers, then one int->double
+            # division (operators/exactmath.py — ROUND(double, 6)
+            # diverges between engines on half-boundaries)
+            (
+                F.floor(
+                    F.sum(F.col("tf") * F.col("lr_micro")).cast("double")
+                    / F.sum("tf").cast("double")
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1_000_000.0)
+            ).alias("avg_log_ratio"),
         )
     )
