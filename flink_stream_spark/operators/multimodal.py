@@ -983,6 +983,85 @@ def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
     return wav_envelope_stats(_wav_media(d)).orderBy("doc_id")
 
 
+def audio_band_vals(env_col: str = "env"):
+    """The AUDIO_BANDS packed band-signature values of a stored raw
+    envelope column — a pure column expression, so an index holding
+    raw envelopes re-blocks algebraically (the image-stream lesson:
+    store the signal, derive the blocking). Quantizes per extracted
+    element, NOT via an F.transform HOF: a transform embedded in each
+    of the 16 band terms is re-evaluated whole per term (16x the
+    work) and HOF lambdas don't codegen; element_at + divide + cast
+    stays in codegen and is numerically identical (values
+    nonnegative, truncation == floor)."""
+
+    def qat(i: int):
+        return (F.element_at(F.col(env_col), i) / F.lit(AUDIO_QSTEP)).cast(
+            "bigint"
+        )
+
+    return F.array(
+        *[
+            sum(qat(4 * b + t + 1) * F.lit(33**t) for t in range(4))
+            for b in range(AUDIO_BANDS)
+        ]
+    )
+
+
+def envelope_l1(ea, eb):
+    """Exact L1 over two ENV_WINDOWS envelopes as codegen'd abs-diff
+    terms (JVM-side, no HOF)."""
+    l1 = None
+    for i in range(ENV_WINDOWS):
+        term = F.abs(ea[i] - eb[i])
+        l1 = term if l1 is None else l1 + term
+    return l1.cast("bigint")
+
+
+def envelope_near_dup_pairs(stats: DataFrame, cap_hot: bool = True) -> DataFrame:
+    """(doc_id, env) -> verified near-dup pairs (doc_a < doc_b,
+    l1_dist): banded nomination + exact L1 <= AUDIO_L1_MAX verify —
+    the shared kernel of the batch query and the streaming twin.
+    ``cap_hot`` applies the batch-global hot-band cap (the streaming
+    probe side must NOT cap — see streaming/audio_dedup_stream.py)."""
+    bv = stats.select(
+        "doc_id", F.posexplode(audio_band_vals()).alias("band_idx", "band_val")
+    )
+    if cap_hot:
+        hot_ok = (
+            bv.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= AUDIO_BAND_CAP)
+            .select("band_idx", "band_val")
+        )
+        bv = bv.join(hot_ok, ["band_idx", "band_val"])
+    cand = (
+        bv.alias("a")
+        .join(
+            bv.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ea = stats.select(F.col("doc_id").alias("doc_a"), F.col("env").alias("ea"))
+    eb = stats.select(F.col("doc_id").alias("doc_b"), F.col("env").alias("eb"))
+    return (
+        cand.join(ea, "doc_a")
+        .join(eb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            envelope_l1(F.col("ea"), F.col("eb")).alias("l1_dist"),
+        )
+        .filter(F.col("l1_dist") <= AUDIO_L1_MAX)
+    )
+
+
+
 @register(
     "multimodal_audio_dedup_envelope",
     _WAV_ENV_DUCK
@@ -1032,56 +1111,7 @@ def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFram
 def multimodal_audio_dedup_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     stats = wav_envelope_stats(_wav_media(d)).select("doc_id", "env").persist()
-    # quantize per extracted element, NOT via an F.transform HOF: a
-    # transform expression embedded in each of the 16 band terms is
-    # re-evaluated whole per term (16x the work) and HOF lambdas don't
-    # codegen; element_at + divide + cast stays in codegen and is
-    # numerically identical (values nonnegative, truncation == floor)
-    def qat(i: int):
-        return (F.element_at(F.col("env"), i) / F.lit(AUDIO_QSTEP)).cast("bigint")
-
-    band_vals = F.array(
-        *[
-            sum(qat(4 * b + t + 1) * F.lit(33**t) for t in range(4))
-            for b in range(AUDIO_BANDS)
-        ]
-    )
-    bv = stats.select(
-        "doc_id", F.posexplode(band_vals).alias("band_idx", "band_val")
-    )
-    hot_ok = (
-        bv.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= AUDIO_BAND_CAP)
-        .select("band_idx", "band_val")
-    )
-    bvk = bv.join(hot_ok, ["band_idx", "band_val"])
-    cand = (
-        bvk.alias("a")
-        .join(
-            bvk.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    ea = stats.select(F.col("doc_id").alias("doc_a"), F.col("env").alias("ea"))
-    eb = stats.select(F.col("doc_id").alias("doc_b"), F.col("env").alias("eb"))
-    l1 = None
-    for i in range(ENV_WINDOWS):
-        term = F.abs(F.col("ea")[i] - F.col("eb")[i])
-        l1 = term if l1 is None else l1 + term
-    return (
-        cand.join(ea, "doc_a")
-        .join(eb, "doc_b")
-        .select("doc_a", "doc_b", l1.cast("bigint").alias("l1_dist"))
-        .filter(F.col("l1_dist") <= AUDIO_L1_MAX)
-        .orderBy("doc_a", "doc_b")
-    )
+    return envelope_near_dup_pairs(stats).orderBy("doc_a", "doc_b")
 
 
 # --- video: Y4M codec round-trip + motion-signature near-dup --------------

@@ -1,0 +1,186 @@
+"""Incremental streaming AUDIO near-dedup against an accumulated index.
+
+The audio twin of ``streaming/image_dedup_stream.py``, completing the
+modality set (text: ``dedup_stream.py``, images:
+``image_dedup_stream.py``): media arrives in micro-batches; each
+batch decodes through the REAL WAV codec to its 16-window integer
+energy envelope (``wav_envelope_stats`` — non-WAV payloads take the
+zero-envelope fallback row, the shared decode-ladder), is probed
+against the accumulated envelope index of all previously KEPT clips
+via the banded signatures, exact-L1 verified (≤ ``AUDIO_L1_MAX`` over
+the full envelope), and flagged keep-or-duplicate. Kept clips' RAW
+envelopes join the index (16 bigints/doc); duplicates never do —
+keep-FIRST semantics in stream order, matching the text and image
+twins.
+
+The index stores the raw envelope, not pre-exploded band values, so
+banding is re-derived per batch as a pure column expression
+(``audio_band_vals``) over the stored signal — the image-stream
+lesson: store the signal, derive the blocking, and the index never
+needs rewriting if the banding policy changes. The batch query's
+hot-band cap is deliberately NOT applied on the probe side: the cap
+is a batch-global recall/cost trade, and an incremental probe joining
+new-batch rows (small) against a capped index would silently drop
+true dups as buckets heat up over epochs; probe join cost is
+|batch|×bucket, bounded by the batch size. Within-batch duplicate
+resolution reuses the generic DataFrame-side greedy fixpoint — no
+pair ever reaches the driver.
+
+Replay safety: every commit carries an ``epoch:<id>`` idempotency
+token (at-least-once foreachBatch re-deliveries no-op), and the probe
+excludes self-pairs so a replay against a partially-committed epoch
+computes the identical flag set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_stream_spark.operators.multimodal import (
+    AUDIO_L1_MAX,
+    audio_band_vals,
+    envelope_l1,
+    wav_envelope_stats,
+)
+from flink_stream_spark.streaming.dedup_stream import _resolve_greedy_keep_first
+from flink_stream_spark.tables.managed import ManagedTable
+
+
+def _explode_bands(envs: DataFrame) -> DataFrame:
+    return envs.select(
+        "doc_id", F.posexplode(audio_band_vals()).alias("band_idx", "band_val")
+    )
+
+
+def _verified_dup_pairs(
+    new_envs: DataFrame, index_envs: DataFrame, cand: DataFrame
+) -> DataFrame:
+    """Exact-L1 verify of candidate (new_doc, old_doc) pairs — the
+    same codegen'd abs-diff chain as the batch query."""
+    ea = new_envs.select(
+        F.col("doc_id").alias("new_doc"), F.col("env").alias("e_new")
+    )
+    eb = index_envs.select(
+        F.col("doc_id").alias("old_doc"), F.col("env").alias("e_old")
+    )
+    return (
+        cand.join(ea, "new_doc")
+        .join(eb, "old_doc")
+        .filter(envelope_l1(F.col("e_new"), F.col("e_old")) <= AUDIO_L1_MAX)
+        .select("new_doc", "old_doc")
+    )
+
+
+def process_audio_batch(
+    batch: DataFrame,
+    index_table: ManagedTable,
+    flags_table: ManagedTable,
+    epoch_id: "int | None" = None,
+) -> None:
+    """Admit one micro-batch of (doc_id, payload binary) against the
+    envelope index. Within the batch, stream order is doc_id order
+    (the replay contract); a batch clip can be a duplicate of an
+    earlier KEPT batch clip, resolved greedily DataFrame-side."""
+    spark = batch.sparkSession
+    token = None if epoch_id is None else f"epoch:{epoch_id}"
+    envs_new = (
+        wav_envelope_stats(batch)
+        .select("doc_id", "env")
+        .localCheckpoint(eager=True)
+    )
+    e_new = _explode_bands(envs_new)
+
+    if index_table.exists():
+        idx = index_table.read(spark)
+        e_idx = _explode_bands(idx)
+        cand_idx = (
+            e_new.alias("n")
+            .join(
+                e_idx.alias("i"),
+                (F.col("n.band_idx") == F.col("i.band_idx"))
+                & (F.col("n.band_val") == F.col("i.band_val"))
+                & (F.col("n.doc_id") != F.col("i.doc_id")),
+            )
+            .select(
+                F.col("n.doc_id").alias("new_doc"),
+                F.col("i.doc_id").alias("old_doc"),
+            )
+            .distinct()
+        )
+        dup_vs_index = _verified_dup_pairs(envs_new, idx, cand_idx)
+        flagged = dup_vs_index.groupBy("new_doc").agg(
+            F.min("old_doc").alias("dup_of")
+        )
+    else:
+        flagged = spark.createDataFrame([], "new_doc bigint, dup_of bigint")
+    flagged = flagged.localCheckpoint(eager=True)
+
+    # within-batch: same banding, smaller-id side is the "old" doc
+    cand_local = (
+        e_new.alias("a")
+        .join(
+            e_new.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("b.doc_id").alias("new_doc"), F.col("a.doc_id").alias("old_doc")
+        )
+        .distinct()
+    )
+    dup_local = _verified_dup_pairs(envs_new, envs_new, cand_local).localCheckpoint(
+        eager=True
+    )
+    local_flagged = _resolve_greedy_keep_first(
+        batch.select("doc_id"), dup_local, flagged
+    )
+    flagged = flagged.unionByName(local_flagged)
+
+    flags = (
+        batch.select("doc_id")
+        .join(flagged, batch.doc_id == flagged.new_doc, "left")
+        .select(
+            "doc_id",
+            F.col("dup_of"),
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    flags_table.append(flags, token=token)
+
+    kept = flags.filter(~F.col("is_dup")).select("doc_id")
+    index_table.append(envs_new.join(kept, "doc_id"), token=token)
+
+    for t in (flags_table, index_table):
+        t.maybe_compact(spark)
+
+
+def start_incremental_audio_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    index_table: ManagedTable,
+    flags_table: ManagedTable,
+    checkpoint_dir: str,
+):
+    """File-replayed media stream → per-batch incremental audio dedup.
+    One file per trigger keeps batch boundaries deterministic for the
+    parity test; a Kafka/object-store source swaps in behind the same
+    foreachBatch."""
+    stream = (
+        spark.readStream.schema("doc_id bigint, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def _apply(batch: DataFrame, epoch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        process_audio_batch(batch, index_table, flags_table, epoch_id=epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
