@@ -392,3 +392,114 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Leakage-safe splitting: near-duplicates must never straddle a
+# train/val/test boundary, or the held-out sets are contaminated by
+# paraphrases/re-crawls of training documents and every eval number
+# is inflated (the decontamination literature's canonical failure).
+# The fix is structural: split on the NEAR-DUP CLUSTER id, not the
+# doc id — every member of a connected component gets the same
+# bucket, so leakage across splits is impossible by construction
+# rather than filtered after the fact.
+def _cluster_split_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.operators.dedup import dedup_cluster_assign
+
+    assigned = dedup_cluster_assign(spark, sf_dir)
+    b = hash_bucket(F.col("cluster_id"))
+    split = (
+        F.when(b < 80, F.lit("train"))
+        .when(b < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return assigned.select("doc_id", "cluster_id", split.alias("split"))
+
+
+def _leakage_split_duck() -> str:
+    from flink_stream_spark.operators.dedup import _VERIFIED_CLUSTERED_DUCK
+
+    bucket = _bucket_duck("COALESCE(c.cluster_id, d.doc_id)")
+    return (
+        _VERIFIED_CLUSTERED_DUCK
+        + f"""
+    , split_assign AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+             CASE WHEN {bucket} < 80 THEN 'train'
+                  WHEN {bucket} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents d LEFT JOIN clustered c ON c.doc = d.doc_id)
+"""
+    )
+
+
+@register(
+    "sample_leakage_safe_split",
+    _leakage_split_duck()
+    + """
+    SELECT doc_id, cluster_id, split FROM split_assign
+    ORDER BY doc_id
+    """,
+    group="sampling",
+    doc="Leakage-safe train/val/test split: every document is bucketed "
+    "by the md5 hash of its NEAR-DUP CLUSTER id (connected components "
+    "over the Jaccard-verified MinHash-LSH pair graph — the "
+    "dedup_cluster_assign machinery), 80/10/10, so near-duplicates "
+    "can never straddle a split boundary and eval contamination by "
+    "paraphrases/re-crawls of training docs is impossible by "
+    "construction (vs doc_id-hash splitting, which leaks every "
+    "near-dup pair whose members hash apart). Scale: the split "
+    "column is a pure function of cluster_id — zero cost beyond the "
+    "cluster assignment itself (pointer-doubled components, "
+    "O(log diameter) rounds); the hash split is "
+    "partitioning-independent, so the assignment is stable under "
+    "any repartition or incremental recompute.",
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cluster_split_frame(spark, sf_dir).orderBy("doc_id")
+
+
+@register(
+    "sample_leakage_split_audit",
+    _leakage_split_duck()
+    + """
+    , per_split AS (
+      SELECT split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM split_assign GROUP BY split),
+    straddlers AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters FROM (
+        SELECT cluster_id FROM split_assign
+        GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1))
+    SELECT p.split, p.n_docs, p.n_clusters, s.n_leaky_clusters
+    FROM per_split p CROSS JOIN straddlers s
+    ORDER BY p.split
+    """,
+    group="sampling",
+    doc="Audit of the leakage-safe split: per-split doc and cluster "
+    "counts plus the number of clusters whose members straddle more "
+    "than one split — ZERO by construction (the split is a function "
+    "of cluster_id), and this query PROVES it on the data rather "
+    "than asserting it, the shape a data-governance check runs "
+    "before a training launch. Scale: two hash aggregations over "
+    "(cluster_id, split) pairs; no join against the corpus beyond "
+    "the cluster assignment.",
+)
+def sample_leakage_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assigned = _cluster_split_frame(spark, sf_dir)
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    straddlers = (
+        assigned.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky_clusters"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(straddlers))
+        .select("split", "n_docs", "n_clusters", "n_leaky_clusters")
+        .orderBy("split")
+    )
