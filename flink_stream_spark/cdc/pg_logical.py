@@ -39,13 +39,19 @@ _VAL = r"('(?:[^']|'')*'|[^ ]+)"
 _PAIR_RE = r"\w+\[[^\]]+\]:" + _VAL.replace("(", "(?:", 1)
 _KEY_RE = r"^(\w+)\["
 _VAL_RE = r"\]:" + _VAL + "$"
-_HEAD_RE = r"^table ([\w.]+): (INSERT|UPDATE|DELETE):"
+_HEAD_RE = r"^table ([\w.]+): (INSERT|UPDATE|DELETE|TRUNCATE):"
 
 
 def parse_test_decoding(changes: DataFrame, data_col: str = "data") -> DataFrame:
     """(seq, data) -> (seq, tbl, op, after map<string,string>).
 
-    Non-change rows (BEGIN/COMMIT markers) are dropped. Quoted values
+    Non-change rows (BEGIN/COMMIT markers) are dropped. TRUNCATE
+    renders as ``table x: TRUNCATE: (no-flags)`` and is emitted with
+    an empty image (``(no-flags)`` matches no col[type]:value
+    fragment), mirroring the pgoutput twin; a multi-table
+    ``TRUNCATE a, b`` renders as ``table a, b: TRUNCATE:`` which the
+    single-table head regex does not match — use the pgoutput parser
+    (which receives one relid per table) for that case. Quoted values
     are unquoted with '' -> ' unescaping; bare tokens pass through as
     their text rendering (the caller casts as needed).
 
@@ -92,14 +98,31 @@ def parse_test_decoding(changes: DataFrame, data_col: str = "data") -> DataFrame
 
 def cdc_final_state_from_log(parsed: DataFrame, key: str) -> DataFrame:
     """Replay the ordered change log to current state: last change per
-    (tbl, key) wins; a last-op DELETE removes the row. Returns
-    (tbl, key, after) for surviving rows — the same last-per-key +
-    delete-aware apply as cdc/envelope.py, over the logical-slot
-    source."""
-    keyed = parsed.withColumn("k", F.col("after").getItem(key))
+    (tbl, key) wins; a last-op DELETE removes the row, and a TRUNCATE
+    removes every row of its table whose last change precedes it
+    (rows re-inserted after the truncate survive — exactly Postgres
+    semantics). Returns (tbl, key, after) for surviving rows — the
+    same last-per-key + delete-aware apply as cdc/envelope.py, over
+    the logical-slot source.
+
+    Scale: one shuffle on (tbl, key) for the window; the truncate
+    side aggregates to one row per truncated TABLE (broadcast-size by
+    construction) and joins broadcast, so honoring TRUNCATE adds no
+    second data-volume shuffle."""
+    trunc = (
+        parsed.filter(F.col("op") == "TRUNCATE")
+        .groupBy("tbl")
+        .agg(F.max("seq").alias("__trunc_seq"))
+    )
+    dml = parsed.filter(F.col("op") != "TRUNCATE")
+    keyed = dml.withColumn("k", F.col("after").getItem(key))
     w = Window.partitionBy("tbl", "k").orderBy(F.desc("seq"))
     return (
         keyed.withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") == 1) & (F.col("op") != "DELETE"))
+        .join(F.broadcast(trunc), "tbl", "left")
+        .filter(
+            F.col("__trunc_seq").isNull() | (F.col("seq") > F.col("__trunc_seq"))
+        )
         .select("tbl", F.col("k").alias(key), "after")
     )

@@ -11,12 +11,16 @@ protocol.sgml) as fetched by ``pg_logical_slot_peek_binary_changes``
 over JDBC (bytea → Spark binary).
 
 Message kinds handled: Begin 'B', Commit 'C', Origin 'O', Relation
-'R', Type 'Y', Insert 'I', Update 'U', Delete 'D', Truncate 'T',
-Message 'M'. TupleData columns arrive text-format ('t') under proto
-version 1 without the binary option; 'n' (NULL) and 'u' (unchanged
-TOAST) columns are omitted from the emitted image — for a full
-old-image on UPDATE/DELETE set ``REPLICA IDENTITY FULL``, exactly as
-Debezium requires for the same fidelity.
+'R', Type 'Y', Insert 'I', Update 'U', Delete 'D', Truncate 'T'
+(emitted as op=TRUNCATE rows, one per truncated relation, which
+``cdc_final_state_from_log`` honors by dropping every row whose last
+change precedes the truncate), Message 'M'. TupleData columns must
+arrive text-format ('t') — a slot opened with the ``binary`` option
+sends internal send/recv bytes and the parser fails LOUDLY rather
+than mojibake-decode them; 'n' (NULL) and 'u' (unchanged TOAST)
+columns are omitted from the emitted image — for a full old-image on
+UPDATE/DELETE set ``REPLICA IDENTITY FULL``, exactly as Debezium
+requires for the same fidelity.
 
 Shape: one narrow Arrow-batched pass parses DML; Relation messages
 (the per-table column catalogs, re-sent once per decoding session or
@@ -60,12 +64,23 @@ def _tuple_data(b: bytes, pos: int) -> tuple[list, int]:
         pos += 1
         if kind in (0x6E, 0x75):  # 'n' null / 'u' unchanged toast
             vals.append(None)
-        elif kind in (0x74, 0x62):  # 't' text / 'b' binary (proto>=v1 opt)
+        elif kind == 0x74:  # 't' text
             (vlen,) = struct.unpack_from(">I", b, pos)
             pos += 4
             raw = b[pos : pos + vlen]
             pos += vlen
-            vals.append(raw.decode("utf-8", errors="replace"))
+            vals.append(raw.decode("utf-8"))
+        elif kind == 0x62:  # 'b' binary-format column (slot opened with
+            # the "binary" option): the payload is the type's internal
+            # send/recv representation, NOT text — lossy-decoding it
+            # would silently emit mojibake into the CDC after-map.
+            # Loud-fail (the module discipline): this parser supports
+            # text-format slots only, which is how the e2e opens them.
+            raise ValueError(
+                "pgoutput: binary-format TupleData column ('b') — this "
+                "parser handles text-format slots; create the slot "
+                "without the 'binary' option"
+            )
         else:
             raise ValueError(f"unknown TupleData column kind {kind:#x}")
     return vals, pos
@@ -114,16 +129,29 @@ def _parse_relation_body(b: bytes) -> dict:
 
 
 def parse_dml_message(data: bytes) -> "dict | None":
-    """Insert/Update/Delete -> {op, relid, vals}; None for every
-    non-DML message (Begin/Commit/Relation/Origin/Type/Truncate/...).
-    Truncated/corrupt DML raises a contextual ValueError (loud-fail:
-    silently skipping a change is CDC data loss).
+    """Insert/Update/Delete -> {op, relid, vals}; Truncate ('T') ->
+    {op: "TRUNCATE", relids: [...]} (one message can truncate several
+    tables); None for every non-change message
+    (Begin/Commit/Relation/Origin/Type/Message). Truncated/corrupt
+    DML raises a contextual ValueError (loud-fail: silently skipping
+    a change is CDC data loss).
 
     ``vals`` is the NEW row image for INSERT/UPDATE and the key/old
     image for DELETE (that is what the wire carries), positional
     against the relation's column list.
     """
     b = bytes(data)
+    if b and b[0] == 0x54:  # 'T' Truncate
+        try:
+            (nrel,) = struct.unpack_from(">I", b, 1)
+            # 1 byte of options (CASCADE / RESTART IDENTITY flags),
+            # then nrel relation OIDs
+            relids = list(struct.unpack_from(f">{nrel}I", b, 6))
+            return {"op": "TRUNCATE", "relids": relids}
+        except struct.error as e:
+            raise ValueError(
+                f"pgoutput: malformed Truncate message ({len(b)} bytes): {e}"
+            ) from e
     if not b or b[0] not in _DML_KINDS:
         return None
     try:
@@ -226,6 +254,25 @@ def parse_pgoutput(changes: DataFrame, data_col: str = "data") -> DataFrame:
                 d = parse_dml_message(raw)
                 if d is None:
                     continue
+                if d["op"] == "TRUNCATE":
+                    # one envelope row per truncated relation, empty
+                    # image — cdc_final_state_from_log drops every row
+                    # of the table whose last change precedes it
+                    for relid in d["relids"]:
+                        ent = by_rel.get(relid)
+                        if not ent:
+                            raise ValueError(
+                                f"TRUNCATE for relid {relid} with no "
+                                "Relation message"
+                            )
+                        seqs, descs = ent
+                        i = max(bisect_right(seqs, int(seq)) - 1, 0)
+                        out["seq"].append(seq)
+                        out["tbl"].append(descs[i][0])
+                        out["op"].append("TRUNCATE")
+                        out["ks"].append([])
+                        out["vs"].append([])
+                    continue
                 ent = by_rel.get(d["relid"])
                 if not ent:
                     raise ValueError(
@@ -258,7 +305,11 @@ def parse_pgoutput(changes: DataFrame, data_col: str = "data") -> DataFrame:
     parsed = base.mapInPandas(
         _dml,
         "seq long, tbl string, op string, ks array<string>, vs array<string>",
-    )
-    return parsed.select(
-        "seq", "tbl", "op", F.map_from_arrays("ks", "vs").alias("after")
-    )
+    ).select("seq", "tbl", "op", F.map_from_arrays("ks", "vs").alias("after"))
+    # Materialize the envelope eagerly (bounded: one change batch),
+    # truncating lineage so the pinned source can be released NOW —
+    # a long-lived session calling this per micro-batch would
+    # otherwise accumulate cached source partitions forever.
+    out = parsed.localCheckpoint(eager=True)
+    base.unpersist()
+    return out

@@ -5,7 +5,9 @@ modality set (text: ``dedup_stream.py``, images:
 ``image_dedup_stream.py``): media arrives in micro-batches; each
 batch decodes through the REAL WAV codec to its 16-window integer
 energy envelope (``wav_envelope_stats`` — non-WAV payloads take the
-zero-envelope fallback row, the shared decode-ladder), is probed
+zero-envelope fallback row, the shared decode-ladder; all-zero bands
+nominate nothing, so undecodable clips are KEPT rather than silently
+deduped against each other), is probed
 against the accumulated envelope index of all previously KEPT clips
 via the banded signatures, exact-L1 verified (≤ ``AUDIO_L1_MAX`` over
 the full envelope), and flagged keep-or-duplicate. Kept clips' RAW
@@ -48,9 +50,14 @@ from flink_stream_spark.tables.managed import ManagedTable
 
 
 def _explode_bands(envs: DataFrame) -> DataFrame:
+    # band_val > 0: all-zero bands (the non-WAV zero-envelope decode
+    # fallback, or pure silence) nominate nothing — without this
+    # every undecodable clip after the first shares band_val=0 with
+    # L1=0 and is silently flagged duplicate. Same policy as the
+    # batch kernel (envelope_near_dup_pairs) and the video query.
     return envs.select(
         "doc_id", F.posexplode(audio_band_vals()).alias("band_idx", "band_val")
-    )
+    ).filter(F.col("band_val") > 0)
 
 
 def _verified_dup_pairs(

@@ -175,3 +175,71 @@ def test_multi_table_routing(spark):
     )
     got = {r["seq"]: r["tbl"] for r in parse_pgoutput(df).collect()}
     assert got == {3: "public.accounts", 4: "commerce.product"}
+
+
+def truncate_msg(relids: list[int], options: int = 0) -> bytes:
+    return (
+        b"T"
+        + struct.pack(">I", len(relids))
+        + struct.pack(">B", options)
+        + struct.pack(f">{len(relids)}I", *relids)
+    )
+
+
+def test_truncate_message_parse():
+    assert parse_dml_message(truncate_msg([5])) == {
+        "op": "TRUNCATE", "relids": [5]
+    }
+    # one TRUNCATE statement can cover several tables (CASCADE)
+    assert parse_dml_message(truncate_msg([5, 9], options=1)) == {
+        "op": "TRUNCATE", "relids": [5, 9]
+    }
+
+
+def test_binary_format_column_fails_loudly():
+    """A slot opened with the 'binary' option sends internal send/recv
+    bytes ('b' columns) — lossy text-decoding them would mojibake the
+    CDC image, so the parser must refuse."""
+    import pytest
+
+    raw = b"\x00\x01\x02"
+    msg = (
+        b"I"
+        + struct.pack(">I", 5)
+        + b"N"
+        + struct.pack(">H", 1)
+        + b"b"
+        + struct.pack(">I", len(raw))
+        + raw
+    )
+    with pytest.raises(ValueError, match="binary-format"):
+        parse_dml_message(msg)
+
+
+def test_truncate_replay_drops_prior_rows(spark):
+    """TRUNCATE removes every row whose last change precedes it;
+    rows re-inserted after it survive — Postgres semantics."""
+    rel, other = 16385, 16386
+    log = [
+        (1, relation(rel, "public", "t", ["id", "v"])),
+        (2, relation(other, "public", "u", ["id", "v"])),
+        (3, insert(rel, ["1", "a"])),
+        (4, insert(rel, ["2", "b"])),
+        (5, insert(other, ["1", "kept"])),  # other table: untouched
+        (6, truncate_msg([rel])),
+        (7, insert(rel, ["3", "after"])),
+    ]
+    df = spark.createDataFrame(
+        [(s, bytearray(m)) for s, m in log], "seq long, data binary"
+    )
+    parsed = parse_pgoutput(df)
+    t_rows = [r for r in parsed.collect() if r["op"] == "TRUNCATE"]
+    assert [(r["seq"], r["tbl"]) for r in t_rows] == [(6, "public.t")]
+    final = {
+        (r["tbl"], r["id"]): dict(r["after"])
+        for r in cdc_final_state_from_log(parsed, "id").collect()
+    }
+    assert final == {
+        ("public.t", "3"): {"id": "3", "v": "after"},
+        ("public.u", "1"): {"id": "1", "v": "kept"},
+    }
