@@ -1,0 +1,684 @@
+"""Baseline sequential JPEG codec — stdlib + numpy only, no Pillow.
+
+The third REAL image container codec (after operators/png.py and
+operators/gif.py), closing the dominant real-crawl gap: JPEG payloads
+previously fell through ``dhash_bands``' decode ladder to the
+byte-resample fallback, so image near-dup recall degraded to exact-dup
+on JPEG-heavy corpora (a re-encode rewrites nearly every container
+byte). This module implements the BASELINE SEQUENTIAL process of
+ITU-T T.81 (the public JPEG spec): marker segment walk, DQT (8/16-bit
+precision), DHT (canonical Huffman), SOF0 frame header with arbitrary
+component sampling factors, DRI/RSTn restart intervals, interleaved
+MCU entropy decode (DC predictor + category extend, AC run-length with
+ZRL/EOB), dequantization, dezigzag, and a PINNED DETERMINISTIC
+fixed-point integer IDCT (13-bit scaled orthonormal DCT-II basis,
+int64 accumulation, one defined rounding shift) so decode is
+bit-reproducible on every platform — no float BLAS path can change a
+pixel. Quant/Huffman defaults are the spec's own Annex K tables.
+
+Non-goals (return None, callers fall back): progressive (SOF2),
+arithmetic coding, hierarchical, 12-bit precision. Those are <10 % of
+real crawls; baseline covers the bulk.
+
+Exactness property the oracled round-trip leans on: an 8x8-constant
+block has all-zero AC coefficients and DC = 8*(v-128) exactly (the
+orthonormal forward DCT of a constant is rational), so with a
+quality-100 all-ones quant table the encode→decode cycle reproduces
+constant blocks PIXEL-EXACTLY through the integer IDCT (max internal
+error 128*|8*2896²/2²⁶ - 1| ≈ 0.043 < 0.5, proven in tests). General
+images round-trip within a small bounded error (lossy by design);
+unit tests pin both.
+
+Reference parity note: the reference pipeline (thanminh24/Flink-Stream)
+ships no image processing at all — this module serves the
+training-data-pipeline surface (image near-dup dedup) the brief adds.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: scan position -> row-major block index (T.81 fig A.6)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K.1 quantization tables (luminance / chrominance)
+STD_LUMA_QT = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+STD_CHROMA_QT = [
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+]
+
+# Annex K.3 typical Huffman tables: (BITS counts for lengths 1..16, values)
+DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# --- pinned fixed-point IDCT ----------------------------------------------
+#
+# Orthonormal DCT-II basis B[u,x] = a(u) cos((2x+1)u*pi/16), a(0)=sqrt(1/8),
+# a(u>0)=1/2, scaled by 2^13 and rounded ONCE at module definition. The
+# 2-D inverse is Bi.T @ X @ Bi with int64 accumulation and a single
+# (acc + 2^25) >> 26 rounding shift — every operation is integer, so the
+# decode is bit-identical everywhere (the verdict's "pinned deterministic
+# integer IDCT" requirement; a float matmul could route through any BLAS).
+_IDCT_SHIFT = 26
+_B_FLOAT = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if u == 0 else 0.5)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+_BI = np.round(_B_FLOAT * 8192.0).astype(np.int64)  # 2^13
+
+
+def idct2d_blocks(coeffs: "np.ndarray") -> "np.ndarray":
+    """(n, 8, 8) int64 dequantized coefficient blocks -> (n, 8, 8) uint8
+    pixel blocks (level-shifted +128, clamped). Deterministic integer
+    arithmetic only."""
+    acc = np.einsum("ux,nuv,vy->nxy", _BI, coeffs.astype(np.int64), _BI)
+    out = ((acc + (1 << (_IDCT_SHIFT - 1))) >> _IDCT_SHIFT) + 128
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _fdct_block(pix: "np.ndarray") -> "np.ndarray":
+    """Forward DCT of one 8x8 pixel block (float64; the ENCODER side —
+    only decode must be bit-pinned; constant blocks still produce
+    exactly DC=8*(v-128), AC=0 after rounding, which the oracled
+    round-trip relies on)."""
+    return _B_FLOAT @ (pix.astype(np.float64) - 128.0) @ _B_FLOAT.T
+
+
+def _build_decoder_table(bits: list, vals: list) -> dict:
+    """Canonical Huffman: {(length, code) -> symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _build_encoder_table(bits: list, vals: list) -> dict:
+    """Canonical Huffman: {symbol -> (code, length)}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    unstuffing; stops at (and reports) RSTn / other markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.n = 0
+        self.marker: "int | None" = None
+
+    def _fill(self) -> bool:
+        if self.marker is not None:
+            return False
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        byte = d[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(d):
+                return False
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:  # stuffed literal 0xFF
+                self.pos += 2
+            else:  # a real marker terminates entropy data
+                self.marker = nxt
+                return False
+        else:
+            self.pos += 1
+        self.buf = (self.buf << 8) | byte
+        self.n += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.n == 0 and not self._fill():
+            raise ValueError("jpeg: entropy data exhausted")
+        self.n -= 1
+        return (self.buf >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        """Bulk MSB-first read — one shift/mask, not a per-bit loop
+        (magnitude bits are the hot path on AC-dense blocks)."""
+        while self.n < k:
+            if not self._fill():
+                raise ValueError("jpeg: entropy data exhausted")
+        self.n -= k
+        v = (self.buf >> self.n) & ((1 << k) - 1)
+        self.buf &= (1 << self.n) - 1  # keep the accumulator small
+        return v
+
+    def align_past_rst(self) -> None:
+        """Byte-align and consume an expected RSTn marker."""
+        self.buf = 0
+        self.n = 0
+        if self.marker is None:
+            # marker not yet hit: it must be the very next bytes
+            d = self.data
+            if self.pos + 1 < len(d) and d[self.pos] == 0xFF:
+                self.marker = d[self.pos + 1]
+                self.pos += 2
+        else:
+            self.pos += 2 if self.data[self.pos] == 0xFF else 0
+        if self.marker is None or not (0xD0 <= self.marker <= 0xD7):
+            raise ValueError(f"jpeg: expected RSTn, got {self.marker}")
+        self.marker = None
+
+    def decode_huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def decode_jpeg(data: bytes) -> "dict | None":
+    """Full baseline-sequential decode. Returns
+    ``{"width", "height", "planes": [np.uint8 2-D per component],
+    "sampling": [(h, v), ...]}`` with each plane at its NATURAL
+    (subsampled) resolution cropped to its component size, or None if
+    the payload is not a decodable baseline JPEG (wrong magic,
+    progressive, arithmetic, truncated, corrupt). The None contract
+    matches decode_png_gray/decode_gif_gray — callers fall back."""
+    b = bytes(data)
+    if b[:2] != b"\xff\xd8":
+        return None
+    try:
+        return _decode_body(b)
+    except (ValueError, IndexError, struct.error, ZeroDivisionError):
+        return None
+
+
+def _decode_body(b: bytes) -> "dict | None":
+    qts: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            return None
+        marker = b[i + 1]
+        if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        (seg_len,) = struct.unpack_from(">H", b, i + 2)
+        if seg_len < 2:
+            return None
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    qt = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    p += 64
+                else:
+                    qt = np.frombuffer(
+                        seg[p : p + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    p += 128
+                if len(qt) != 64:
+                    return None
+                qts[tq] = qt
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                if len(vals) != nv:
+                    return None
+                (huff_dc if tc == 0 else huff_ac)[th] = _build_decoder_table(
+                    bits, vals
+                )
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8 or not h or not w:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/lossless/arithmetic
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                return None
+            ns = seg[0]
+            scan = []
+            for s in range(ns):
+                cs, tt = seg[1 + 2 * s], seg[2 + 2 * s]
+                comp = next(
+                    (c for c in frame["comps"] if c["id"] == cs), None
+                )
+                if comp is None:
+                    return None
+                scan.append((comp, tt >> 4, tt & 15))
+            return _decode_scan(
+                b, i + 2 + seg_len, frame, scan, qts, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / others: skip
+        i += 2 + seg_len
+    return None
+
+
+def _decode_scan(
+    b: bytes,
+    pos: int,
+    frame: dict,
+    scan: list,
+    qts: dict,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+) -> dict:
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # per-component padded plane + its coefficient buffers
+    planes = {}
+    for c in comps:
+        pw, ph = 8 * c["h"] * mcus_x, 8 * c["v"] * mcus_y
+        planes[c["id"]] = np.zeros((ph, pw), dtype=np.uint8)
+    reader = _BitReader(b, pos)
+    pred = {c["id"]: 0 for c in comps}
+    blocks: dict = {c["id"]: ([], []) for c in comps}  # (coeff list, (by,bx))
+    n_mcus = mcus_x * mcus_y
+    for m in range(n_mcus):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_past_rst()
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcus_x)
+        for comp, td, ta in scan:
+            qt = qts[comp["tq"]]
+            dct, act = huff_dc[td], huff_ac[ta]
+            for v in range(comp["v"]):
+                for hh in range(comp["h"]):
+                    zz = [0] * 64
+                    s = reader.decode_huff(dct)
+                    diff = _extend(reader.read_bits(s), s) if s else 0
+                    pred[comp["id"]] += diff
+                    zz[0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode_huff(act)
+                        r, size = rs >> 4, rs & 15
+                        if size == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        zz[k] = _extend(reader.read_bits(size), size)
+                        k += 1
+                    coeff = np.zeros(64, dtype=np.int64)
+                    coeff[ZIGZAG] = np.array(zz, dtype=np.int64) * qt
+                    lst, loc = blocks[comp["id"]]
+                    lst.append(coeff.reshape(8, 8))
+                    loc.append(
+                        (my * comp["v"] + v, mx * comp["h"] + hh)
+                    )
+    # batched deterministic IDCT per component, then block placement
+    for c in comps:
+        lst, loc = blocks[c["id"]]
+        if not lst:
+            continue
+        pix = idct2d_blocks(np.stack(lst))
+        plane = planes[c["id"]]
+        for blk, (by, bx) in zip(pix, loc):
+            plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = blk
+    out_planes, sampling = [], []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        out_planes.append(planes[c["id"]][:ch, :cw])
+        sampling.append((c["h"], c["v"]))
+    return {"width": w, "height": h, "planes": out_planes,
+            "sampling": sampling}
+
+
+def decode_jpeg_gray(data: bytes) -> "np.ndarray | None":
+    """(H, W) uint8 LUMA plane of a baseline JPEG, or None — the
+    dhash_bands decode-ladder branch (perceptual hashing runs on
+    luminance; chroma never moves a dHash bit). Component 1 of a
+    JFIF-interchange JPEG is Y by convention."""
+    d = decode_jpeg(data)
+    return None if d is None else d["planes"][0]
+
+
+def decode_jpeg_rgb(data: bytes) -> "np.ndarray | None":
+    """(H, W, 3) uint8 RGB via nearest-neighbor chroma upsample and the
+    JFIF YCbCr->RGB matrix (integer-rounded, deterministic). Grayscale
+    JPEGs replicate Y. None for undecodable payloads."""
+    d = decode_jpeg(data)
+    if d is None:
+        return None
+    h, w = d["height"], d["width"]
+    if len(d["planes"]) == 1:
+        return np.repeat(d["planes"][0][:, :, None], 3, axis=2)
+    hmax = max(s[0] for s in d["sampling"])
+    vmax = max(s[1] for s in d["sampling"])
+    full = []
+    for plane, (sh, sv) in zip(d["planes"], d["sampling"]):
+        up = np.repeat(np.repeat(plane, vmax // sv, 0), hmax // sh, 1)
+        full.append(up[:h, :w].astype(np.int64))
+    y, cb, cr = full
+    r = y + ((91881 * (cr - 128) + 32768) >> 16)
+    g = y - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+    bl = y + ((116130 * (cb - 128) + 32768) >> 16)
+    return np.clip(np.stack([r, g, bl], axis=2), 0, 255).astype(np.uint8)
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.buf = (self.buf << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.buf >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec)
+
+
+def _quality_scale(qt: list, quality: int) -> "np.ndarray":
+    """IJG-compatible quality scaling of a base table; quality=100
+    yields all-ones (mathematically lossless up to DCT rounding)."""
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = (np.array(qt, dtype=np.int64) * s + 50) // 100
+    return np.clip(out, 1, 255)
+
+
+def _cat_bits(v: int) -> tuple[int, int]:
+    """(category, magnitude-bits) for a signed DC diff / AC value."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def _encode_component_block(
+    bw: _BitWriter, zz: list, pred: int, dc_tab: dict, ac_tab: dict
+) -> int:
+    diff = zz[0] - pred
+    s, bits = _cat_bits(diff)
+    code, length = dc_tab[s]
+    bw.write(code, length)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    last_nz = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            last_nz = k
+            break
+    for k in range(1, last_nz + 1):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_tab[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        s, bits = _cat_bits(zz[k])
+        code, length = ac_tab[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(bits, s)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_tab[0x00]  # EOB
+        bw.write(code, length)
+    return zz[0]
+
+
+def _pad_plane(plane: "np.ndarray", bh: int, bw_: int) -> "np.ndarray":
+    """Replicate-pad a plane to multiples of (bh, bw_)."""
+    h, w = plane.shape
+    ph, pw = -(-h // bh) * bh, -(-w // bw_) * bw_
+    if (ph, pw) == (h, w):
+        return plane
+    out = np.empty((ph, pw), dtype=plane.dtype)
+    out[:h, :w] = plane
+    out[h:, :w] = plane[h - 1 : h, :]
+    out[:h, w:] = plane[:, w - 1 : w]
+    out[h:, w:] = plane[h - 1, w - 1]
+    return out
+
+
+def encode_jpeg(
+    planes: list,
+    sampling: "list[tuple[int, int]] | None" = None,
+    quality: int = 100,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode 1 (grayscale) or 3 (YCbCr) uint8 planes as a baseline
+    sequential JPEG: Annex K tables scaled to ``quality``, standard
+    Huffman coding, optional DRI restart markers. ``sampling`` gives
+    per-component (h, v) factors — e.g. [(2,2),(1,1),(1,1)] is 4:2:0,
+    [(2,1),(1,1),(1,1)] is 4:2:2, [(1,1)]*3 is 4:4:4. Chroma planes
+    must arrive pre-subsampled to their natural size. Restart markers
+    reset the DC predictors every ``restart_interval`` MCUs —
+    exercised corpus-wide by the oracled round-trip (odd doc_ids)."""
+    nc = len(planes)
+    if sampling is None:
+        sampling = [(1, 1)] * nc
+    h, w = planes[0].shape
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    qt_l = _quality_scale(STD_LUMA_QT, quality)
+    qt_c = _quality_scale(STD_CHROMA_QT, quality)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT
+    for tq, qt in ((0, qt_l),) + (((1, qt_c),) if nc > 1 else ()):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(qt[ZIGZAG[k]]) for k in range(64))
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        sh, sv = sampling[c]
+        out += struct.pack(">BBB", c + 1, (sh << 4) | sv, 0 if c == 0 else 1)
+    # DHT
+    tabs = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
+    if nc > 1:
+        tabs += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
+    for tid, (bits, vals) in tabs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tid])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for c in range(nc):
+        out += struct.pack(">BB", c + 1, 0x00 if c == 0 else 0x11)
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+    # entropy-coded data
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    padded = []
+    for c in range(nc):
+        sh, sv = sampling[c]
+        # replicate-pad so every MCU carries full 8x8 blocks
+        p = _pad_plane(np.asarray(planes[c], dtype=np.uint8), 8 * sv, 8 * sh)
+        need = (8 * sv * mcus_y, 8 * sh * mcus_x)
+        if p.shape != need:
+            p = _pad_plane(p, *need)
+        padded.append(p)
+    enc_dc = {0: _build_encoder_table(*DC_LUMA)}
+    enc_ac = {0: _build_encoder_table(*AC_LUMA)}
+    if nc > 1:
+        enc_dc[1] = _build_encoder_table(*DC_CHROMA)
+        enc_ac[1] = _build_encoder_table(*AC_CHROMA)
+    bw = _BitWriter()
+    pred = [0] * nc
+    rst = 0
+    for m in range(mcus_x * mcus_y):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            pred = [0] * nc
+        my, mx = divmod(m, mcus_x)
+        for c in range(nc):
+            sh, sv = sampling[c]
+            qt = qt_l if c == 0 else qt_c
+            tab = 0 if c == 0 else 1
+            for v in range(sv):
+                for hh in range(sh):
+                    by, bx = my * sv + v, mx * sh + hh
+                    blk = padded[c][
+                        8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8
+                    ]
+                    coeff = np.round(_fdct_block(blk) / qt.reshape(8, 8))
+                    coeff = coeff.astype(np.int64).reshape(64)
+                    zz = [int(coeff[ZIGZAG[k]]) for k in range(64)]
+                    pred[c] = _encode_component_block(
+                        bw, zz, pred[c], enc_dc[tab], enc_ac[tab]
+                    )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_gray(
+    pix: "np.ndarray", quality: int = 100, restart_interval: int = 0
+) -> bytes:
+    """Single-component (grayscale) baseline JPEG."""
+    return encode_jpeg([pix], [(1, 1)], quality, restart_interval)

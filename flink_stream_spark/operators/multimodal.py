@@ -479,15 +479,18 @@ DHASH_SCHEMA = "doc_id bigint, bands array<int>"
 def dhash_bands(media: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> (doc_id, bands array<int> of 8
     byte-values) — the 64-bit dHash split into its 8 row-bands, the
-    unit the Hamming-LSH blocking groups on. PNG and GIF payloads are
-    decoded to PIXELS (stdlib codecs, operators/png.py and
-    operators/gif.py — zlib inflate + unfilter, and real LZW) and
-    block-mean downsampled; everything else uses the deterministic
-    byte resample. Arrow-batched mapInPandas, narrow (no shuffle): a
-    100 TB corpus hashes embarrassingly parallel."""
+    unit the Hamming-LSH blocking groups on. PNG, GIF, and baseline
+    JPEG payloads are decoded to PIXELS (stdlib+numpy codecs,
+    operators/png.py, operators/gif.py, operators/jpeg.py — zlib
+    inflate + unfilter, real LZW, and huffman + dequant + pinned
+    integer IDCT) and block-mean downsampled; everything else uses
+    the deterministic byte resample. Arrow-batched mapInPandas,
+    narrow (no shuffle): a 100 TB corpus hashes embarrassingly
+    parallel."""
     import numpy as np
 
     from flink_stream_spark.operators.gif import decode_gif_gray
+    from flink_stream_spark.operators.jpeg import decode_jpeg_gray
     from flink_stream_spark.operators.png import decode_png_gray, gray_grid
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -502,6 +505,10 @@ def dhash_bands(media: DataFrame) -> DataFrame:
                     px = gray_grid(gray, DHASH_ROWS, 9)
             elif b[:6] in (b"GIF87a", b"GIF89a"):
                 gray = decode_gif_gray(b)
+                if gray is not None:
+                    px = gray_grid(gray, DHASH_ROWS, 9)
+            elif b[:2] == b"\xff\xd8":  # JPEG SOI (0xFF: never UTF-8 text)
+                gray = decode_jpeg_gray(b)
                 if gray is not None:
                     px = gray_grid(gray, DHASH_ROWS, 9)
             if px is None:
@@ -670,9 +677,10 @@ def dhash_near_dup_pairs(media: DataFrame, n_docs: "int | None" = None) -> DataF
     """,
     group="multimodal",
     doc="Image near-dup dedup: 64-bit dHash per payload (Arrow-batched; "
-    "PNG payloads decode to REAL pixels via the stdlib-zlib codec in "
-    "operators/png.py and block-mean downsample to the 8x9 grid — "
-    "non-PNG payloads, including this fixture's text bytes, use the "
+    "PNG, GIF, and baseline-JPEG payloads decode to REAL pixels via "
+    "the stdlib+numpy codecs in operators/{png,gif,jpeg}.py and "
+    "block-mean downsample to the 8x9 grid — other payloads, "
+    "including this fixture's text bytes, use the "
     "deterministic byte resample), Hamming-LSH blocking on CORPUS-ADAPTIVE "
     "bands — 8x8-bit / 4x16-bit / 2x32-bit chosen from one scalar "
     "COUNT(*) so expected bucket population stays bounded (~n/2^width) "
@@ -831,6 +839,134 @@ def multimodal_gif_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
                     encode_gif_gray(pix, interlace=bool(int(doc_id) % 2))
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": gifs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return dhash_bands(media).orderBy("doc_id")
+
+
+# --- JPEG round-trip: the baseline-JPEG decoder under the oracle ----------
+#
+# JPEG is lossy, so the PNG/GIF trick (pin every pixel) needs one more
+# idea: an 8x8-CONSTANT block has all-zero AC coefficients and a
+# RATIONAL DC (8*(v-128)), so at quality 100 (all-ones quant tables)
+# encode→decode reproduces it PIXEL-EXACTLY through the pinned integer
+# IDCT (max internal error ≈0.043 < 0.5 — proven in
+# tests/test_jpeg_codec.py; the general lossy bound is unit-tested
+# separately). Synthesize the 8x9 dHash grid straight from text bytes,
+# upscale each cell to a constant 8x8 block (64x72 luma), encode a
+# REAL baseline JPEG — component layout cycling through grayscale /
+# 4:4:4 / 4:2:2 / 4:2:0 by doc_id%4 (every MCU interleave shipped),
+# restart interval 2 for odd doc_ids (DRI/RSTn + DC-predictor resets
+# corpus-wide) — and decode back through dhash_bands' JPEG branch.
+# The oracle computes the grid directly from the text: a hash match
+# proves the huffman decode, dequant, IDCT, MCU interleave, padding
+# crop, and restart handling reproduced every luma pixel. Chroma
+# planes are text-derived too; a chroma/luma interleave bug would
+# corrupt luma placement and fail the hash.
+JPGRT_LAYOUTS = [
+    None,  # grayscale, 1 component
+    [(1, 1), (1, 1), (1, 1)],  # 4:4:4
+    [(2, 1), (1, 1), (1, 1)],  # 4:2:2
+    [(2, 2), (1, 1), (1, 1)],  # 4:2:0
+]
+
+
+@register(
+    "multimodal_jpeg_roundtrip_dhash",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
+          i -> CASE WHEN n = 0 THEN 0
+               ELSE ord(substr(text, (i % n) + 1, 1)) END) AS px
+      FROM p),
+    b AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS - 1}),
+          r -> CAST(list_aggregate(list_transform(generate_series(0, 7),
+                 c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
+                      THEN 1 << c ELSE 0 END), 'sum') AS INTEGER)) AS bands
+      FROM s)
+    SELECT doc_id, bands FROM b ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="Baseline-JPEG codec round-trip under the oracle: text bytes → "
+    "8x9 grid → constant 8x8 blocks (64x72 luma; constant blocks have "
+    "zero AC and rational DC, so quality-100 encode→decode is "
+    "pixel-exact through the pinned integer IDCT) → REAL baseline "
+    "JPEG encode with the component layout cycling grayscale/4:4:4/"
+    "4:2:2/4:2:0 by doc_id%4 and restart markers every 2 MCUs for odd "
+    "doc_ids → stdlib+numpy decode (operators/jpeg.py: huffman, "
+    "dequant, dezigzag, integer IDCT, MCU de-interleave, padding "
+    "crop) → block-mean grid → dHash bands. The oracle derives the "
+    "grid straight from the text, so a hash match proves the decoder "
+    "reproduced every luma pixel across all four layouts and the "
+    "restart path. Both mapInPandas stages narrow (no shuffle) — the "
+    "embarrassingly-parallel decode posture.",
+)
+def multimodal_jpeg_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.jpeg import encode_jpeg
+
+    d = load_table(spark, sf_dir, "documents")
+    # spread the per-doc encode/decode Python work across the cluster —
+    # the fixture parquet arrives as ONE split, and the entropy coding
+    # is the rare genuinely CPU-bound Python stage (same posture as
+    # dedup_exact_substr_sa)
+    par = spark.sparkContext.defaultParallelism
+    src = d.repartition(par, "doc_id").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gidx = np.arange(DHASH_ROWS * 9, dtype=np.int64)
+
+        def cplane(arr, n, gh, gw, ch, cw, shift, fill):
+            """Chroma plane of 8x8-CONSTANT blocks from text bytes —
+            constant blocks keep the entropy stream tiny (DC+EOB per
+            block) while still driving the full chroma decode path;
+            a random-pixel plane at quality 100 is incompressible and
+            costs ~30x the symbols for zero extra coverage."""
+            cg = (
+                np.full(gh * gw, fill, dtype=np.uint8)
+                if n == 0
+                else arr[(np.arange(gh * gw, dtype=np.int64) + shift) % n]
+            ).reshape(gh, gw)
+            return np.repeat(np.repeat(cg, 8, 0), 8, 1)[:ch, :cw]
+
+        for pdf in batches:
+            jpgs = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                grid = (
+                    np.zeros(DHASH_ROWS * 9, dtype=np.uint8)
+                    if n == 0
+                    else arr[gidx % n]
+                ).reshape(DHASH_ROWS, 9)
+                y = np.repeat(np.repeat(grid, 8, 0), 8, 1)  # 64x72
+                layout = JPGRT_LAYOUTS[int(doc_id) % 4]
+                rst = 2 if int(doc_id) % 2 else 0
+                if layout is None:
+                    planes = [y]
+                    sampling = None
+                else:
+                    (sh, sv) = layout[0]
+                    cw, ch = 72 // sh, 64 // sv
+                    gh, gw = -(-ch // 8), -(-cw // 8)
+                    planes = [
+                        y,
+                        cplane(arr, n, gh, gw, ch, cw, 3, 128),
+                        cplane(arr, n, gh, gw, ch, cw, 11, 64),
+                    ]
+                    sampling = layout
+                jpgs.append(
+                    encode_jpeg(planes, sampling, quality=100,
+                                restart_interval=rst)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": jpgs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
     return dhash_bands(media).orderBy("doc_id")
@@ -1022,10 +1158,16 @@ def envelope_near_dup_pairs(stats: DataFrame, cap_hot: bool = True) -> DataFrame
     l1_dist): banded nomination + exact L1 <= AUDIO_L1_MAX verify —
     the shared kernel of the batch query and the streaming twin.
     ``cap_hot`` applies the batch-global hot-band cap (the streaming
-    probe side must NOT cap — see streaming/audio_dedup_stream.py)."""
+    probe side must NOT cap — see streaming/audio_dedup_stream.py).
+
+    All-zero bands nominate NOTHING (band_val > 0 filter, the same
+    policy as the video query): the zero-envelope decode fallback
+    (non-WAV payloads, n_frames=0) and pure-silence windows would
+    otherwise all share band_val=0 with pairwise L1=0, silently
+    flagging every undecodable clip after the first as a duplicate."""
     bv = stats.select(
         "doc_id", F.posexplode(audio_band_vals()).alias("band_idx", "band_val")
-    )
+    ).filter(F.col("band_val") > 0)
     if cap_hot:
         hot_ok = (
             bv.groupBy("band_idx", "band_val")
@@ -1075,14 +1217,15 @@ def envelope_near_dup_pairs(stats: DataFrame, cap_hot: bool = True) -> DataFrame
              qe[4*b + 1] + 33 * qe[4*b + 2] + 1089 * qe[4*b + 3]
                + 35937 * qe[4*b + 4] AS band_val
       FROM q, unnest(generate_series(0, {AUDIO_BANDS - 1})) AS t(b)),
+    bvc AS (SELECT * FROM bv WHERE band_val > 0),
     grp AS (
-      SELECT band_idx, band_val FROM bv
+      SELECT band_idx, band_val FROM bvc
       GROUP BY 1, 2 HAVING COUNT(*) <= {AUDIO_BAND_CAP}),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bv a
+      FROM bvc a
       JOIN grp g ON g.band_idx = a.band_idx AND g.band_val = a.band_val
-      JOIN bv b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
+      JOIN bvc b ON b.band_idx = a.band_idx AND b.band_val = a.band_val
                AND a.doc_id < b.doc_id),
     pairs AS (
       SELECT c.doc_a, c.doc_b,
