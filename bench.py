@@ -49,6 +49,7 @@ import flink_stream_spark.operators.sampling  # noqa: F401,E402
 import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
 import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
 import flink_stream_spark.operators.quality  # noqa: F401,E402
+import flink_stream_spark.operators.pipeline  # noqa: F401,E402
 
 # the headline set: one representative per operator family, all
 # scale-path variants (no O(n^2) members)
@@ -106,23 +107,27 @@ HEADLINE = [
     "text_bpe_encode",
     # round-6 additions
     "dedup_exact_substr_sa",
+    # round-7 additions: the modality round-trips and decoded-signal
+    # dedups now carry committed sf1 records so the self-enforcing
+    # gate (tests/test_bench_gate.py) catches THEIR plan regressions
+    # too (round-6 verdict #7). Their absolute cost includes the
+    # deliberate per-doc Python container encode (the oracle-pinning
+    # stand-in a production cluster replaces with a native codec);
+    # what the gate protects is the SHAPE — narrow decode stage run
+    # once, Σ bucket² pair work — which regresses in seconds at sf1.
+    "multimodal_png_roundtrip_dhash",
+    "multimodal_gif_roundtrip_dhash",
+    "multimodal_jpeg_roundtrip_dhash",
+    "multimodal_wav_roundtrip_stats",
+    "multimodal_y4m_roundtrip_stats",
+    "multimodal_audio_dedup_envelope",
+    "multimodal_video_dedup_motion",
+    "pipeline_pretraining_batch",
 ]
 # not in the set: agg_percentile_approx — its GATE form deliberately
 # computes the exact reference percentiles next to the sketch (the
 # anti-scale path the sketch replaces), so timing it says nothing
 # about the production sketch path this set showcases.
-# Also not in the set: the codec round-trip gadgets
-# (multimodal_png_roundtrip_dhash, multimodal_gif_roundtrip_dhash,
-# multimodal_wav_roundtrip_stats, multimodal_y4m_roundtrip_stats)
-# and the audio/video dedup twins
-# that synthesize+encode a container per doc — they exist so the
-# oracle can pin each stdlib codec pixel/sample-exact; their cost is
-# per-byte Python encode loops a production cluster replaces with a
-# native codec, so timing them measures the deliberate stand-in, not
-# a scale path. The dedup query that USES a codec on the production
-# path (multimodal_image_dedup_dhash) stays in the set — its fixture
-# payloads take the byte-resample branch, which is the
-# Arrow-vectorized path.
 
 
 def main() -> None:

@@ -169,15 +169,33 @@ def _fdct_block(pix: "np.ndarray") -> "np.ndarray":
     return _B_FLOAT @ (pix.astype(np.float64) - 128.0) @ _B_FLOAT.T
 
 
-def _build_decoder_table(bits: list, vals: list) -> dict:
-    """Canonical Huffman: {(length, code) -> symbol}."""
-    table, code, k = {}, 0, 0
+_FAST_TABLE_CACHE: dict = {}
+
+
+def _build_decoder_table(bits: list, vals: list) -> list:
+    """Canonical Huffman as a 16-bit PEEK table: entry i = (symbol,
+    code_length) for the code that prefixes the 16-bit window i, or
+    (0, 0) for an invalid prefix. One list index replaces the
+    bit-by-bit tree walk (the decode hot path runs per BLOCK across
+    a whole corpus). Memoized on table content — real corpora reuse
+    the 4 Annex K tables, so the 65536-entry fill runs once per
+    worker, not once per image."""
+    key = (tuple(bits), tuple(vals))
+    cached = _FAST_TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table = [(0, 0)] * 65536
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            start = code << (16 - length)
+            entry = (vals[k], length)
+            for i in range(start, start + (1 << (16 - length))):
+                table[i] = entry
             code += 1
             k += 1
         code <<= 1
+    _FAST_TABLE_CACHE[key] = table
     return table
 
 
@@ -195,7 +213,10 @@ def _build_encoder_table(bits: list, vals: list) -> dict:
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
-    unstuffing; stops at (and reports) RSTn / other markers."""
+    unstuffing; stops at (and reports) RSTn / other markers. Refills
+    the accumulator in byte chunks and decodes Huffman symbols with a
+    single 16-bit table peek — no per-bit Python loop anywhere on the
+    hot path."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
@@ -204,39 +225,32 @@ class _BitReader:
         self.n = 0
         self.marker: "int | None" = None
 
-    def _fill(self) -> bool:
-        if self.marker is not None:
-            return False
+    def _refill(self) -> None:
+        """Pull bytes until ~6 are buffered, stopping at stream end or
+        a real marker (0xFF followed by non-zero; never crosses RSTn)."""
         d = self.data
-        if self.pos >= len(d):
-            return False
-        byte = d[self.pos]
-        if byte == 0xFF:
-            if self.pos + 1 >= len(d):
-                return False
-            nxt = d[self.pos + 1]
-            if nxt == 0x00:  # stuffed literal 0xFF
-                self.pos += 2
-            else:  # a real marker terminates entropy data
-                self.marker = nxt
-                return False
-        else:
-            self.pos += 1
-        self.buf = (self.buf << 8) | byte
-        self.n += 8
-        return True
-
-    def read_bit(self) -> int:
-        if self.n == 0 and not self._fill():
-            raise ValueError("jpeg: entropy data exhausted")
-        self.n -= 1
-        return (self.buf >> self.n) & 1
+        ln = len(d)
+        while self.n <= 48:
+            if self.marker is not None or self.pos >= ln:
+                return
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < ln else None
+                if nxt == 0x00:  # stuffed literal 0xFF
+                    self.pos += 2
+                else:  # a real marker terminates entropy data
+                    self.marker = nxt
+                    return
+            else:
+                self.pos += 1
+            self.buf = (self.buf << 8) | byte
+            self.n += 8
 
     def read_bits(self, k: int) -> int:
-        """Bulk MSB-first read — one shift/mask, not a per-bit loop
-        (magnitude bits are the hot path on AC-dense blocks)."""
-        while self.n < k:
-            if not self._fill():
+        """Bulk MSB-first read — one shift/mask."""
+        if self.n < k:
+            self._refill()
+            if self.n < k:
                 raise ValueError("jpeg: entropy data exhausted")
         self.n -= k
         v = (self.buf >> self.n) & ((1 << k) - 1)
@@ -259,15 +273,22 @@ class _BitReader:
             raise ValueError(f"jpeg: expected RSTn, got {self.marker}")
         self.marker = None
 
-    def decode_huff(self, table: dict) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("jpeg: invalid Huffman code")
+    def decode_huff(self, table: list) -> int:
+        """One 16-bit peek into the canonical prefix table."""
+        if self.n < 16:
+            self._refill()
+        if self.n >= 16:
+            window = (self.buf >> (self.n - 16)) & 0xFFFF
+        else:  # stream tail: zero-pad the peek window (spec pads with
+            # 1-bits, but any code short enough to fit must already be
+            # fully inside the real bits; length is checked below)
+            window = (self.buf << (16 - self.n)) & 0xFFFF
+        sym, length = table[window]
+        if length == 0 or length > self.n:
+            raise ValueError("jpeg: invalid Huffman code")
+        self.n -= length
+        self.buf &= (1 << self.n) - 1
+        return sym
 
 
 def _extend(v: int, s: int) -> int:
@@ -411,7 +432,6 @@ def _decode_scan(
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(m, mcus_x)
         for comp, td, ta in scan:
-            qt = qts[comp["tq"]]
             dct, act = huff_dc[td], huff_ac[ta]
             for v in range(comp["v"]):
                 for hh in range(comp["h"]):
@@ -434,19 +454,23 @@ def _decode_scan(
                             raise ValueError("jpeg: AC index overflow")
                         zz[k] = _extend(reader.read_bits(size), size)
                         k += 1
-                    coeff = np.zeros(64, dtype=np.int64)
-                    coeff[ZIGZAG] = np.array(zz, dtype=np.int64) * qt
                     lst, loc = blocks[comp["id"]]
-                    lst.append(coeff.reshape(8, 8))
+                    lst.append(zz)
                     loc.append(
                         (my * comp["v"] + v, mx * comp["h"] + hh)
                     )
-    # batched deterministic IDCT per component, then block placement
+    # per component: ONE vectorized dequant + dezigzag over all its
+    # blocks (zz and the DQT table are both in zigzag order), then the
+    # batched deterministic IDCT and block placement
+    zig = np.array(ZIGZAG, dtype=np.int64)
     for c in comps:
         lst, loc = blocks[c["id"]]
         if not lst:
             continue
-        pix = idct2d_blocks(np.stack(lst))
+        zarr = np.array(lst, dtype=np.int64) * qts[c["tq"]][None, :]
+        coeff = np.zeros((len(lst), 64), dtype=np.int64)
+        coeff[:, zig] = zarr
+        pix = idct2d_blocks(coeff.reshape(-1, 8, 8))
         plane = planes[c["id"]]
         for blk, (by, bx) in zip(pix, loc):
             plane[8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8] = blk
@@ -533,29 +557,29 @@ def _cat_bits(v: int) -> tuple[int, int]:
 
 
 def _encode_component_block(
-    bw: _BitWriter, zz: list, pred: int, dc_tab: dict, ac_tab: dict
+    bw: _BitWriter, zz: list, last_nz: int, pred: int, dc_tab: dict, ac_tab: dict
 ) -> int:
-    diff = zz[0] - pred
-    s, bits = _cat_bits(diff)
+    """Entropy-code one zigzag-ordered coefficient block. ``last_nz``
+    (index of the last nonzero AC, 0 if none) is precomputed
+    vectorized by the caller — a zero-AC block (the constant-block
+    round-trip corpus) emits DC + EOB and never scans the 63 ACs."""
+    dc = int(zz[0])
+    s, bits = _cat_bits(dc - pred)
     code, length = dc_tab[s]
     bw.write(code, length)
     if s:
         bw.write(bits, s)
     run = 0
-    last_nz = 0
-    for k in range(63, 0, -1):
-        if zz[k]:
-            last_nz = k
-            break
     for k in range(1, last_nz + 1):
-        if zz[k] == 0:
+        v = int(zz[k])
+        if v == 0:
             run += 1
             continue
         while run >= 16:
             code, length = ac_tab[0xF0]  # ZRL
             bw.write(code, length)
             run -= 16
-        s, bits = _cat_bits(zz[k])
+        s, bits = _cat_bits(v)
         code, length = ac_tab[(run << 4) | s]
         bw.write(code, length)
         bw.write(bits, s)
@@ -563,7 +587,7 @@ def _encode_component_block(
     if last_nz < 63:
         code, length = ac_tab[0x00]  # EOB
         bw.write(code, length)
-    return zz[0]
+    return dc
 
 
 def _pad_plane(plane: "np.ndarray", bh: int, bw_: int) -> "np.ndarray":
@@ -643,10 +667,36 @@ def encode_jpeg(
     if nc > 1:
         enc_dc[1] = _build_encoder_table(*DC_CHROMA)
         enc_ac[1] = _build_encoder_table(*AC_CHROMA)
+    # per component: gather ALL blocks in MCU scan order and run ONE
+    # vectorized forward DCT + quantize + zigzag + last-nonzero pass —
+    # the per-block Python work is then entropy coding alone (and a
+    # zero-AC block emits just DC + EOB, see _encode_component_block)
+    zig = np.array(ZIGZAG, dtype=np.int64)
+    comp_z, comp_lastnz = [], []
+    n_mcus = mcus_x * mcus_y
+    for c in range(nc):
+        sh, sv = sampling[c]
+        p = padded[c]
+        tiles = p.reshape(p.shape[0] // 8, 8, p.shape[1] // 8, 8).transpose(
+            0, 2, 1, 3
+        )
+        mys, mxs = np.divmod(np.arange(n_mcus), mcus_x)
+        by = (mys[:, None] * sv + np.repeat(np.arange(sv), sh)[None, :]).ravel()
+        bx = (mxs[:, None] * sh + np.tile(np.arange(sh), sv)[None, :]).ravel()
+        blocks = tiles[by, bx].astype(np.float64) - 128.0
+        coeff = np.einsum("uj,njk,kl->nul", _B_FLOAT, blocks, _B_FLOAT.T)
+        qt = (qt_l if c == 0 else qt_c).reshape(8, 8).astype(np.float64)
+        q = np.round(coeff / qt).astype(np.int64)
+        z = q.reshape(-1, 64)[:, zig]
+        nz = z[:, 1:] != 0
+        lastnz = np.where(nz.any(axis=1), 63 - np.argmax(nz[:, ::-1], axis=1), 0)
+        comp_z.append(z)
+        comp_lastnz.append(lastnz)
     bw = _BitWriter()
     pred = [0] * nc
+    cursor = [0] * nc  # per-component block index in MCU scan order
     rst = 0
-    for m in range(mcus_x * mcus_y):
+    for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
             bw.flush()
             out += bw.out
@@ -654,23 +704,20 @@ def encode_jpeg(
             out += bytes([0xFF, 0xD0 + (rst % 8)])
             rst += 1
             pred = [0] * nc
-        my, mx = divmod(m, mcus_x)
         for c in range(nc):
             sh, sv = sampling[c]
-            qt = qt_l if c == 0 else qt_c
             tab = 0 if c == 0 else 1
-            for v in range(sv):
-                for hh in range(sh):
-                    by, bx = my * sv + v, mx * sh + hh
-                    blk = padded[c][
-                        8 * by : 8 * by + 8, 8 * bx : 8 * bx + 8
-                    ]
-                    coeff = np.round(_fdct_block(blk) / qt.reshape(8, 8))
-                    coeff = coeff.astype(np.int64).reshape(64)
-                    zz = [int(coeff[ZIGZAG[k]]) for k in range(64)]
-                    pred[c] = _encode_component_block(
-                        bw, zz, pred[c], enc_dc[tab], enc_ac[tab]
-                    )
+            for _ in range(sv * sh):
+                i = cursor[c]
+                cursor[c] += 1
+                pred[c] = _encode_component_block(
+                    bw,
+                    comp_z[c][i],
+                    int(comp_lastnz[c][i]),
+                    pred[c],
+                    enc_dc[tab],
+                    enc_ac[tab],
+                )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI

@@ -758,7 +758,12 @@ def multimodal_png_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
     from flink_stream_spark.operators.png import encode_png
 
     d = load_table(spark, sf_dir, "documents")
-    src = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # spread the per-doc container encode/decode across the cluster
+    # (the fixture parquet is 1-2 splits; the codec stage is the rare
+    # CPU-bound Python work — same posture as the JPEG round-trip)
+    src = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(PNGRT_H * PNGRT_W, dtype=np.int64)
@@ -821,7 +826,12 @@ def multimodal_gif_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
     from flink_stream_spark.operators.gif import encode_gif_gray
 
     d = load_table(spark, sf_dir, "documents")
-    src = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # spread the per-doc container encode/decode across the cluster
+    # (the fixture parquet is 1-2 splits; the codec stage is the rare
+    # CPU-bound Python work — same posture as the JPEG round-trip)
+    src = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(PNGRT_H * PNGRT_W, dtype=np.int64)
@@ -1049,7 +1059,12 @@ def _wav_media(d: DataFrame) -> DataFrame:
 
     from flink_stream_spark.operators.wav import encode_wav
 
-    src = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # spread the per-doc container encode/decode across the cluster
+    # (the fixture parquet is 1-2 splits; the codec stage is the rare
+    # CPU-bound Python work — same posture as the JPEG round-trip)
+    src = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(WAVRT_N, dtype=np.int64)
@@ -1345,7 +1360,12 @@ def _y4m_media(d: DataFrame) -> DataFrame:
 
     from flink_stream_spark.operators.y4m import encode_y4m
 
-    src = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # spread the per-doc container encode/decode across the cluster
+    # (the fixture parquet is 1-2 splits; the codec stage is the rare
+    # CPU-bound Python work — same posture as the JPEG round-trip)
+    src = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
     total = VID_FRAMES * VID_H * VID_W
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1490,33 +1510,63 @@ def multimodal_video_dedup_motion(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", "block_means")
         .persist()
     )
-    # per-element quantization (no F.transform HOF — see the audio
-    # twin's note: codegen + no whole-array re-evaluation per term)
-    def qat(i: int):
-        return (
-            F.element_at(F.col("block_means"), i) / F.lit(VID_QSTEP)
-        ).cast("bigint")
+    return video_near_dup_pairs(stats).orderBy("doc_a", "doc_b")
 
-    band_vals = F.array(
+
+def video_band_vals(bm_col: str = "block_means"):
+    """Per-frame packed spatial-band signature values of a stored raw
+    block-means column — a pure column expression over the signal, so
+    an index holding raw block means re-blocks algebraically (the
+    image/audio-stream lesson). Per-element quantization, no
+    F.transform HOF (codegen + no whole-array re-evaluation per term
+    — the audio twin's note)."""
+
+    def qat(i: int):
+        return (F.element_at(F.col(bm_col), i) / F.lit(VID_QSTEP)).cast(
+            "bigint"
+        )
+
+    return F.array(
         *[
             sum(qat(VID_BLOCKS * f + t + 1) * F.lit(33**t) for t in range(VID_BLOCKS))
             for f in range(VID_FRAMES)
         ]
     )
+
+
+def blockmeans_l1(a, b):
+    """Exact L1 over two VID_FRAMES x VID_BLOCKS signatures as
+    codegen'd abs-diff terms (JVM-side, no HOF)."""
+    l1 = None
+    for i in range(VID_FRAMES * VID_BLOCKS):
+        term = F.abs(a[i] - b[i])
+        l1 = term if l1 is None else l1 + term
+    return l1.cast("bigint")
+
+
+def video_near_dup_pairs(stats: DataFrame, cap_hot: bool = True) -> DataFrame:
+    """(doc_id, block_means) -> verified near-dup pairs (doc_a < doc_b,
+    l1_dist): per-frame banded nomination (all-zero bands nominate
+    nothing — zero-padding tail frames and the undecodable-payload
+    fallback row) + exact L1 <= VID_L1_MAX verify — the shared kernel
+    of the batch query and the streaming twin. ``cap_hot`` applies the
+    batch-global hot-band cap (the streaming probe side must NOT cap —
+    see streaming/video_dedup_stream.py)."""
     bv = stats.select(
-        "doc_id", F.posexplode(band_vals).alias("band_idx", "band_val")
+        "doc_id", F.posexplode(video_band_vals()).alias("band_idx", "band_val")
     ).filter(F.col("band_val") > 0)
-    hot_ok = (
-        bv.groupBy("band_idx", "band_val")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") <= VID_BAND_CAP)
-        .select("band_idx", "band_val")
-    )
-    bvk = bv.join(hot_ok, ["band_idx", "band_val"])
+    if cap_hot:
+        hot_ok = (
+            bv.groupBy("band_idx", "band_val")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= VID_BAND_CAP)
+            .select("band_idx", "band_val")
+        )
+        bv = bv.join(hot_ok, ["band_idx", "band_val"])
     cand = (
-        bvk.alias("a")
+        bv.alias("a")
         .join(
-            bvk.alias("b"),
+            bv.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1528,14 +1578,13 @@ def multimodal_video_dedup_motion(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     sa = stats.select(F.col("doc_id").alias("doc_a"), F.col("block_means").alias("ba"))
     sb = stats.select(F.col("doc_id").alias("doc_b"), F.col("block_means").alias("bb"))
-    l1 = None
-    for i in range(VID_FRAMES * VID_BLOCKS):
-        term = F.abs(F.col("ba")[i] - F.col("bb")[i])
-        l1 = term if l1 is None else l1 + term
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", l1.cast("bigint").alias("l1_dist"))
+        .select(
+            "doc_a",
+            "doc_b",
+            blockmeans_l1(F.col("ba"), F.col("bb")).alias("l1_dist"),
+        )
         .filter(F.col("l1_dist") <= VID_L1_MAX)
-        .orderBy("doc_a", "doc_b")
     )

@@ -135,10 +135,19 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_pretraining_batch",
-    f"""
-    WITH feats AS (
+def _pretraining_cte() -> str:
+    """The pretraining-batch oracle CTE chain (quality gate → exact
+    dedup → mixture downsample → LEAKAGE-SAFE cluster-id split →
+    per-split sequence packing), ending at ``cum`` — shared by the
+    batch query and the leakage audit. Built on the recursive-closure
+    cluster CTE so the split column matches
+    sample_leakage_safe_split exactly."""
+    from flink_stream_spark.operators.sampling import _leakage_split_duck
+
+    return (
+        _leakage_split_duck()
+        + f"""
+    , feats AS (
       SELECT doc_id, source, text,
              CAST(length(text) AS BIGINT) AS n_chars,
              (1000000 * CAST(length(text) - length(replace(text, ' ', ''))
@@ -164,19 +173,28 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source, CAST((1000000 * m_min) // n_docs AS BIGINT) AS rate_ppm
       FROM per_source CROSS JOIN m),
     mixed AS (
-      SELECT s.doc_id, s.source, s.text
+      SELECT s.doc_id, s.source, s.text, sp.split
       FROM surv s JOIN rates r ON r.source = s.source
+        JOIN split_assign sp ON sp.doc_id = s.doc_id
       WHERE {tok_hash_duck("CAST(s.doc_id AS VARCHAR)")} % 1000000 < r.rate_ppm),
     toks AS (
-      SELECT doc_id, source,
+      SELECT doc_id, source, split,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       FROM mixed),
     cum AS (
-      SELECT doc_id, source, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
+      SELECT doc_id, source, split, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) - n_tokens AS off
       FROM toks)
-    SELECT doc_id, source, n_tokens,
+    """
+    )
+
+
+@register(
+    "pipeline_pretraining_batch",
+    _pretraining_cte()
+    + """
+    SELECT doc_id, source, split, n_tokens,
            CAST(off // 2048 AS BIGINT) AS pack_id,
            CAST(off % 2048 AS BIGINT) AS pack_offset
     FROM cum
@@ -187,11 +205,19 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "gate (scaled-logit threshold, scan-local) -> exact dedup "
     "(32-byte hash shuffle) -> mixture-equalizing downsample (hash-"
     "bernoulli at per-source ppm rates, map-side after a tiny rate "
-    "broadcast) -> sequence packing (distributed global token cumsum). "
-    "Every stage is one of the registry's audited scale shapes; the "
-    "composition adds no new shuffle beyond its parts, and the output "
-    "is the (doc -> pack, offset) map a tokenizer shard-writer "
-    "consumes.",
+    "broadcast) -> LEAKAGE-SAFE train/val/test assignment (bucketed "
+    "by the md5 of the doc's near-dup CLUSTER id — the "
+    "sample_leakage_safe_split machinery, so paraphrases/re-crawls "
+    "can never straddle a split boundary; round 6 proved doc-id-hash "
+    "splitting leaks) -> PER-SPLIT sequence packing (distributed "
+    "token cumsum partitioned by split, so eval packs never share a "
+    "sequence with train). Every stage is one of the registry's "
+    "audited scale shapes; the only addition over its parts is the "
+    "doc-keyed split join (one shuffle on doc_id — co-partitionable "
+    "with the exact-dedup stage at scale), and the output is the "
+    "(doc -> split, pack, offset) map a tokenizer shard-writer "
+    "consumes. pipeline_leakage_audit proves zero straddlers ON this "
+    "output.",
 )
 def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window as W
@@ -239,32 +265,108 @@ def pipeline_pretraining_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = surv.join(F.broadcast(rates), "source").filter(
         hash_bucket(F.col("doc_id"), 1_000_000) < F.col("rate_ppm")
     )
-    toks = mixed.select(
-        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    # leakage-safe split BEFORE packing: the cluster-id bucket of
+    # sample_leakage_safe_split (near-dups can never straddle a
+    # boundary), joined on doc_id — then the token cumsum PARTITIONS
+    # BY split so an eval pack never shares a sequence with train
+    from flink_stream_spark.operators.sampling import _cluster_split_frame
+
+    splits = _cluster_split_frame(spark, sf_dir).select("doc_id", "split")
+    toks = (
+        mixed.join(splits, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
     )
     n = spark.sparkContext.defaultParallelism
     parted = (
-        toks.repartitionByRange(n, "doc_id")
+        toks.repartitionByRange(n, "split", "doc_id")
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=False)  # pin one range partitioning
     )
-    sizes = parted.groupBy("__pid").agg(F.sum("n_tokens").alias("__psum"))
-    w_off = W.orderBy("__pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = sizes.select(
-        "__pid", F.coalesce(F.sum("__psum").over(w_off), F.lit(0)).alias("__poff")
+    # per-(partition, split) sums -> per-split partition offsets: the
+    # same two-level distributed-cumsum shape, reset at each split
+    # (a range partition may hold the boundary between two splits)
+    sizes = parted.groupBy("__pid", "split").agg(F.sum("n_tokens").alias("__psum"))
+    w_off = W.partitionBy("split").orderBy("__pid").rowsBetween(
+        W.unboundedPreceding, -1
     )
-    w_in = W.partitionBy("__pid").orderBy("doc_id").rowsBetween(
+    offsets = sizes.select(
+        "__pid",
+        "split",
+        F.coalesce(F.sum("__psum").over(w_off), F.lit(0)).alias("__poff"),
+    )
+    w_in = W.partitionBy("__pid", "split").orderBy("doc_id").rowsBetween(
         W.unboundedPreceding, -1
     )
     cum = (
         parted.withColumn("__local", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)))
-        .join(F.broadcast(offsets), "__pid")
+        .join(F.broadcast(offsets), ["__pid", "split"])
         .withColumn("off", F.col("__local") + F.col("__poff"))
     )
     return cum.select(
         "doc_id",
         "source",
+        "split",
         "n_tokens",
         F.expr("off div 2048").cast("bigint").alias("pack_id"),
         (F.col("off") % 2048).cast("bigint").alias("pack_offset"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_leakage_audit",
+    _pretraining_cte()
+    + """
+    , out_assign AS (
+      SELECT c.doc_id, c.split, sa.cluster_id
+      FROM cum c JOIN split_assign sa ON sa.doc_id = c.doc_id),
+    per_split AS (
+      SELECT split,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters
+      FROM out_assign GROUP BY split),
+    straddlers AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters FROM (
+        SELECT cluster_id FROM out_assign
+        GROUP BY cluster_id HAVING COUNT(DISTINCT split) > 1))
+    SELECT p.split, p.n_docs, p.n_clusters, s.n_leaky_clusters
+    FROM per_split p CROSS JOIN straddlers s
+    ORDER BY p.split
+    """,
+    group="pipeline",
+    doc="Leakage audit ON the pretraining pipeline's OUTPUT (round-6 "
+    "verdict #6's done-criterion): per-split doc/cluster counts over "
+    "the packed batch plus the count of near-dup clusters whose "
+    "surviving members straddle more than one split — ZERO by "
+    "construction now that the pipeline splits on cluster_id, and "
+    "this query PROVES it on the data the packer actually emits "
+    "(the governance check a training launch runs after curation, "
+    "not merely on the raw corpus). Scale: the pipeline frame plus "
+    "two hash aggregations over (cluster_id, split); the cluster "
+    "assignment subplan is shared with the pipeline itself.",
+)
+def pipeline_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.operators.dedup import dedup_cluster_assign
+
+    out = pipeline_pretraining_batch(spark, sf_dir).select("doc_id", "split")
+    assigned = dedup_cluster_assign(spark, sf_dir).select("doc_id", "cluster_id")
+    joined = out.join(assigned, "doc_id")
+    per_split = joined.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+    )
+    straddlers = (
+        joined.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaky_clusters"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(straddlers))
+        .select("split", "n_docs", "n_clusters", "n_leaky_clusters")
+        .orderBy("split")
+    )

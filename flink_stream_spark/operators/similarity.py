@@ -60,11 +60,19 @@ NPROBE_MIN = 2  # floor on IVF lists probed per query
 # NPROBE = max(2, ceil(sqrt(NLIST) / 4)) — probes grow as n^(1/4), so
 # per-query scanned rows are NPROBE·(n/NLIST) ∝ n^(3/4): still deeply
 # sublinear, while the probed FRACTION decays as n^(-1/4) instead of
-# n^(-1/2), which is what keeps the measured recall curve flat-ish
-# across scales (recorded in PLANS.md: recall probe at sf0.1/1/3).
-# Both engines derive the value from the same COUNT(*): sqrt is exact
-# IEEE on both sides, /4 is exact, and ceil boundaries only occur at
-# perfect squares where sqrt is exact — no float-divergence window.
+# n^(-1/2). MEASURED, not just argued (round 7): on the recall-
+# discriminating clustered fixture (testing/ann_fixture.py — boundary
+# queries whose true neighbors split across several near-equidistant
+# lists; the standard fixture saturates at 1.000 under every policy
+# because each query seeds its own list), pinned nprobe=2 recall@5
+# DECAYS with corpus size (0.64 → 0.60 → 0.52 at n=4k/16k/64k) while
+# this adaptive rule recovers it (0.64 → 0.84 → 1.00) — the curve is
+# recorded in PLANS.md ("IVF recall probe") and reproducible via
+# tools/ann_recall_probe.py; tests/test_ann_recall_fixture.py pins
+# the discrimination. Both engines derive the value from the same
+# COUNT(*): sqrt is exact IEEE on both sides, /4 is exact, and ceil
+# boundaries only occur at perfect squares where sqrt is exact — no
+# float-divergence window.
 IVF_K = 5
 
 
@@ -335,6 +343,16 @@ _IVF_RANKED_DUCK = f"""
     "Python exactly ONCE.",
 )
 def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk_frame(spark, sf_dir)
+
+
+def ivf_topk_frame(
+    spark: SparkSession, sf_dir: str, nprobe: "int | None" = None
+) -> DataFrame:
+    """The IVF top-k plan with an optional NPROBE override — the
+    serving-policy measurement hook (tools/ann_recall_probe.py records
+    adaptive-vs-pinned recall on the clustered fixture); ``None`` =
+    the adaptive ivf_nprobe rule the registered query ships."""
     e = load_table(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
     n = (
@@ -348,7 +366,9 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nlist = ivf_nlist(e.count())
     cent_rows = _ivf_centroids(n, nlist)
     assign = _ivf_assign(n, cent_rows)
-    probes = _ivf_query_probes(spark, cent_rows, ivf_nprobe(nlist))
+    probes = _ivf_query_probes(
+        spark, cent_rows, ivf_nprobe(nlist) if nprobe is None else nprobe
+    )
     scored = (
         assign.join(
             F.broadcast(probes),
@@ -416,8 +436,21 @@ def simsearch_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "would otherwise flip the metric).",
 )
 def simsearch_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_recall_frame(spark, sf_dir)
+
+
+def ivf_recall_frame(
+    spark: SparkSession, sf_dir: str, nprobe: "int | None" = None
+) -> DataFrame:
+    """recall@IVF_K of the IVF result under an optional NPROBE
+    override against the exact top-k — the measurement loop behind
+    the adaptive-nprobe policy (PLANS.md 'IVF recall' table records
+    adaptive vs pinned on the clustered fixture; ``None`` = the
+    registered adaptive rule)."""
     e = load_table(spark, sf_dir, "embeddings")
-    ivf = simsearch_ivf_topk(spark, sf_dir).select("query_id", "match_id")
+    ivf = ivf_topk_frame(spark, sf_dir, nprobe=nprobe).select(
+        "query_id", "match_id"
+    )
     par = spark.sparkContext.defaultParallelism
     n = (
         e.repartition(par, "vec_id")
