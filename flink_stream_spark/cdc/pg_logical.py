@@ -108,7 +108,14 @@ def cdc_final_state_from_log(parsed: DataFrame, key: str) -> DataFrame:
     Scale: one shuffle on (tbl, key) for the window; the truncate
     side aggregates to one row per truncated TABLE (broadcast-size by
     construction) and joins broadcast, so honoring TRUNCATE adds no
-    second data-volume shuffle."""
+    second data-volume shuffle.
+
+    The truncate side does RE-SCAN ``parsed``: replayable sources
+    (files, golden captures) are fine, but a frame backed by a LIVE
+    ``pg_logical_slot_peek_changes`` JDBC read is single-consumer —
+    two concurrent scans fail with "replication slot is active for
+    PID". Pin one snapshot first (``.localCheckpoint(eager=True)``,
+    exactly what cdc/slot_stream.py and parse_pgoutput do)."""
     trunc = (
         parsed.filter(F.col("op") == "TRUNCATE")
         .groupBy("tbl")

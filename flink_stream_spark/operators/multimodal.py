@@ -479,16 +479,17 @@ DHASH_SCHEMA = "doc_id bigint, bands array<int>"
 def dhash_bands(media: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> (doc_id, bands array<int> of 8
     byte-values) — the 64-bit dHash split into its 8 row-bands, the
-    unit the Hamming-LSH blocking groups on. PNG, GIF, and baseline
-    JPEG payloads are decoded to PIXELS (stdlib+numpy codecs,
-    operators/png.py, operators/gif.py, operators/jpeg.py — zlib
-    inflate + unfilter, real LZW, and huffman + dequant + pinned
-    integer IDCT) and block-mean downsampled; everything else uses
+    unit the Hamming-LSH blocking groups on. PNG, GIF, baseline-JPEG,
+    and BMP payloads are decoded to PIXELS (stdlib+numpy codecs,
+    operators/{png,gif,jpeg,bmp}.py — zlib inflate + unfilter, real
+    LZW, huffman + dequant + pinned integer IDCT, and uncompressed
+    DIB) and block-mean downsampled; everything else uses
     the deterministic byte resample. Arrow-batched mapInPandas,
     narrow (no shuffle): a 100 TB corpus hashes embarrassingly
     parallel."""
     import numpy as np
 
+    from flink_stream_spark.operators.bmp import decode_bmp_gray
     from flink_stream_spark.operators.gif import decode_gif_gray
     from flink_stream_spark.operators.jpeg import decode_jpeg_gray
     from flink_stream_spark.operators.png import decode_png_gray, gray_grid
@@ -509,6 +510,13 @@ def dhash_bands(media: DataFrame) -> DataFrame:
                     px = gray_grid(gray, DHASH_ROWS, 9)
             elif b[:2] == b"\xff\xd8":  # JPEG SOI (0xFF: never UTF-8 text)
                 gray = decode_jpeg_gray(b)
+                if gray is not None:
+                    px = gray_grid(gray, DHASH_ROWS, 9)
+            elif b[:2] == b"BM":
+                # 'BM' alone is printable text; decode_bmp_gray's
+                # structural checks (DIB-size u32 forces NULs) make a
+                # text misparse impossible — see operators/bmp.py.
+                gray = decode_bmp_gray(b)
                 if gray is not None:
                     px = gray_grid(gray, DHASH_ROWS, 9)
             if px is None:
@@ -849,6 +857,83 @@ def multimodal_gif_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
                     encode_gif_gray(pix, interlace=bool(int(doc_id) % 2))
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": gifs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return dhash_bands(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_bmp_roundtrip_dhash",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
+          i -> CASE WHEN n = 0 THEN 0 ELSE (
+                 ord(substr(text, ((i // 9) * 2 * {PNGRT_W} + (i % 9) * 2) % n + 1, 1))
+               + ord(substr(text, ((i // 9) * 2 * {PNGRT_W} + (i % 9) * 2 + 1) % n + 1, 1))
+               + ord(substr(text, (((i // 9) * 2 + 1) * {PNGRT_W} + (i % 9) * 2) % n + 1, 1))
+               + ord(substr(text, (((i // 9) * 2 + 1) * {PNGRT_W} + (i % 9) * 2 + 1) % n + 1, 1))
+               ) // 4 END) AS px
+      FROM p),
+    b AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS - 1}),
+          r -> CAST(list_aggregate(list_transform(generate_series(0, 7),
+                 c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
+                      THEN 1 << c ELSE 0 END), 'sum') AS INTEGER)) AS bands
+      FROM s)
+    SELECT doc_id, bands FROM b ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="BMP codec round-trip under the oracle: the same 16x18 "
+    "grayscale grid as the PNG/GIF round-trips, encoded as a REAL "
+    "uncompressed DIB (operators/bmp.py) with doc_id cycling all "
+    "four encoder layouts — 8-bit palette vs 24-bit BGR x bottom-up "
+    "vs top-down (negative height) — then decoded back through "
+    "dhash_bands' BMP branch. The oracle (the same SQL as the "
+    "PNG/GIF round-trips: same pixels, different container) derives "
+    "the grid straight from the text, so a hash match proves the "
+    "decoder reproduced every pixel in every layout: palette "
+    "lookup, BGR luma, 4-byte row padding (18 and 54 bytes/row both "
+    "pad), and both row orders. Both mapInPandas stages narrow (no "
+    "shuffle) — the embarrassingly-parallel decode posture of the "
+    "dedup query itself.",
+)
+def multimodal_bmp_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.bmp import encode_bmp
+
+    d = load_table(spark, sf_dir, "documents")
+    # spread the per-doc container encode/decode across the cluster
+    # (the fixture parquet is 1-2 splits), same posture as the other
+    # codec round-trips
+    src = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(PNGRT_H * PNGRT_W, dtype=np.int64)
+        for pdf in batches:
+            bmps = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                pix = (
+                    np.zeros((PNGRT_H, PNGRT_W), dtype=np.uint8)
+                    if n == 0
+                    else arr[idx % n].reshape(PNGRT_H, PNGRT_W)
+                )
+                did = int(doc_id)
+                bmps.append(
+                    encode_bmp(
+                        pix,
+                        bpp=8 if did % 2 == 0 else 24,
+                        top_down=(did % 4) >= 2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": bmps})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
     return dhash_bands(media).orderBy("doc_id")

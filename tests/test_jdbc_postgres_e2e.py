@@ -187,7 +187,15 @@ def test_logical_decoding_cdc_round_trip(pg_url):
                  .config("spark.ui.enabled", "false")
                  .getOrCreate())
         opts = dict(driver="org.postgresql.Driver")
-        changes = read_batch(spark, "jdbc:{pg_url}#{slot_q}", **opts)
+        # a replication slot is SINGLE-CONSUMER: pin ONE snapshot of the
+        # peek before the multi-pass replay (the truncate side of
+        # cdc_final_state_from_log re-scans its input, and two
+        # concurrent slot reads fail with "slot is active for PID") —
+        # the same eager-localCheckpoint discipline cdc/slot_stream.py
+        # and parse_pgoutput apply
+        changes = read_batch(
+            spark, "jdbc:{pg_url}#{slot_q}", **opts
+        ).localCheckpoint(eager=True)
         parsed = parse_test_decoding(changes).filter(
             "tbl = 'public.cdc_items'")
         final = cdc_final_state_from_log(parsed, "id")
