@@ -219,6 +219,10 @@ _PYTHON_EVAL_OK = {
     #                                    Python surface is the point
     "multimodal_gif_roundtrip_dhash",  # GIF encode + real-LZW decode:
     #                                    same codec-surface rationale
+    "multimodal_jpeg_roundtrip_dhash",  # JPEG encode + huffman/IDCT
+    #                                     decode: same codec rationale
+    "multimodal_bmp_roundtrip_dhash",  # BMP encode + DIB decode: same
+    #                                    codec-surface rationale
     "multimodal_wav_roundtrip_stats",  # WAV encode + RIFF/PCM decode:
     #                                    same codec-surface rationale
     "multimodal_audio_dedup_envelope",  # envelope stage decodes WAV;
