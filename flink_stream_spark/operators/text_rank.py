@@ -524,3 +524,160 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(RRF_OUT_K)
+
+
+# --- bigram stupid-backoff LM: held-out perplexity quality filter ---------
+#
+# The CCNet shape: train an n-gram LM on a trusted reference corpus,
+# score every incoming document by mean negative log-likelihood, and
+# filter/bucket on the score. The unigram query scores the corpus
+# with its own LM (backoff can never trigger); here the LM trains on
+# the INGESTED sources only (src0..src{IDX_SOURCE_MAX-1}, the same
+# index/batch split the incremental-dedup queries use), so new-batch
+# docs genuinely hit the backoff path: unseen bigram -> 0.4 * unigram,
+# unseen unigram -> 0.4 * 1/T floor (Brants 2007 "stupid backoff" —
+# score, not a normalized probability, which is exactly why it
+# distributes: counts only, no discount bookkeeping).
+BACKOFF_INV = 2.5  # 1/0.4: ln(2.5 * T / c) keeps the quantized nll >= 0
+
+
+@register(
+    "text_bigram_logppl",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents),
+    seq AS (
+      SELECT doc_id, pos, term,
+             lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM toks),
+    lm AS (
+      SELECT s.* FROM seq s JOIN documents d USING (doc_id)
+      WHERE CAST(substr(d.source, 4) AS INT) < 10),
+    uni AS (SELECT term, COUNT(*) AS c FROM lm GROUP BY term),
+    tot AS (SELECT COUNT(*) AS t FROM lm),
+    big AS (SELECT prev, term, COUNT(*) AS c2 FROM lm
+            WHERE prev IS NOT NULL GROUP BY prev, term),
+    ctx AS (SELECT prev, COUNT(*) AS c1 FROM lm
+            WHERE prev IS NOT NULL GROUP BY prev),
+    scored AS (
+      SELECT s.doc_id,
+        CASE
+          WHEN s.prev IS NOT NULL AND b.c2 IS NOT NULL
+            THEN ln(CAST(x.c1 AS DOUBLE) / CAST(b.c2 AS DOUBLE))
+          WHEN s.prev IS NOT NULL
+            THEN ln({BACKOFF_INV} * CAST(t.t AS DOUBLE)
+                    / CAST(COALESCE(u.c, 1) AS DOUBLE))
+          ELSE ln(CAST(t.t AS DOUBLE) / CAST(COALESCE(u.c, 1) AS DOUBLE))
+        END AS nll
+      FROM seq s
+      LEFT JOIN uni u ON u.term = s.term
+      LEFT JOIN big b ON b.prev = s.prev AND b.term = s.term
+      LEFT JOIN ctx x ON x.prev = s.prev
+      CROSS JOIN tot t),
+    q AS (SELECT doc_id,
+                 CAST(FLOOR(nll * 1000000.0 + 0.5) AS BIGINT) AS nm
+          FROM scored)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(nm) AS BIGINT) AS nll_micro_total,
+           CAST(FLOOR(CAST(SUM(nm) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                      + 0.5) AS BIGINT) / 1000000.0 AS avg_nll
+    FROM q GROUP BY doc_id ORDER BY doc_id
+    """,
+    group="text",
+    doc="Bigram stupid-backoff LM log-perplexity (Brants 2007; the "
+    "CCNet-style held-out quality filter): the LM's bigram/context/"
+    "unigram count tables train on the ingested sources "
+    "(src0..src9) ONLY, and every document — index and new batch — "
+    "is scored by mean negative log-likelihood. Seen bigram: "
+    "ln(c1(prev)/c2(prev,w)); unseen bigram: ln(2.5*T/c(w)) (the 0.4 "
+    "backoff); unseen unigram floors at c=1; a document's first "
+    "token scores against the unigram LM without penalty. Per-token "
+    "nll quantizes to micro-unit BIGINTs (every branch >= 0, "
+    "floor(x*1e6+0.5) sign-safe); per-doc totals are exact integer "
+    "sums. Scale: one token pass builds (doc_id, pos, term, prev) "
+    "via a doc-partitioned lag window; the three LM tables are "
+    "|vocab| / |bigram vocab| / |vocab| rows (AQE broadcasts them "
+    "when they fit, shuffle-hash otherwise — never the token "
+    "stream); scoring is three hash joins + one per-doc aggregate. "
+    "At 100 TB the LM tables are built once per reference-corpus "
+    "epoch and reused across every incoming batch.",
+)
+def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_stream_spark.operators.dedup import IDX_SOURCE_MAX
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    toks = (
+        d.repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split("text", " ")).alias("pos", "term"),
+        )
+    )
+    seq = toks.withColumn(
+        "prev", F.lag("term").over(W.partitionBy("doc_id").orderBy("pos"))
+    )
+    lm = seq.filter(
+        F.substring("source", 4, 10).cast("int") < IDX_SOURCE_MAX
+    )
+    uni = lm.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    tot = lm.agg(F.count(F.lit(1)).alias("t"))
+    grams = lm.filter(F.col("prev").isNotNull())
+    big = grams.groupBy("prev", "term").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = grams.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    nll = (
+        F.when(
+            F.col("prev").isNotNull() & F.col("c2").isNotNull(),
+            F.log(F.col("c1").cast("double") / F.col("c2").cast("double")),
+        )
+        .when(
+            F.col("prev").isNotNull(),
+            F.log(
+                (F.lit(BACKOFF_INV) * F.col("t").cast("double"))
+                / F.coalesce("c", F.lit(1)).cast("double")
+            ),
+        )
+        .otherwise(
+            F.log(
+                F.col("t").cast("double")
+                / F.coalesce("c", F.lit(1)).cast("double")
+            )
+        )
+    )
+    scored = (
+        seq.join(uni, "term", "left")
+        .join(big, ["prev", "term"], "left")
+        .join(ctx, "prev", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.floor(nll * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("nm"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("nm").cast("bigint").alias("nll_micro_total"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_micro_total",
+            # half-up at micro precision in exact integers (exactmath)
+            (
+                F.floor(
+                    F.col("nll_micro_total").cast("double")
+                    / F.col("n_tokens").cast("double")
+                    + F.lit(0.5)
+                ).cast("bigint")
+                / F.lit(1000000.0)
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
