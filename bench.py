@@ -123,6 +123,13 @@ HEADLINE = [
     "multimodal_audio_dedup_envelope",
     "multimodal_video_dedup_motion",
     "pipeline_pretraining_batch",
+    # round-7 late additions: BMP closes the image-container set;
+    # the bloom prefilter and the held-out bigram LM are first-class
+    # curation operators whose plans the gate should watch
+    "multimodal_bmp_roundtrip_dhash",
+    "dedup_incremental_bloom",
+    "text_bigram_logppl",
+    "embedding_jl_project",
 ]
 # not in the set: agg_percentile_approx — its GATE form deliberately
 # computes the exact reference percentiles next to the sketch (the

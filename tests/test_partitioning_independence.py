@@ -19,6 +19,7 @@ import flink_stream_spark.operators.events_analytics  # noqa: F401
 import flink_stream_spark.operators.misc  # noqa: F401
 import flink_stream_spark.operators.sampling  # noqa: F401
 import flink_stream_spark.operators.similarity  # noqa: F401
+import flink_stream_spark.operators.text_rank  # noqa: F401
 import flink_stream_spark.operators.asof  # noqa: F401
 import flink_stream_spark.operators.cdc  # noqa: F401
 
@@ -45,6 +46,11 @@ SENSITIVE = [
     "sample_dsir_importance",
     "sample_priority_weighted",
     "text_line_dedup",
+    # round 7: bloom bit-fold, held-out LM micro-quantized scores,
+    # hash-derived projection matrix
+    "dedup_incremental_bloom",
+    "text_bigram_logppl",
+    "embedding_jl_project",
 ]
 
 
