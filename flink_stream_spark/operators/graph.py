@@ -217,3 +217,119 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node_type")
     )
+
+
+# --- triangle counting -------------------------------------------------
+# Co-order part graph: undirected edge {p1, p2} iff some order contains
+# both parts. Bounded fan-out per order (TPC-H orders hold <= 7 lines),
+# so |edges| = O(sum_orders C(items,2)) — linear in the fact table.
+
+_COPURCHASE_EDGES_SQL = """
+    pairs AS (
+      SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs)
+      GROUP BY node),
+    oriented AS (
+      SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+             CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+      FROM pairs p
+      JOIN deg du ON du.node = p.u
+      JOIN deg dv ON dv.node = p.v)
+"""
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH {_COPURCHASE_EDGES_SQL},
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM oriented e1
+      JOIN oriented e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+      JOIN oriented e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST((SELECT SUM(d * (d - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+    group="graph",
+    doc="Exact triangle count on the co-order part graph (parts "
+    "appearing in the same order), plus nodes/edges/wedges — the "
+    "inputs to global transitivity 3*tri/wedges. Degree-ordered "
+    "orientation (Chiba-Nishizeki / Schank-Wagner 'forward'): each "
+    "undirected edge points from its lower-(degree, id) endpoint to "
+    "the higher, so every triangle {x,y,z} with rank(x)<rank(y)<rank(z) "
+    "is counted exactly once as the equi-join e1=(x,y), e2=(x,z), "
+    "e3=(y,z). Scale: orientation bounds every node's out-degree by "
+    "O(sqrt(m)), so the wedge join materializes O(m^1.5) candidate "
+    "rows worst-case instead of sum(deg^2) — the difference between "
+    "feasible and not on a power-law graph (a hot part co-ordered "
+    "with 1M others contributes ZERO wedges from its own adjacency "
+    "because all its edges point inward). All equi-joins — no "
+    "CartesianProduct; the edge list is materialized once "
+    "(localCheckpoint) and reused by the degree, wedge, and closing "
+    "joins. Edge generation is per-order C(items,2) with items <= 7.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("v")
+    )
+    pairs = (
+        li.select(F.col("l_orderkey").alias("o1"), F.col("l_partkey").alias("u"))
+        .join(l2, (F.col("o1") == F.col("o2")) & (F.col("u") < F.col("v")))
+        .select("u", "v")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = (
+        pairs.select(F.col("u").alias("node"))
+        .unionAll(pairs.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = oriented.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    wedges = e1.join(
+        e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c"))
+    ).select("b", "c")
+    e3 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(e3, ["b", "c"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("bigint"),
+            F.col("n_edges").cast("bigint"),
+            F.col("n_wedges").cast("bigint"),
+            F.col("n_triangles").cast("bigint"),
+        )
+    )

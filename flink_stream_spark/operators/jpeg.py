@@ -16,9 +16,18 @@ int64 accumulation, one defined rounding shift) so decode is
 bit-reproducible on every platform — no float BLAS path can change a
 pixel. Quant/Huffman defaults are the spec's own Annex K tables.
 
-Non-goals (return None, callers fall back): progressive (SOF2),
-arithmetic coding, hierarchical, 12-bit precision. Those are <10 % of
-real crawls; baseline covers the bulk.
+PROGRESSIVE (SOF2) is also decoded — spectral selection, successive
+approximation, DC/AC first and refinement scans, EOB runs, interleaved
+DC scans, per-scan restart intervals — via multi-scan coefficient
+accumulation (see _decode_scan_prog); ``encode_jpeg_progressive``
+emits a 6-scan script (DC first Al=1 -> per-component AC bands 1-5 /
+6-63 at Al=1 -> DC refine -> per-component AC refine passes) that
+exercises every scan kind, so the two coders cross-check each other:
+the same coefficients must reconstruct the IDENTICAL pixels whether
+transported baseline or progressive (tests/test_jpeg_progressive.py).
+
+Non-goals (return None, callers fall back): arithmetic coding,
+hierarchical, 12-bit precision. Those are <1 % of real crawls.
 
 Exactness property the oracled round-trip leans on: an 8x8-constant
 block has all-zero AC coefficients and DC = 8*(v-128) exactly (the
@@ -309,7 +318,8 @@ def decode_jpeg(data: bytes) -> "dict | None":
         return None
     try:
         return _decode_body(b)
-    except (ValueError, IndexError, struct.error, ZeroDivisionError):
+    except (ValueError, IndexError, KeyError, struct.error,
+            ZeroDivisionError):
         return None
 
 
@@ -319,15 +329,21 @@ def _decode_body(b: bytes) -> "dict | None":
     huff_ac: dict = {}
     frame = None
     restart_interval = 0
+    coefs: "dict | None" = None
+    scanned = False
     i = 2
-    while i + 4 <= len(b):
+    while i + 2 <= len(b):
         if b[i] != 0xFF:
             return None
         marker = b[i + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
-        if marker == 0xD9:  # EOI before SOS
+        if marker == 0xD9:  # EOI
+            if frame is not None and frame.get("progressive") and scanned:
+                return _finish_progressive(frame, coefs, qts)
+            return None  # EOI before SOS (baseline returns at its SOS)
+        if i + 4 > len(b):
             return None
         (seg_len,) = struct.unpack_from(">H", b, i + 2)
         if seg_len < 2:
@@ -364,7 +380,7 @@ def _decode_body(b: bytes) -> "dict | None":
                     bits, vals
                 )
                 p += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8 or not h or not w:
                 return None
@@ -374,10 +390,13 @@ def _decode_body(b: bytes) -> "dict | None":
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
                 )
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                coefs = _alloc_prog_coefs(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # extended/progressive/lossless/arithmetic
+            return None  # extended/lossless/arithmetic
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -393,6 +412,16 @@ def _decode_body(b: bytes) -> "dict | None":
                 if comp is None:
                     return None
                 scan.append((comp, tt >> 4, tt & 15))
+            if frame.get("progressive"):
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                i = _decode_scan_prog(
+                    b, i + 2 + seg_len, frame, scan, ss, se,
+                    ahal >> 4, ahal & 15, coefs, huff_dc, huff_ac,
+                    restart_interval,
+                )
+                scanned = True
+                continue
             return _decode_scan(
                 b, i + 2 + seg_len, frame, scan, qts, huff_dc, huff_ac,
                 restart_interval,
@@ -729,3 +758,468 @@ def encode_jpeg_gray(
 ) -> bytes:
     """Single-component (grayscale) baseline JPEG."""
     return encode_jpeg([pix], [(1, 1)], quality, restart_interval)
+
+
+# --- progressive (SOF2) decode ---------------------------------------------
+#
+# Coefficients accumulate across scans in per-component zigzag-order
+# int32 buffers sized to the padded MCU grid; each SOS contributes one
+# of four unit kinds (T.81 G.2): DC first (Huffman diffs, point
+# transform Al), DC refinement (one raw bit per block), AC first
+# (run/size with EOB-run codes over the Ss..Se band), AC refinement
+# (correction bits for already-nonzero coefficients interleaved with
+# newly-significant +-1<<Al insertions). Interleaved (multi-component)
+# scans walk MCUs; single-component scans walk the component's REAL
+# block grid (ceil(comp_w/8) x ceil(comp_h/8)) — the padded MCU blocks
+# outside it are never coded, exactly as T.81 prescribes.
+
+
+def _prog_mcu_grid(frame: dict) -> tuple:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_prog_coefs(frame: dict) -> dict:
+    _, _, mcus_x, mcus_y = _prog_mcu_grid(frame)
+    return {
+        c["id"]: np.zeros(
+            (c["v"] * mcus_y, c["h"] * mcus_x, 64), dtype=np.int32
+        )
+        for c in frame["comps"]
+    }
+
+
+def _real_block_dims(frame: dict, comp: dict) -> tuple:
+    """Non-interleaved scans cover the component's true block grid."""
+    hmax, vmax, _, _ = _prog_mcu_grid(frame)
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _skip_to_marker(b: bytes, pos: int) -> int:
+    """Advance past any residual entropy bytes / stray RSTn to the next
+    real marker's 0xFF; progressive scans are delimited by markers."""
+    ln = len(b)
+    while pos + 1 < ln:
+        if b[pos] == 0xFF and b[pos + 1] != 0x00:
+            if 0xD0 <= b[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    raise ValueError("jpeg: no marker after progressive scan")
+
+
+def _dc_unit(reader, blk, dct, pred, cid, ah, al) -> None:
+    if ah == 0:
+        s = reader.decode_huff(dct)
+        diff = _extend(reader.read_bits(s), s) if s else 0
+        pred[cid] += diff
+        blk[0] = pred[cid] << al
+    elif reader.read_bits(1):
+        blk[0] = int(blk[0]) | (1 << al)
+
+
+def _ac_first_unit(reader, blk, act, ss, se, al, eobrun) -> None:
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun[0] = (1 << r) - 1
+            if r:
+                eobrun[0] += reader.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC band overflow")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine_unit(reader, blk, act, ss, se, al, eobrun) -> None:
+    p1 = 1 << al
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = reader.decode_huff(act)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:  # EOBn: current block's tail + (run-1) blocks
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions, no insertion
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: refine size != 1")
+                newval = p1 if reader.read_bits(1) else -p1
+            while k <= se:  # advance r zero-history slots w/ corrections
+                v = int(blk[k])
+                if v != 0:
+                    if reader.read_bits(1) and (v & p1) == 0:
+                        blk[k] = v + (p1 if v > 0 else -p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun[0] > 0:  # EOB run covers this block's remainder
+        while k <= se:
+            v = int(blk[k])
+            if v != 0 and reader.read_bits(1) and (v & p1) == 0:
+                blk[k] = v + (p1 if v > 0 else -p1)
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan_prog(
+    b, pos, frame, scan, ss, se, ah, al, coefs, huff_dc, huff_ac, ri
+) -> int:
+    """Decode one progressive scan into the coefficient buffers; return
+    the byte offset of the marker that terminates its entropy data."""
+    _, _, mcus_x, mcus_y = _prog_mcu_grid(frame)
+    reader = _BitReader(b, pos)
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("jpeg: DC scan with Se != 0")
+        pred = {comp["id"]: 0 for comp, _, _ in scan}
+        if len(scan) > 1:  # interleaved over MCUs
+            for m in range(mcus_x * mcus_y):
+                if ri and m and m % ri == 0:
+                    reader.align_past_rst()
+                    pred = {k: 0 for k in pred}
+                my, mx = divmod(m, mcus_x)
+                for comp, td, _ in scan:
+                    cb = coefs[comp["id"]]
+                    for v in range(comp["v"]):
+                        for hh in range(comp["h"]):
+                            _dc_unit(
+                                reader,
+                                cb[my * comp["v"] + v, mx * comp["h"] + hh],
+                                huff_dc.get(td), pred, comp["id"], ah, al,
+                            )
+        else:
+            comp, td, _ = scan[0]
+            bh, bw_ = _real_block_dims(frame, comp)
+            cb = coefs[comp["id"]]
+            cnt = 0
+            for by in range(bh):
+                for bx in range(bw_):
+                    if ri and cnt and cnt % ri == 0:
+                        reader.align_past_rst()
+                        pred = {comp["id"]: 0}
+                    _dc_unit(reader, cb[by, bx], huff_dc.get(td), pred,
+                             comp["id"], ah, al)
+                    cnt += 1
+    else:  # AC scan: T.81 forbids interleaving
+        if len(scan) != 1 or se < ss or se > 63:
+            raise ValueError("jpeg: bad AC scan header")
+        comp, _, ta = scan[0]
+        act = huff_ac[ta]
+        bh, bw_ = _real_block_dims(frame, comp)
+        cb = coefs[comp["id"]]
+        eobrun = [0]
+        unit = _ac_first_unit if ah == 0 else _ac_refine_unit
+        cnt = 0
+        for by in range(bh):
+            for bx in range(bw_):
+                if ri and cnt and cnt % ri == 0:
+                    reader.align_past_rst()
+                    eobrun[0] = 0
+                unit(reader, cb[by, bx], act, ss, se, al, eobrun)
+                cnt += 1
+    return _skip_to_marker(b, reader.pos)
+
+
+def _finish_progressive(frame: dict, coefs: dict, qts: dict) -> dict:
+    """Dequantize the accumulated coefficients, run the pinned integer
+    IDCT, assemble planes — identical tail to the baseline scan."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    zig = np.array(ZIGZAG, dtype=np.int64)
+    out_planes, sampling = [], []
+    for c in comps:
+        cb = coefs[c["id"]]
+        nby, nbx, _ = cb.shape
+        zarr = cb.reshape(-1, 64).astype(np.int64) * qts[c["tq"]][None, :]
+        coeff = np.zeros((nby * nbx, 64), dtype=np.int64)
+        coeff[:, zig] = zarr
+        pix = idct2d_blocks(coeff.reshape(-1, 8, 8))
+        plane = (
+            pix.reshape(nby, nbx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(nby * 8, nbx * 8)
+        )
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        out_planes.append(plane[:ch, :cw])
+        sampling.append((c["h"], c["v"]))
+    return {"width": w, "height": h, "planes": out_planes,
+            "sampling": sampling}
+
+
+# --- progressive (SOF2) encode ---------------------------------------------
+
+
+def _grid_coeff_blocks(planes, sampling, qt_l, qt_c):
+    """Per component: (nby, nbx, 64) zigzag-order quantized coefficient
+    blocks on the padded MCU grid (same forward DCT + quantizer as the
+    baseline encoder, grid order instead of MCU scan order)."""
+    h, w = planes[0].shape
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    zig = np.array(ZIGZAG, dtype=np.int64)
+    out = []
+    for c, plane in enumerate(planes):
+        sh, sv = sampling[c]
+        p = _pad_plane(np.asarray(plane, dtype=np.uint8), 8 * sv, 8 * sh)
+        need = (8 * sv * mcus_y, 8 * sh * mcus_x)
+        if p.shape != need:
+            p = _pad_plane(p, *need)
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        tiles = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3)
+        blocks = tiles.reshape(-1, 8, 8).astype(np.float64) - 128.0
+        coeff = np.einsum("uj,njk,kl->nul", _B_FLOAT, blocks, _B_FLOAT.T)
+        qt = (qt_l if c == 0 else qt_c).reshape(8, 8).astype(np.float64)
+        q = np.round(coeff / qt).astype(np.int64)
+        out.append(q.reshape(-1, 64)[:, zig].reshape(nby, nbx, 64))
+    return out, mcus_x, mcus_y
+
+
+class _ScanWriter:
+    """One progressive scan's entropy segment with restart support."""
+
+    def __init__(self, out: bytearray, ri: int):
+        self.out = out
+        self.ri = ri
+        self.bw = _BitWriter()
+        self.units = 0
+        self.rst = 0
+
+    def unit_boundary(self) -> None:
+        """Call BEFORE each MCU/block; emits RSTn when due."""
+        if self.ri and self.units and self.units % self.ri == 0:
+            self.bw.flush()
+            self.out += self.bw.out
+            self.bw = _BitWriter()
+            self.out += bytes([0xFF, 0xD0 + (self.rst % 8)])
+            self.rst += 1
+            self.reset_state()
+        self.units += 1
+
+    def reset_state(self) -> None:  # overridden per scan kind
+        pass
+
+    def finish(self) -> None:
+        self.bw.flush()
+        self.out += self.bw.out
+
+
+def _emit_ac_first_block(bw, blk, act, ss, se, al) -> None:
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = abs(v) >> al  # AC point transform truncates toward zero
+        if t == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = act[0xF0]
+            bw.write(code, length)
+            run -= 16
+        s, bits = _cat_bits(t if v > 0 else -t)
+        code, length = act[(run << 4) | s]
+        bw.write(code, length)
+        bw.write(bits, s)
+        run = 0
+    if run > 0:  # EOB0 (Annex K tables carry no EOBn>0 codes)
+        code, length = act[0x00]
+        bw.write(code, length)
+
+
+def _emit_ac_refine_block(bw, blk, act, ss, se, al) -> None:
+    absv = [abs(int(blk[k])) >> al for k in range(64)]
+    eobpos = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k] == 1:
+            eobpos = k
+    run, br = 0, []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            run += 1
+            continue
+        while run > 15 and k <= eobpos:
+            code, length = act[0xF0]
+            bw.write(code, length)
+            run -= 16
+            for bit in br:
+                bw.write(bit, 1)
+            br = []
+        if t > 1:  # already-significant: correction bit, run unbroken
+            br.append(t & 1)
+            continue
+        code, length = act[(run << 4) | 1]
+        bw.write(code, length)
+        bw.write(1 if int(blk[k]) > 0 else 0, 1)
+        for bit in br:
+            bw.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        code, length = act[0x00]  # EOB0
+        bw.write(code, length)
+        for bit in br:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(
+    planes: list,
+    sampling: "list[tuple[int, int]] | None" = None,
+    quality: int = 100,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode as PROGRESSIVE JPEG (SOF2) with a 6-stage scan script
+    that exercises every progressive scan kind: (1) DC first of all
+    components at Al=1 (interleaved when nc>1), (2)/(3) per-component
+    AC-first spectral bands 1-5 and 6-63 at Al=1, (4) DC refinement,
+    (5)/(6) per-component AC refinement of both bands. Coefficients
+    are the SAME forward-DCT+quantize output the baseline encoder
+    produces, so decode(baseline(x)) == decode(progressive(x))
+    pixel-for-pixel — the cross-coder test. EOB runs are emitted as
+    EOB0 only (the Annex K Huffman tables define no EOBn>0 symbols);
+    ``restart_interval`` > 0 inserts RSTn every that many MCUs/blocks
+    in EVERY scan, resetting DC predictors."""
+    nc = len(planes)
+    if sampling is None:
+        sampling = [(1, 1)] * nc
+    h, w = planes[0].shape
+    qt_l = _quality_scale(STD_LUMA_QT, quality)
+    qt_c = _quality_scale(STD_CHROMA_QT, quality)
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in ((0, qt_l),) + (((1, qt_c),) if nc > 1 else ()):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(qt[ZIGZAG[k]]) for k in range(64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for c in range(nc):
+        sh, sv = sampling[c]
+        out += struct.pack(">BBB", c + 1, (sh << 4) | sv, 0 if c == 0 else 1)
+    tabs = [(0x00, DC_LUMA), (0x10, AC_LUMA)]
+    if nc > 1:
+        tabs += [(0x01, DC_CHROMA), (0x11, AC_CHROMA)]
+    for tid, (bits, vals) in tabs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tid])
+        out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    coefs, mcus_x, mcus_y = _grid_coeff_blocks(planes, sampling, qt_l, qt_c)
+    enc_dc = {0: _build_encoder_table(*DC_LUMA)}
+    enc_ac = {0: _build_encoder_table(*AC_LUMA)}
+    if nc > 1:
+        enc_dc[1] = _build_encoder_table(*DC_CHROMA)
+        enc_ac[1] = _build_encoder_table(*AC_CHROMA)
+
+    def sos_header(comps_idx, ss, se, ah, al):
+        out.extend(b"\xff\xda")
+        out.extend(struct.pack(">HB", 6 + 2 * len(comps_idx), len(comps_idx)))
+        for c in comps_idx:
+            tab = 0 if c == 0 else 1
+            out.extend(
+                struct.pack(">BB", c + 1, (tab << 4) | tab)
+            )
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    def real_dims(c):
+        hmax = max(s[0] for s in sampling)
+        vmax = max(s[1] for s in sampling)
+        cw = -(-w * sampling[c][0] // hmax)
+        ch = -(-h * sampling[c][1] // vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    def dc_scan(ah, al):
+        sos_header(list(range(nc)), 0, 0, ah, al)
+        sw = _ScanWriter(out, restart_interval)
+        pred = [0] * nc
+        sw.reset_state = lambda: pred.__setitem__(
+            slice(None), [0] * nc
+        )
+        if nc > 1:  # interleaved MCU walk over the padded grid
+            for m in range(mcus_x * mcus_y):
+                sw.unit_boundary()
+                my, mx = divmod(m, mcus_x)
+                for c in range(nc):
+                    sh, sv = sampling[c]
+                    tab = 0 if c == 0 else 1
+                    for v in range(sv):
+                        for hh in range(sh):
+                            dc = int(coefs[c][my * sv + v, mx * sh + hh, 0])
+                            _emit_dc(sw.bw, dc, pred, c, ah, al,
+                                     enc_dc[tab])
+        else:
+            bh, bw_ = real_dims(0)
+            for by in range(bh):
+                for bx in range(bw_):
+                    sw.unit_boundary()
+                    _emit_dc(sw.bw, int(coefs[0][by, bx, 0]), pred, 0,
+                             ah, al, enc_dc[0])
+        sw.finish()
+
+    def ac_scan(c, ss, se, ah, al):
+        sos_header([c], ss, se, ah, al)
+        sw = _ScanWriter(out, restart_interval)
+        tab = 0 if c == 0 else 1
+        emit = _emit_ac_first_block if ah == 0 else _emit_ac_refine_block
+        bh, bw_ = real_dims(c)
+        for by in range(bh):
+            for bx in range(bw_):
+                sw.unit_boundary()
+                emit(sw.bw, coefs[c][by, bx], enc_ac[tab], ss, se, al)
+        sw.finish()
+
+    dc_scan(0, 1)  # DC first, Al=1
+    for c in range(nc):
+        ac_scan(c, 1, 5, 0, 1)  # AC first, low band
+    for c in range(nc):
+        ac_scan(c, 6, 63, 0, 1)  # AC first, high band
+    dc_scan(1, 0)  # DC refine
+    for c in range(nc):
+        ac_scan(c, 1, 5, 1, 0)  # AC refine, low band
+    for c in range(nc):
+        ac_scan(c, 6, 63, 1, 0)  # AC refine, high band
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_dc(bw, dc, pred, c, ah, al, dct) -> None:
+    if ah == 0:
+        t = dc >> al  # arithmetic shift: floor — mirrored by the
+        #               decoder's pred << al then |= refine bit
+        s, bits = _cat_bits(t - pred[c])
+        code, length = dct[s]
+        bw.write(code, length)
+        if s:
+            bw.write(bits, s)
+        pred[c] = t
+    else:
+        bw.write((dc >> al) & 1, 1)

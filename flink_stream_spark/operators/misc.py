@@ -811,3 +811,139 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     ).orderBy("constraint_name")
+
+
+# --- KMV / theta distinct sketch -------------------------------------
+# k-minimum-values sketch (Bar-Yossef et al. 2002; the Theta sketch of
+# the DataSketches library is its generalization): keep the K smallest
+# 60-bit hashes of the distinct elements; estimate distinct count as
+# (K-1) / theta with theta = h_K / 2^60. Mergeable: the K smallest of a
+# union of per-partition K-minimum sets IS the K-minimum set of the
+# union — demonstrated here by building the '*ALL*' rollup row from the
+# per-group sketches, never from the raw data. Mirrors the reference's
+# analytical distinct-count surface (Trino/Flink approx_distinct,
+# README.md:177) with a sketch that is exactly reproducible cross-engine.
+KMV_K = 64
+_KMV_SALTS = 256  # level-1 fanout: bounds per-window rows, kills skew
+
+
+@register(
+    "agg_kmv_distinct_sketch",
+    f"""
+    WITH h AS (
+      SELECT DISTINCT l_returnflag AS g,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM lineitem),
+    sk AS (SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+           FROM h),
+    kept AS (SELECT g, h FROM sk WHERE rn <= {KMV_K}),
+    msk AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM kept)),
+    allk AS (SELECT g, h FROM kept
+             UNION ALL
+             SELECT '*ALL*' AS g, h FROM msk WHERE rn <= {KMV_K}),
+    est AS (SELECT g, COUNT(*) AS cnt, MAX(h) AS hk FROM allk GROUP BY g),
+    exact AS (
+      SELECT l_returnflag AS g, COUNT(DISTINCT l_partkey) AS x
+      FROM lineitem GROUP BY g
+      UNION ALL
+      SELECT '*ALL*', COUNT(DISTINCT l_partkey) FROM lineitem)
+    SELECT e.g AS group_key,
+           CAST(CASE WHEN e.cnt < {KMV_K} THEN e.cnt
+                ELSE ({KMV_K - 1} * {1 << 40})
+                     // GREATEST(e.hk // {1 << 20}, 1) END AS BIGINT)
+             AS est_distinct,
+           CAST(x.x AS BIGINT) AS exact_distinct
+    FROM est e JOIN exact x ON e.g = x.g
+    ORDER BY group_key
+    """,
+    group="agg",
+    doc=f"KMV (k-minimum-values / theta) distinct sketch over "
+    f"lineitem.l_partkey per l_returnflag, K={KMV_K}: keep the K "
+    "smallest md5-derived 60-bit hashes per group, estimate "
+    "n = (K-1)/theta with theta = h_K/2^60 in pure bigint arithmetic "
+    "(bit-identical in Spark and DuckDB — no floats). The '*ALL*' row "
+    "is built by MERGING the per-group sketches (K smallest of the "
+    "union of K-minimum sets), proving mergeability — the rollup never "
+    "re-reads raw data. Scale: the K-smallest selection is two-level — "
+    f"level 1 windows on (group, h%{_KMV_SALTS}) so no single task ever "
+    "sorts a whole group's distinct hashes (returnflag has 3 values — "
+    "a naive per-group window is maximally skewed), level 2 ranks the "
+    f"<= {_KMV_SALTS}*K survivors per group. Sketch state is O(K) per "
+    "group regardless of corpus size; exact-distinct twin shown "
+    "alongside, same GATE pattern as agg_heavy_hitters_cms.",
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flink_stream_spark.operators.text import _tok_hash_spark
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            _tok_hash_spark(F.col("l_partkey").cast("string")).alias("h"),
+        )
+        .distinct()
+    )
+    # level 1: K smallest per (g, salt) — bounded, skew-free windows
+    lvl1 = (
+        h.withColumn("salt", F.pmod("h", F.lit(_KMV_SALTS)))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("g", "salt").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .drop("salt", "rn")
+    )
+    # level 2: K smallest per g over the <=SALTS*K survivors
+    kept = (
+        lvl1.withColumn(
+            "rn", F.row_number().over(W.partitionBy("g").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+    )
+    # merged '*ALL*' sketch from the per-group sketches (mergeability)
+    merged = (
+        kept.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .select(F.lit("*ALL*").alias("g"), "h")
+    )
+    est = (
+        kept.unionAll(merged)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
+        .select(
+            "g",
+            F.when(F.col("cnt") < KMV_K, F.col("cnt"))
+            .otherwise(
+                F.expr(
+                    f"({KMV_K - 1} * {1 << 40}) div "
+                    f"greatest(hk div {1 << 20}, 1L)"
+                )
+            )
+            .cast("bigint")
+            .alias("est_distinct"),
+        )
+    )
+    exact = (
+        li.groupBy(F.col("l_returnflag").alias("g"))
+        .agg(F.count_distinct("l_partkey").alias("exact_distinct"))
+        .unionAll(
+            li.agg(
+                F.count_distinct("l_partkey").alias("exact_distinct")
+            ).select(F.lit("*ALL*").alias("g"), "exact_distinct")
+        )
+    )
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias("group_key"),
+            "est_distinct",
+            F.col("exact_distinct").cast("bigint"),
+        )
+        .orderBy("group_key")
+    )

@@ -1673,3 +1673,350 @@ def video_near_dup_pairs(stats: DataFrame, cap_hot: bool = True) -> DataFrame:
         )
         .filter(F.col("l1_dist") <= VID_L1_MAX)
     )
+
+
+# --- audio spectral fingerprinting (constellation hashing) ----------------
+#
+# Shazam-style landmark fingerprinting (Wang 2003, "An Industrial-
+# Strength Audio Search Algorithm" — public paper): frame the signal,
+# take the spectral peak per frame, and hash the peak sequence of
+# frames (t, t+1, t+2, t+3) — time-DELTA structure, never absolute
+# time, so a shared passage matches wherever it sits in the clip
+# (modulo frame alignment). Two clips match when their DISTINCT
+# fingerprint sets overlap by >= FP_MIN_SHARED AND by >= 60% of the
+# smaller set (containment — a short clip embedded in a long one still
+# matches; two long clips sharing a coincidental phrase do not). A
+# local edit corrupts only fingerprints whose frames touch it — the
+# robustness property the global envelope L1 lacks.
+#
+# EXACTNESS: the "FFT" is a fixed-coefficient integer spectral probe —
+# FP_BINS Goertzel-style projections with cos/sin coefficients derived
+# ONCE driver-side (int(round(cos*512))) and embedded literally in BOTH
+# the Spark stage and the oracle SQL, so no engine ever evaluates trig.
+# Per-bin energy re^2+im^2 is exact int64 (|sum| <= 16*32768*512 = 2^28,
+# squares <= 2^56); argmax ties break to the lower bin in both engines.
+FPN = 512  # samples per doc: first 512 text bytes, zero-padded
+FP_NFFT = 16  # frame size
+FP_FRAMES = FPN // FP_NFFT  # 32
+FP_BINS = 8  # spectral bins k = 1..8
+FP_COEF_SCALE = 512
+FP_CAP = 128  # hot-fingerprint guard: a fp shared by more docs blocks nothing
+FP_MIN_SHARED = 4  # absolute floor of shared distinct fingerprints
+FP_CONTAIN_NUM, FP_CONTAIN_DEN = 6, 10  # >= 60% of the smaller fp set
+
+import math as _math
+
+_FP_COS = [
+    [
+        int(round(_math.cos(2 * _math.pi * k * n / FP_NFFT) * FP_COEF_SCALE))
+        for n in range(FP_NFFT)
+    ]
+    for k in range(1, FP_BINS + 1)
+]
+_FP_SIN = [
+    [
+        int(round(_math.sin(2 * _math.pi * k * n / FP_NFFT) * FP_COEF_SCALE))
+        for n in range(FP_NFFT)
+    ]
+    for k in range(1, FP_BINS + 1)
+]
+
+
+def _wavfp_media(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload): REAL int16 mono WAV, samples =
+    byte[i]*256 - 32768 for i < min(len, FPN), zero-padded to FPN —
+    zero-PADDED (not cycled like _wav_media) so that two documents
+    sharing a byte run share ALIGNED frames regardless of their total
+    lengths, which is what fingerprint matching needs."""
+    import numpy as np
+
+    from flink_stream_spark.operators.wav import encode_wav
+
+    src = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            wavs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)[:FPN]
+                samples = np.zeros(FPN, dtype=np.int64)
+                samples[: len(arr)] = arr.astype(np.int64) * 256 - 32768
+                wavs.append(encode_wav(samples, rate=WAVRT_RATE, bits=16))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": wavs})
+
+    return src.mapInPandas(_encode, "doc_id bigint, payload binary")
+
+
+def audio_fingerprints(media: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) -> (doc_id, fp): the DISTINCT spectral
+    constellation fingerprints of each clip, via the REAL WAV codec.
+    A frame is fingerprint-eligible iff any sample is nonzero (zero
+    frames are padding); fp(t) packs the peak bins of frames
+    t..t+3 base-8 and requires all four frames eligible. Undecodable
+    payloads emit nothing (kept, never matched). Arrow-batched, narrow."""
+    import numpy as np
+
+    from flink_stream_spark.operators.wav import decode_wav
+
+    CT = np.array(_FP_COS, dtype=np.int64).T  # (NFFT, BINS)
+    ST = np.array(_FP_SIN, dtype=np.int64).T
+
+    def _fps(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                d = decode_wav(bytes(b))
+                if d is None or len(d["samples"]) < FPN:
+                    continue
+                x = d["samples"][:FPN, 0].astype(np.int64).reshape(
+                    FP_FRAMES, FP_NFFT
+                )
+                valid = (x != 0).any(axis=1)
+                re = x @ CT
+                im = x @ ST
+                e = re * re + im * im  # exact int64
+                peak = np.argmax(e, axis=1) + 1  # first max = lower bin
+                seen = set()
+                for t in range(FP_FRAMES - 3):
+                    if valid[t : t + 4].all():
+                        seen.add(
+                            (peak[t] - 1) * 512
+                            + (peak[t + 1] - 1) * 64
+                            + (peak[t + 2] - 1) * 8
+                            + (peak[t + 3] - 1)
+                        )
+                for fp in seen:
+                    ids.append(doc_id)
+                    fps.append(int(fp))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "fp": pd.Series(fps, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_fps, "doc_id bigint, fp bigint")
+
+
+@register(
+    "multimodal_audio_fingerprint_pairs",
+    f"""
+    WITH p AS (SELECT doc_id, text, LEAST(LENGTH(text), {FPN}) AS n
+               FROM documents),
+    sm AS (
+      SELECT doc_id,
+             i // {FP_NFFT} AS t, i % {FP_NFFT} AS nn,
+             CASE WHEN i < n THEN ord(substr(text, i + 1, 1)) * 256 - 32768
+                  ELSE 0 END AS x
+      FROM p, unnest(generate_series(0, {FPN - 1})) AS u(i)),
+    coef AS (
+      SELECT k, nn,
+             ({_FP_COS})[k][nn + 1] AS c,
+             ({_FP_SIN})[k][nn + 1] AS s
+      FROM unnest(generate_series(1, {FP_BINS})) AS uk(k),
+           unnest(generate_series(0, {FP_NFFT - 1})) AS un(nn)),
+    spec AS (
+      SELECT sm.doc_id, sm.t, coef.k,
+             SUM(sm.x * coef.c) AS re, SUM(sm.x * coef.s) AS im
+      FROM sm JOIN coef ON coef.nn = sm.nn
+      GROUP BY 1, 2, 3),
+    pk AS (
+      SELECT doc_id, t, k,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, t
+                                ORDER BY re * re + im * im DESC, k) AS rn
+      FROM spec),
+    peak AS (SELECT doc_id, t, k AS pkb FROM pk WHERE rn = 1),
+    vld AS (
+      SELECT doc_id, t, MAX(CASE WHEN x <> 0 THEN 1 ELSE 0 END) = 1 AS valid
+      FROM sm GROUP BY 1, 2),
+    seq AS (
+      SELECT peak.doc_id, peak.pkb, vld.valid,
+             LEAD(peak.pkb, 1) OVER w AS p1, LEAD(vld.valid, 1) OVER w AS v1,
+             LEAD(peak.pkb, 2) OVER w AS p2, LEAD(vld.valid, 2) OVER w AS v2,
+             LEAD(peak.pkb, 3) OVER w AS p3, LEAD(vld.valid, 3) OVER w AS v3
+      FROM peak JOIN vld ON vld.doc_id = peak.doc_id AND vld.t = peak.t
+      WINDOW w AS (PARTITION BY peak.doc_id ORDER BY peak.t)),
+    fp AS (
+      SELECT DISTINCT doc_id,
+             (pkb - 1) * 512 + (p1 - 1) * 64 + (p2 - 1) * 8 + (p3 - 1) AS fp
+      FROM seq WHERE valid AND v1 AND v2 AND v3),
+    cnt AS (SELECT doc_id, COUNT(*) AS c FROM fp GROUP BY doc_id),
+    ok AS (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {FP_CAP}),
+    pr AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ns
+      FROM fp a
+      JOIN ok ON ok.fp = a.fp
+      JOIN fp b ON b.fp = a.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    m AS (
+      SELECT pr.doc_a, pr.doc_b, pr.ns, ca.c AS ca, cb.c AS cb
+      FROM pr
+      JOIN cnt ca ON ca.doc_id = pr.doc_a
+      JOIN cnt cb ON cb.doc_id = pr.doc_b)
+    SELECT doc_a, doc_b, CAST(ns AS BIGINT) AS n_shared,
+           CAST(LEAST(ca, cb) AS BIGINT) AS min_fps
+    FROM m
+    WHERE ns >= {FP_MIN_SHARED}
+      AND {FP_CONTAIN_DEN} * ns >= {FP_CONTAIN_NUM} * LEAST(ca, cb)
+    ORDER BY doc_a, doc_b
+    """,
+    group="multimodal",
+    doc="Audio near-dup by spectral CONSTELLATION fingerprints (Wang "
+    "2003, Shazam): WAV payloads decode through the real codec, frame "
+    f"at {FP_NFFT} samples, take the argmax bin of {FP_BINS} exact "
+    "integer spectral projections per frame (cos/sin coefficients "
+    "derived once driver-side and embedded literally in both engines "
+    "— no runtime trig), and hash the 4-frame peak sequence base-8 "
+    "(4096-value space) — time-deltas only, so a shared passage "
+    f"matches at any frame-aligned offset. A pair matches on >= "
+    f"{FP_MIN_SHARED} shared distinct fingerprints AND >= 60% "
+    "containment of the smaller fingerprint set — absolute floor "
+    "kills chance collisions between tiny clips, containment lets a "
+    "short clip embedded in a long one match while two long clips "
+    "sharing one phrase do not. Scale: the inverted fingerprint index "
+    f"joins Σ bucket², never corpus²; fingerprints hotter than "
+    f"{FP_CAP} docs nominate nothing (oracle mirrors the cap); the "
+    "decode+fingerprint stage is one narrow Arrow pass.",
+)
+def multimodal_audio_fingerprint_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = audio_fingerprints(_wavfp_media(d)).persist()
+    cnt = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("c"))
+    ok = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__n")).filter(
+        F.col("__n") <= FP_CAP
+    )
+    a = fp.join(ok.select("fp"), "fp").select(
+        F.col("fp").alias("fp_a"), F.col("doc_id").alias("doc_a")
+    )
+    b = fp.select(F.col("fp").alias("fp_b"), F.col("doc_id").alias("doc_b"))
+    pr = (
+        a.join(
+            b,
+            (F.col("fp_a") == F.col("fp_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    ca = cnt.select(F.col("doc_id").alias("doc_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("doc_id").alias("doc_b"), F.col("c").alias("cb"))
+    return (
+        pr.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("min_fps", F.least("ca", "cb"))
+        .filter(
+            (F.col("ns") >= FP_MIN_SHARED)
+            & (
+                F.lit(FP_CONTAIN_DEN) * F.col("ns")
+                >= F.lit(FP_CONTAIN_NUM) * F.col("min_fps")
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("ns").cast("bigint").alias("n_shared"),
+            F.col("min_fps").cast("bigint"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "multimodal_jpeg_progressive_roundtrip",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
+          i -> CASE WHEN n = 0 THEN 0
+               ELSE ord(substr(text, (i % n) + 1, 1)) END) AS px
+      FROM p),
+    b AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS - 1}),
+          r -> CAST(list_aggregate(list_transform(generate_series(0, 7),
+                 c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
+                      THEN 1 << c ELSE 0 END), 'sum') AS INTEGER)) AS bands
+      FROM s)
+    SELECT doc_id, bands FROM b ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="PROGRESSIVE-JPEG (SOF2) codec round-trip under the oracle: the "
+    "same constant-block grid as the baseline round-trip, encoded by "
+    "encode_jpeg_progressive's 6-scan script — DC first at Al=1, "
+    "per-component AC spectral bands 1-5/6-63 at Al=1, DC refinement, "
+    "and AC refinement of both bands (every T.81 G.2 scan kind on "
+    "every doc) — with the component layout cycling grayscale/4:4:4/"
+    "4:2:2/4:2:0 by doc_id%4 and restart markers every 2 MCUs/blocks "
+    "in EVERY scan for odd doc_ids. Decoded back through dhash_bands' "
+    "JPEG branch (multi-scan coefficient accumulation, EOB runs, "
+    "successive-approximation bit merges). The oracle derives the "
+    "grid straight from the text — a hash match proves the "
+    "progressive decode reproduced every luma pixel, and the shared "
+    "oracle with multimodal_jpeg_roundtrip_dhash pins the cross-coder "
+    "equality corpus-wide. Both mapInPandas stages narrow (no "
+    "shuffle) — the embarrassingly-parallel decode posture.",
+)
+def multimodal_jpeg_progressive_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.jpeg import encode_jpeg_progressive
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    src = d.repartition(par, "doc_id").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gidx = np.arange(DHASH_ROWS * 9, dtype=np.int64)
+
+        def cplane(arr, n, gh, gw, ch, cw, shift, fill):
+            cg = (
+                np.full(gh * gw, fill, dtype=np.uint8)
+                if n == 0
+                else arr[(np.arange(gh * gw, dtype=np.int64) + shift) % n]
+            ).reshape(gh, gw)
+            return np.repeat(np.repeat(cg, 8, 0), 8, 1)[:ch, :cw]
+
+        for pdf in batches:
+            jpgs = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                grid = (
+                    np.zeros(DHASH_ROWS * 9, dtype=np.uint8)
+                    if n == 0
+                    else arr[gidx % n]
+                ).reshape(DHASH_ROWS, 9)
+                y = np.repeat(np.repeat(grid, 8, 0), 8, 1)  # 64x72
+                layout = JPGRT_LAYOUTS[int(doc_id) % 4]
+                rst = 2 if int(doc_id) % 2 else 0
+                if layout is None:
+                    planes = [y]
+                    sampling = None
+                else:
+                    (sh, sv) = layout[0]
+                    cw, ch = 72 // sh, 64 // sv
+                    gh, gw = -(-ch // 8), -(-cw // 8)
+                    planes = [
+                        y,
+                        cplane(arr, n, gh, gw, ch, cw, 3, 128),
+                        cplane(arr, n, gh, gw, ch, cw, 11, 64),
+                    ]
+                    sampling = layout
+                jpgs.append(
+                    encode_jpeg_progressive(
+                        planes, sampling, quality=100, restart_interval=rst
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": jpgs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return dhash_bands(media).orderBy("doc_id")

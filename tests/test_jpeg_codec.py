@@ -182,9 +182,11 @@ def test_rejects_non_jpeg_and_corrupt():
     assert decode_jpeg_gray(bytes(enc[:-20])) is None  # truncated entropy
 
 
-def test_rejects_progressive_marker():
-    """SOF2 (progressive) is out of scope — must return None (fallback),
-    never a wrong decode."""
+def test_rejects_baseline_stream_mislabeled_progressive():
+    """A baseline stream whose SOF0 is flipped to SOF2 must return None
+    (its SOS header Ss=0/Se=63 is an illegal progressive DC scan),
+    never a wrong decode. Real progressive streams decode — see
+    tests/test_jpeg_progressive.py."""
     enc = bytearray(encode_jpeg_gray(_img(16, 16)))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2

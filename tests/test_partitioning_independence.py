@@ -22,6 +22,8 @@ import flink_stream_spark.operators.similarity  # noqa: F401
 import flink_stream_spark.operators.text_rank  # noqa: F401
 import flink_stream_spark.operators.asof  # noqa: F401
 import flink_stream_spark.operators.cdc  # noqa: F401
+import flink_stream_spark.operators.graph  # noqa: F401
+import flink_stream_spark.operators.multimodal  # noqa: F401
 
 SENSITIVE = [
     "sample_temperature_resample",
@@ -51,6 +53,11 @@ SENSITIVE = [
     "dedup_incremental_bloom",
     "text_bigram_logppl",
     "embedding_jl_project",
+    # round 7 (cont.): two-level K-smallest selection, persisted
+    # fingerprint self-join, checkpointed oriented-edge joins
+    "agg_kmv_distinct_sketch",
+    "multimodal_audio_fingerprint_pairs",
+    "graph_triangle_count",
 ]
 
 

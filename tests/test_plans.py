@@ -221,12 +221,19 @@ _PYTHON_EVAL_OK = {
     #                                    same codec-surface rationale
     "multimodal_jpeg_roundtrip_dhash",  # JPEG encode + huffman/IDCT
     #                                     decode: same codec rationale
+    "multimodal_jpeg_progressive_roundtrip",  # SOF2 multi-scan encode +
+    #                                           decode: same rationale
     "multimodal_bmp_roundtrip_dhash",  # BMP encode + DIB decode: same
     #                                    codec-surface rationale
     "multimodal_wav_roundtrip_stats",  # WAV encode + RIFF/PCM decode:
     #                                    same codec-surface rationale
     "multimodal_audio_dedup_envelope",  # envelope stage decodes WAV;
     #                                     banding + L1 verify are JVM
+    "multimodal_audio_fingerprint_pairs",  # WAV decode + integer
+    #                                        spectral projections are
+    #                                        codec work; the inverted-
+    #                                        index join + containment
+    #                                        filter are JVM
     "multimodal_y4m_roundtrip_stats",  # Y4M encode + decode: codec
     #                                    surface, same rationale
     "multimodal_video_dedup_motion",  # decode stage only; banding +
