@@ -50,6 +50,7 @@ import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
 import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
 import flink_stream_spark.operators.quality  # noqa: F401,E402
 import flink_stream_spark.operators.pipeline  # noqa: F401,E402
+import flink_stream_spark.operators.graph  # noqa: F401,E402
 
 # the headline set: one representative per operator family, all
 # scale-path variants (no O(n^2) members)
@@ -130,7 +131,22 @@ HEADLINE = [
     "dedup_incremental_bloom",
     "text_bigram_logppl",
     "embedding_jl_project",
+    # round-7 (cont.): progressive JPEG joins the codec set; the
+    # constellation fingerprint and both KMV sketch queries are
+    # first-class analytics whose join shapes (inverted fingerprint
+    # index, two-level K-smallest) regress in seconds at sf1
+    "multimodal_jpeg_progressive_roundtrip",
+    "multimodal_audio_fingerprint_pairs",
+    "agg_kmv_distinct_sketch",
+    "agg_kmv_set_ops",
 ]
+# the graph queries (graph_triangle_count, graph_local_clustering_topk,
+# graph_pagerank_bipartite) are deliberately NOT headline-gated: their
+# eager localCheckpoints materialize the edge structure at BUILD time,
+# so a timed re-run measures only the post-checkpoint tail (the cc
+# query clocks 2.5 s at sf1 while its wedge join actually costs ~80 s)
+# — the bench number would not measure the plan. Their cost and
+# sublinearity are tracked by the sf1->sf3 probes in PLANS.md instead.
 # not in the set: agg_percentile_approx — its GATE form deliberately
 # computes the exact reference percentiles next to the sketch (the
 # anti-scale path the sketch replaces), so timing it says nothing

@@ -947,3 +947,196 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_key")
     )
+
+
+# Theta-sketch SET OPERATIONS on KMV sketches (the DataSketches
+# union/intersection rules): retain the K smallest distinct hashes per
+# set; theta(set) = h_K/2^60 when the sketch is full, 1 otherwise.
+# Union = K smallest of the merged retained sets. Intersection =
+# hashes retained by BOTH sets below theta = min(theta_A, theta_B),
+# estimate = |matching| / theta. All arithmetic pure bigint, so the
+# estimates are bit-identical cross-engine.
+_KMV_FULL = 1 << 60  # theta numerator when a sketch is not full
+
+
+@register(
+    "agg_kmv_set_ops",
+    f"""
+    WITH src AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS yr, l_partkey
+      FROM lineitem
+      WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)),
+    h AS (
+      SELECT DISTINCT yr,
+             CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+      FROM src),
+    sk AS (SELECT yr, h, ROW_NUMBER() OVER (PARTITION BY yr ORDER BY h) AS rn
+           FROM h),
+    kept AS (SELECT yr, h FROM sk WHERE rn <= {KMV_K}),
+    st AS (  -- per-set retained count and theta
+      SELECT yr, COUNT(*) AS cnt,
+             CASE WHEN COUNT(*) < {KMV_K} THEN {_KMV_FULL}
+                  ELSE MAX(h) END AS theta
+      FROM kept GROUP BY yr),
+    mrg AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+            FROM (SELECT DISTINCT h FROM kept)),
+    uest AS (
+      SELECT COUNT(*) AS cnt, MAX(h) AS hk FROM mrg WHERE rn <= {KMV_K}),
+    tmin AS (SELECT MIN(theta) AS th FROM st),
+    inter AS (
+      SELECT COUNT(*) AS n FROM kept a JOIN kept b
+        ON a.h = b.h AND a.yr = 1996 AND b.yr = 1997
+      WHERE a.h < (SELECT th FROM tmin)),
+    ex AS (
+      SELECT
+        (SELECT COUNT(DISTINCT l_partkey) FROM src WHERE yr = 1996) AS xa,
+        (SELECT COUNT(DISTINCT l_partkey) FROM src WHERE yr = 1997) AS xb,
+        (SELECT COUNT(DISTINCT l_partkey) FROM src) AS xu,
+        (SELECT COUNT(*) FROM
+          (SELECT DISTINCT l_partkey FROM src WHERE yr = 1996
+           INTERSECT
+           SELECT DISTINCT l_partkey FROM src WHERE yr = 1997)) AS xi),
+    est AS (
+      SELECT 'a_1996' AS op,
+             (SELECT CASE WHEN cnt < {KMV_K} THEN cnt
+                     ELSE ({KMV_K - 1} * {1 << 40})
+                          // GREATEST(theta // {1 << 20}, 1) END
+              FROM st WHERE yr = 1996) AS est,
+             (SELECT xa FROM ex) AS exact
+      UNION ALL
+      SELECT 'b_1997',
+             (SELECT CASE WHEN cnt < {KMV_K} THEN cnt
+                     ELSE ({KMV_K - 1} * {1 << 40})
+                          // GREATEST(theta // {1 << 20}, 1) END
+              FROM st WHERE yr = 1997),
+             (SELECT xb FROM ex)
+      UNION ALL
+      SELECT 'union',
+             (SELECT CASE WHEN cnt < {KMV_K} THEN cnt
+                     ELSE ({KMV_K - 1} * {1 << 40})
+                          // GREATEST(hk // {1 << 20}, 1) END
+              FROM uest),
+             (SELECT xu FROM ex)
+      UNION ALL
+      SELECT 'intersect',
+             (SELECT n FROM inter) * {1 << 40}
+               // GREATEST((SELECT th FROM tmin) // {1 << 20}, 1),
+             (SELECT xi FROM ex))
+    SELECT op, CAST(est AS BIGINT) AS est_distinct,
+           CAST(exact AS BIGINT) AS exact_distinct
+    FROM est ORDER BY op
+    """,
+    group="agg",
+    doc="Theta-sketch SET OPERATIONS on KMV sketches: distinct parts "
+    "shipped in 1996 (A) and 1997 (B), their union (K smallest of the "
+    "merged retained sets — pure sketch merge), and their "
+    "INTERSECTION by the theta rule: theta = min(theta_A, theta_B), "
+    "candidates = hashes retained by both sets below theta, estimate "
+    "= |matching|/theta — all in pure bigint arithmetic, bit-identical "
+    "cross-engine; a non-full sketch takes theta = 1 so small sets "
+    "stay EXACT. Exact twins alongside each estimate (the GATE "
+    "pattern). Scale: set algebra runs entirely on O(K)-row retained "
+    "sketches — the corpus is touched once to build per-set sketches "
+    "(two-level skew-free selection as in agg_kmv_distinct_sketch); "
+    "union/intersection of ANY number of 100 TB-derived sketches is "
+    "driver-feasible at K rows each.",
+)
+def agg_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    from flink_stream_spark.operators.text import _tok_hash_spark
+
+    li = load_table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.year("l_shipdate").alias("yr"), "l_partkey"
+    ).filter(F.col("yr").isin(1996, 1997))
+    h = src.select(
+        "yr", _tok_hash_spark(F.col("l_partkey").cast("string")).alias("h")
+    ).distinct()
+    lvl1 = (
+        h.withColumn("salt", F.pmod("h", F.lit(_KMV_SALTS)))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("yr", "salt").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .drop("salt", "rn")
+    )
+    kept = (
+        lvl1.withColumn(
+            "rn", F.row_number().over(W.partitionBy("yr").orderBy("h"))
+        )
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+        .localCheckpoint(eager=True)  # 2K rows; feeds 4 consumers
+    )
+    est_expr = F.when(F.col("cnt") < KMV_K, F.col("cnt")).otherwise(
+        F.expr(
+            f"({KMV_K - 1} * {1 << 40}) div greatest(theta div {1 << 20}, 1L)"
+        )
+    )
+    st = kept.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.when(F.count(F.lit(1)) < KMV_K, F.lit(_KMV_FULL))
+        .otherwise(F.max("h"))
+        .alias("theta"),
+    )
+    uest = (
+        kept.select("h")
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("theta"))
+    )
+    tmin = st.agg(F.min("theta").alias("th"))
+    ka = kept.filter(F.col("yr") == 1996).select("h")
+    kb = kept.filter(F.col("yr") == 1997).select("h")
+    inter_n = (
+        ka.join(kb, "h")
+        .join(F.broadcast(tmin), F.col("h") < F.col("th"), "inner")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    exact_ab = src.groupBy("yr").agg(
+        F.count_distinct("l_partkey").alias("exact")
+    )
+    exact_u = src.agg(F.count_distinct("l_partkey").alias("exact"))
+    exact_i = (
+        src.filter(F.col("yr") == 1996)
+        .select("l_partkey")
+        .intersect(src.filter(F.col("yr") == 1997).select("l_partkey"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    a_row = (
+        st.filter(F.col("yr") == 1996)
+        .select(F.lit("a_1996").alias("op"), est_expr.alias("est_distinct"))
+        .crossJoin(exact_ab.filter(F.col("yr") == 1996).select("exact"))
+    )
+    b_row = (
+        st.filter(F.col("yr") == 1997)
+        .select(F.lit("b_1997").alias("op"), est_expr.alias("est_distinct"))
+        .crossJoin(exact_ab.filter(F.col("yr") == 1997).select("exact"))
+    )
+    u_row = uest.select(
+        F.lit("union").alias("op"), est_expr.alias("est_distinct")
+    ).crossJoin(exact_u)
+    i_row = (
+        inter_n.crossJoin(tmin)
+        .select(
+            F.lit("intersect").alias("op"),
+            F.expr(
+                f"n * {1 << 40} div greatest(th div {1 << 20}, 1L)"
+            ).alias("est_distinct"),
+        )
+        .crossJoin(exact_i)
+    )
+    return (
+        a_row.unionByName(b_row)
+        .unionByName(u_row)
+        .unionByName(i_row)
+        .select(
+            "op",
+            F.col("est_distinct").cast("bigint"),
+            F.col("exact").cast("bigint").alias("exact_distinct"),
+        )
+        .orderBy("op")
+    )

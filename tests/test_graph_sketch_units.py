@@ -85,3 +85,28 @@ def test_kmv_merged_rollup_consistency(spark, sf):
     rse = (KMV_K - 2) ** -0.5
     floor = max(r["est_distinct"] for r in rows.values())
     assert all_row["est_distinct"] >= floor * (1 - 5 * rse)
+
+
+def test_kmv_set_ops_bounds(spark):
+    """Union/intersection estimates within KMV error bounds of their
+    exact twins; inclusion-exclusion sanity on the estimates."""
+    rows = {
+        r["op"]: r
+        for r in REGISTRY["agg_kmv_set_ops"].build(spark, SF).collect()
+    }
+    assert set(rows) == {"a_1996", "b_1997", "union", "intersect"}
+    rse = (KMV_K - 2) ** -0.5
+    for op in ("a_1996", "b_1997", "union"):
+        exact, est = rows[op]["exact_distinct"], rows[op]["est_distinct"]
+        if exact < KMV_K:
+            assert est == exact, rows[op]
+        else:
+            assert abs(est - exact) <= 5 * rse * exact, rows[op]
+    # intersection error compounds (both thetas + the match count);
+    # allow a wider additive band scaled by the union size
+    xi, ei = rows["intersect"]["exact_distinct"], rows["intersect"]["est_distinct"]
+    assert abs(ei - xi) <= 5 * rse * rows["union"]["exact_distinct"] + 2
+    # the estimates themselves must satisfy |A| + |B| >= |A∪B| >= max
+    ea, eb, eu = (rows[k]["est_distinct"] for k in ("a_1996", "b_1997", "union"))
+    assert eu <= ea + eb + 2
+    assert eu + 2 >= max(ea, eb)

@@ -58,6 +58,8 @@ SENSITIVE = [
     "agg_kmv_distinct_sketch",
     "multimodal_audio_fingerprint_pairs",
     "graph_triangle_count",
+    "agg_kmv_set_ops",
+    "graph_local_clustering_topk",
 ]
 
 
