@@ -139,6 +139,7 @@ HEADLINE = [
     "multimodal_audio_fingerprint_pairs",
     "agg_kmv_distinct_sketch",
     "agg_kmv_set_ops",
+    "multimodal_tiff_roundtrip_dhash",
 ]
 # the graph queries (graph_triangle_count, graph_local_clustering_topk,
 # graph_pagerank_bipartite) are deliberately NOT headline-gated: their

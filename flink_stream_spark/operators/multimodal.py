@@ -81,8 +81,8 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
 
 def parse_image_header(payload: bytes) -> "tuple[int, int] | None":
     """REAL, dependency-free image header decode (stdlib only): returns
-    (width, height) for PNG / GIF / BMP / JPEG payloads, None for
-    anything else. This is the codec branch CI exercises — Pillow is
+    (width, height) for PNG / GIF / BMP / JPEG / TIFF payloads, None
+    for anything else. This is the codec branch CI exercises — Pillow is
     not installable in this sandbox (no pip; dated note in README), but
     reading dimensions is a header parse, not a pixel decode, and needs
     no codec library.
@@ -96,7 +96,10 @@ def parse_image_header(payload: bytes) -> "tuple[int, int] | None":
     sentinel (0x21/0x2C/0x3B) immediately after the header and any
     declared global color table;
     BMP requires 'BM' + a known DIB header size (40/52/56/108/124);
-    JPEG requires the SOI marker and walks the segment chain to a SOFn.
+    JPEG requires the SOI marker and walks the segment chain to a SOFn;
+    TIFF requires a byte-order mark + magic 42 (the magic embeds NULs,
+    impossible in UTF-8 text) and reads Width/Height from a
+    bounds-checked IFD walk.
     """
     import struct
     import zlib
@@ -155,6 +158,30 @@ def parse_image_header(payload: bytes) -> "tuple[int, int] | None":
                         return int(w), int(h)
                 return None
             i += 2 + seg_len
+        return None
+    # TIFF: byte-order mark + magic 42, then Width/Height from the IFD
+    if b[:4] in (b"II*\x00", b"MM\x00*") and len(b) >= 8:
+        e = "<" if b[:2] == b"II" else ">"
+        (ifd,) = struct.unpack(e + "I", b[4:8])
+        if 8 <= ifd and ifd + 2 <= len(b):
+            (n_tags,) = struct.unpack(e + "H", b[ifd : ifd + 2])
+            w = h = 0
+            for t in range(n_tags):
+                base = ifd + 2 + 12 * t
+                if base + 12 > len(b):
+                    return None
+                tag, typ = struct.unpack(e + "HH", b[base : base + 4])
+                if tag in (256, 257) and typ in (3, 4):
+                    fmt = "H" if typ == 3 else "I"
+                    (v,) = struct.unpack(
+                        e + fmt, b[base + 8 : base + 8 + (2 if typ == 3 else 4)]
+                    )
+                    if tag == 256:
+                        w = v
+                    else:
+                        h = v
+            if w > 0 and h > 0:
+                return int(w), int(h)
         return None
     return None
 
@@ -479,11 +506,12 @@ DHASH_SCHEMA = "doc_id bigint, bands array<int>"
 def dhash_bands(media: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> (doc_id, bands array<int> of 8
     byte-values) — the 64-bit dHash split into its 8 row-bands, the
-    unit the Hamming-LSH blocking groups on. PNG, GIF, baseline-JPEG,
-    and BMP payloads are decoded to PIXELS (stdlib+numpy codecs,
-    operators/{png,gif,jpeg,bmp}.py — zlib inflate + unfilter, real
-    LZW, huffman + dequant + pinned integer IDCT, and uncompressed
-    DIB) and block-mean downsampled; everything else uses
+    unit the Hamming-LSH blocking groups on. PNG, GIF, JPEG (baseline
+    AND progressive), BMP, and TIFF payloads are decoded to PIXELS
+    (stdlib+numpy codecs, operators/{png,gif,jpeg,bmp,tiff}.py — zlib
+    inflate + unfilter, real LZW, huffman + dequant + pinned integer
+    IDCT, uncompressed DIB, and strip/PackBits TIFF) and block-mean
+    downsampled; everything else uses
     the deterministic byte resample. Arrow-batched mapInPandas,
     narrow (no shuffle): a 100 TB corpus hashes embarrassingly
     parallel."""
@@ -493,6 +521,7 @@ def dhash_bands(media: DataFrame) -> DataFrame:
     from flink_stream_spark.operators.gif import decode_gif_gray
     from flink_stream_spark.operators.jpeg import decode_jpeg_gray
     from flink_stream_spark.operators.png import decode_png_gray, gray_grid
+    from flink_stream_spark.operators.tiff import decode_tiff_gray
 
     def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = 1 << np.arange(DHASH_ROWS)
@@ -517,6 +546,11 @@ def dhash_bands(media: DataFrame) -> DataFrame:
                 # structural checks (DIB-size u32 forces NULs) make a
                 # text misparse impossible — see operators/bmp.py.
                 gray = decode_bmp_gray(b)
+                if gray is not None:
+                    px = gray_grid(gray, DHASH_ROWS, 9)
+            elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                # TIFF magic embeds NULs — impossible in UTF-8 text
+                gray = decode_tiff_gray(b)
                 if gray is not None:
                     px = gray_grid(gray, DHASH_ROWS, 9)
             if px is None:
@@ -2017,6 +2051,79 @@ def multimodal_jpeg_progressive_roundtrip(
                     )
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": jpgs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return dhash_bands(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_tiff_roundtrip_dhash",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
+          i -> CASE WHEN n = 0 THEN 0
+               ELSE ord(substr(text, (i % n) + 1, 1)) END) AS px
+      FROM p),
+    b AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS - 1}),
+          r -> CAST(list_aggregate(list_transform(generate_series(0, 7),
+                 c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
+                      THEN 1 << c ELSE 0 END), 'sum') AS INTEGER)) AS bands
+      FROM s)
+    SELECT doc_id, bands FROM b ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="TIFF codec round-trip under the oracle: the same 8x9 "
+    "grayscale grid as the PNG/GIF/BMP round-trips (same pixels, "
+    "fifth container), encoded as a REAL baseline TIFF "
+    "(operators/tiff.py) with doc_id cycling all EIGHT encoder "
+    "variants — little/big endian x uncompressed/PackBits x "
+    "BlackIsZero/WhiteIsZero — with 4-row strips, then decoded back "
+    "through dhash_bands' TIFF branch (byte-order-aware IFD walk, "
+    "strip reassembly, PackBits run-length, photometric inversion). "
+    "The oracle derives the grid straight from the text, so a hash "
+    "match proves the decoder reproduced every pixel in every "
+    "variant. Scanned-document corpora ship TIFF — this closes the "
+    "fifth image container for near-dup dedup. Both mapInPandas "
+    "stages narrow (no shuffle), the embarrassingly-parallel decode "
+    "posture.",
+)
+def multimodal_tiff_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.tiff import encode_tiff_gray
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(DHASH_ROWS * 9, dtype=np.int64)
+        for pdf in batches:
+            tiffs = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                pix = (
+                    np.zeros((DHASH_ROWS, 9), dtype=np.uint8)
+                    if n == 0
+                    else arr[idx % n].reshape(DHASH_ROWS, 9)
+                )
+                did = int(doc_id)
+                tiffs.append(
+                    encode_tiff_gray(
+                        pix,
+                        big_endian=bool(did % 2),
+                        packbits=bool((did // 2) % 2),
+                        white_is_zero=bool((did // 4) % 2),
+                        rows_per_strip=4,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": tiffs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
     return dhash_bands(media).orderBy("doc_id")

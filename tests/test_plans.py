@@ -225,6 +225,8 @@ _PYTHON_EVAL_OK = {
     #                                           decode: same rationale
     "multimodal_bmp_roundtrip_dhash",  # BMP encode + DIB decode: same
     #                                    codec-surface rationale
+    "multimodal_tiff_roundtrip_dhash",  # TIFF encode + strip/PackBits
+    #                                     decode: same codec rationale
     "multimodal_wav_roundtrip_stats",  # WAV encode + RIFF/PCM decode:
     #                                    same codec-surface rationale
     "multimodal_audio_dedup_envelope",  # envelope stage decodes WAV;
