@@ -52,9 +52,22 @@ import flink_stream_spark.operators.quality  # noqa: F401,E402
 import flink_stream_spark.operators.pipeline  # noqa: F401,E402
 import flink_stream_spark.operators.graph  # noqa: F401,E402
 
+# The driver records bench output by keeping the LAST 2000 characters
+# of stdout and json-parsing the final line (verified empirically:
+# BENCH_r06.json's 1725-char line parsed; BENCH_r07.json's 67-query
+# line exceeded 2000 chars, was truncated mid-dict, and the round-7
+# record shows "parsed": null). The headline set therefore splits in
+# two: CORE is printed as the official final JSON line and is
+# size-budgeted to stay far below the window (enforced by
+# tests/test_bench_line.py and a runtime assert); EXTENDED queries are
+# timed identically but reported on the preceding "headline_full" line
+# (and through the sf1 gate, which parses that full line). CORE keeps
+# every query name that appeared in the round-6 driver record so
+# per-round comparisons stay key-compatible.
+
 # the headline set: one representative per operator family, all
 # scale-path variants (no O(n^2) members)
-HEADLINE = [
+CORE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -108,14 +121,29 @@ HEADLINE = [
     "text_bpe_encode",
     # round-6 additions
     "dedup_exact_substr_sa",
-    # round-7 additions: the modality round-trips and decoded-signal
-    # dedups now carry committed sf1 records so the self-enforcing
-    # gate (tests/test_bench_gate.py) catches THEIR plan regressions
-    # too (round-6 verdict #7). Their absolute cost includes the
-    # deliberate per-doc Python container encode (the oracle-pinning
-    # stand-in a production cluster replaces with a native codec);
-    # what the gate protects is the SHAPE — narrow decode stage run
-    # once, Σ bucket² pair work — which regresses in seconds at sf1.
+    # round-7 additions with short names (see the size budget above):
+    # the e2e pipeline, the bloom prefilter, the held-out bigram LM,
+    # the JL projection, and both KMV sketch queries are first-class
+    # curation/analytics operators whose plans the driver record
+    # should track round over round
+    "pipeline_pretraining_batch",
+    "dedup_incremental_bloom",
+    "text_bigram_logppl",
+    "embedding_jl_project",
+    "agg_kmv_distinct_sketch",
+    "agg_kmv_set_ops",
+]
+
+# Timed and gated identically to CORE, but reported on the
+# "headline_full" line rather than the official final line: the
+# modality round-trips carry a deliberate per-doc Python container
+# encode (the oracle-pinning stand-in a production cluster replaces
+# with a native codec), so their absolute numbers are encode-dominated
+# and their names are long — together they blew the driver's 2000-char
+# parse window in round 7. What the sf1 gate protects is the SHAPE —
+# narrow decode stage run once, Σ bucket² pair work — which regresses
+# in seconds at sf1 regardless of which line reports it.
+EXTENDED = [
     "multimodal_png_roundtrip_dhash",
     "multimodal_gif_roundtrip_dhash",
     "multimodal_jpeg_roundtrip_dhash",
@@ -123,24 +151,13 @@ HEADLINE = [
     "multimodal_y4m_roundtrip_stats",
     "multimodal_audio_dedup_envelope",
     "multimodal_video_dedup_motion",
-    "pipeline_pretraining_batch",
-    # round-7 late additions: BMP closes the image-container set;
-    # the bloom prefilter and the held-out bigram LM are first-class
-    # curation operators whose plans the gate should watch
     "multimodal_bmp_roundtrip_dhash",
-    "dedup_incremental_bloom",
-    "text_bigram_logppl",
-    "embedding_jl_project",
-    # round-7 (cont.): progressive JPEG joins the codec set; the
-    # constellation fingerprint and both KMV sketch queries are
-    # first-class analytics whose join shapes (inverted fingerprint
-    # index, two-level K-smallest) regress in seconds at sf1
     "multimodal_jpeg_progressive_roundtrip",
     "multimodal_audio_fingerprint_pairs",
-    "agg_kmv_distinct_sketch",
-    "agg_kmv_set_ops",
     "multimodal_tiff_roundtrip_dhash",
 ]
+
+HEADLINE = CORE + EXTENDED
 # the graph queries (graph_triangle_count, graph_local_clustering_topk,
 # graph_pagerank_bipartite) are deliberately NOT headline-gated: their
 # eager localCheckpoints materialize the edge structure at BUILD time,
@@ -173,17 +190,39 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    # Full detail first (the sf1 gate and humans parse this line) ...
     print(
         json.dumps(
             {
-                "metric": "headline_total",
+                "metric": "headline_full",
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-            }
+            },
+            separators=(",", ":"),
         )
     )
+    # ... then the official line LAST, restricted to CORE and
+    # compact-separated so it always fits the driver's 2000-char
+    # stdout tail window (see the comment above CORE).
+    core_timings = {name: timings[name] for name in CORE}
+    line = json.dumps(
+        {
+            "metric": "headline_total",
+            "value": round(sum(core_timings.values()), 3),
+            "unit": "sec",
+            "queries": core_timings,
+            "sf": float(sf),
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1950, (
+        f"official bench line is {len(line)} chars; the driver parses "
+        "the final line out of a 2000-char stdout tail — move a query "
+        "to EXTENDED"
+    )
+    print(line)
 
 
 if __name__ == "__main__":

@@ -533,6 +533,149 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jaccard threshold for the prefix-filter join, kept as an integer
+# ratio (3/5 = 0.6, matching dedup_ngram_jaccard) so BOTH the prefix
+# length n - ceil(tau*n) + 1 and the final accept test
+# 5*shared >= 3*union are exact integer arithmetic in both engines.
+JPF_TAU_NUM, JPF_TAU_DEN = 3, 5
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    f"""
+    WITH doc_shingles AS (
+      SELECT doc_id, unnest({_SHINGLES_DUCK}) AS shingle FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM doc_shingles GROUP BY doc_id),
+    dfreq AS (SELECT shingle, COUNT(*) AS df
+              FROM doc_shingles GROUP BY shingle),
+    ranked AS (
+      SELECT s.doc_id, s.shingle, z.n,
+             ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                ORDER BY d.df, s.shingle) AS rk
+      FROM doc_shingles s JOIN dfreq d USING (shingle)
+      JOIN sizes z ON z.doc_id = s.doc_id),
+    prefix AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE rk <= n - ({JPF_TAU_NUM} * n + {JPF_TAU_DEN - 1})
+                      // {JPF_TAU_DEN} + 1),
+    cand AS (
+      SELECT DISTINCT pa.doc_id AS doc_a, pb.doc_id AS doc_b
+      FROM prefix pa JOIN prefix pb
+        ON pa.shingle = pb.shingle AND pa.doc_id < pb.doc_id),
+    sized AS (
+      SELECT c.doc_a, c.doc_b, za.n AS na, zb.n AS nb
+      FROM cand c JOIN sizes za ON za.doc_id = c.doc_a
+                  JOIN sizes zb ON zb.doc_id = c.doc_b
+      WHERE {JPF_TAU_DEN} * LEAST(za.n, zb.n)
+            >= {JPF_TAU_NUM} * GREATEST(za.n, zb.n)),
+    ov AS (
+      SELECT s.doc_a, s.doc_b, s.na, s.nb, COUNT(*) AS shared
+      FROM sized s
+      JOIN doc_shingles sa ON sa.doc_id = s.doc_a
+      JOIN doc_shingles sb ON sb.doc_id = s.doc_b
+                          AND sb.shingle = sa.shingle
+      GROUP BY 1, 2, 3, 4)
+    SELECT doc_a, doc_b,
+           CAST(shared AS BIGINT) AS shared,
+           CAST(na + nb - shared AS BIGINT) AS union_n,
+           {{jaccard}} AS jaccard
+    FROM ov
+    WHERE {JPF_TAU_DEN} * shared >= {JPF_TAU_NUM} * (na + nb - shared)
+    ORDER BY doc_a, doc_b
+    """.replace(
+        "{jaccard}", round6_ratio_sql("shared", "na + nb - shared")
+    ),
+    group="dedup",
+    doc="EXACT Jaccard >= 0.6 similarity join with COMPLETE recall via "
+    "prefix filtering (SSJoin, Chaudhuri et al. ICDE'06; PPJoin, Xiao "
+    "et al. WWW'08): rank each document's distinct 3-gram shingles by "
+    "global (document-frequency, shingle) ascending — rarest first — "
+    "and explode only the first n - ceil(tau*n) + 1 of them; any pair "
+    "with Jaccard >= tau MUST share a prefix token under a consistent "
+    "global order, so unlike dedup_ngram_jaccard's df-capped blocking "
+    "(which documents a recall bound: pairs sharing only hot shingles "
+    "are never scored) this join provably nominates EVERY qualifying "
+    "pair. Hot stop-shingles sort LAST in the global order and so "
+    "almost never enter a prefix — the hot-key quadratic is avoided "
+    "by ordering, not by dropping recall. Candidates then pass the "
+    "length filter tau*|larger| <= |smaller| before the exact "
+    "verify recounts the FULL shingle overlap; accept is the integer "
+    "test 5*shared >= 3*union (no float threshold, engines agree "
+    "bit-exactly). Scale: prefix explode is ~0.4n+1 rows per doc; "
+    "candidate cost is sum over prefix tokens of bucket^2 — bounded "
+    "by token rarity, never corpus^2; verify is two equi-joins per "
+    "surviving candidate. Completeness is property-tested against a "
+    "brute-force all-pairs oracle (tests/test_jaccard_prefix.py).",
+)
+def dedup_jaccard_prefix_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingled_docs(d)
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (
+        F.col("n")
+        - F.expr(
+            f"({JPF_TAU_NUM} * n + {JPF_TAU_DEN - 1}) div {JPF_TAU_DEN}"
+        )
+        + F.lit(1)
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("doc_id", "shingle")
+    )
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.shingle") == F.col("pb.shingle"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    sized = (
+        cand.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(
+            F.lit(JPF_TAU_DEN) * F.least("na", "nb")
+            >= F.lit(JPF_TAU_NUM) * F.greatest("na", "nb")
+        )
+    )
+    ov = _exact_pair_overlap(sized.select("doc_a", "doc_b"), sh)
+    union = F.col("na") + F.col("nb") - F.col("shared")
+    return (
+        ov.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .filter(F.lit(JPF_TAU_DEN) * F.col("shared") >= F.lit(JPF_TAU_NUM) * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("shared").cast("bigint").alias("shared"),
+            union.cast("bigint").alias("union_n"),
+            round6_ratio(F.col("shared"), union).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     """

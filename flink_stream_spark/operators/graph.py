@@ -282,6 +282,32 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str) -> tuple:
     return pairs, deg, oriented
 
 
+def _wedge_parallelism(oriented: DataFrame) -> int:
+    """Shuffle width for the wedge-join stage, derived from the EXACT
+    wedge cardinality sum(outdeg * (outdeg - 1)) — one bounded scalar
+    job over the checkpointed edge list (output: one row). The session
+    pins spark.sql.shuffle.partitions=32 for oracle determinism, and
+    AQE can only COALESCE below that number, never widen it — so at
+    sf3 the ~600M-row wedge intermediate used to land on 32 partitions
+    (~19M rows each) and the round-7 probes recorded GCLocker thrash
+    and super-linear wall (sf1->sf3 ratio 3.5-4.8x for exactly-linear
+    true work). Targeting ~2M wedge rows per task restores the
+    cluster-shaped plan: width grows with the data, capped at 2048,
+    floored at the session's configured shuffle width so small-scale
+    oracle runs keep their exact plans. Results are invariant to the
+    repartition — only task granularity changes."""
+    spark = oriented.sparkSession
+    row = (
+        oriented.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("od"))
+        .agg(F.sum(F.expr("od * (od - 1)")).alias("w"))
+        .collect()[0]
+    )
+    wedges = int(row["w"] or 0)
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return max(floor, min(2048, -(-wedges // 2_000_000)))
+
+
 @register(
     "graph_triangle_count",
     f"""
@@ -317,12 +343,18 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str) -> tuple:
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, deg, oriented = _copurchase_oriented(spark, sf_dir)
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
-    wedges = e1.join(
-        e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c"))
-    ).select("b", "c")
-    e3 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    n = _wedge_parallelism(oriented)
+    osrc = oriented.repartition(n, "src")
+    e1 = osrc.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = osrc.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    wedges = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
+        .select("b", "c")
+        .repartition(n, "b", "c")
+    )
+    e3 = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    ).repartition(n, "b", "c")
     tri = wedges.join(e3, ["b", "c"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -383,12 +415,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_local_clustering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, deg, oriented = _copurchase_oriented(spark, sf_dir)
-    e1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = oriented.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
-    wedges = e1.join(
-        e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c"))
-    ).select("a", "b", "c")
-    e3 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    n = _wedge_parallelism(oriented)
+    osrc = oriented.repartition(n, "src")
+    e1 = osrc.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = osrc.select(F.col("src").alias("a2"), F.col("dst").alias("c"))
+    wedges = (
+        e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") != F.col("c")))
+        .select("a", "b", "c")
+        .repartition(n, "b", "c")
+    )
+    e3 = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    ).repartition(n, "b", "c")
     # one streaming pass over the closing join: each triangle credits
     # all three corners via explode — the triangle list is never
     # materialized (a localCheckpoint of the full (a,b,c) list measured

@@ -335,6 +335,14 @@ def _decode_body(b: bytes) -> "dict | None":
     while i + 2 <= len(b):
         if b[i] != 0xFF:
             return None
+        # T.81 B.1.1.2: any marker may be preceded by fill bytes
+        # (extra 0xFF); skip them so a spec-legal padded stream is
+        # decoded rather than misread as a zero-length segment
+        # (advisor note, round 7)
+        while i + 2 <= len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(b):
+            return None
         marker = b[i + 1]
         if marker == 0xD8 or marker == 0x01 or 0xD0 <= marker <= 0xD7:
             i += 2

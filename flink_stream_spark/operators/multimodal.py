@@ -170,8 +170,15 @@ def parse_image_header(payload: bytes) -> "tuple[int, int] | None":
                 base = ifd + 2 + 12 * t
                 if base + 12 > len(b):
                     return None
-                tag, typ = struct.unpack(e + "HH", b[base : base + 4])
-                if tag in (256, 257) and typ in (3, 4):
+                tag, typ, count = struct.unpack(
+                    e + "HHI", b[base : base + 8]
+                )
+                # count must be 1 for the value field to hold the
+                # dimension inline; count > 1 stores an OFFSET there,
+                # which would be misread as a bogus width/height
+                # (advisor note, round 7; decode_tiff_gray's
+                # _read_ifd_values already enforces this)
+                if tag in (256, 257) and typ in (3, 4) and count == 1:
                     fmt = "H" if typ == 3 else "I"
                     (v,) = struct.unpack(
                         e + fmt, b[base + 8 : base + 8 + (2 if typ == 3 else 4)]
@@ -1761,14 +1768,24 @@ def _wavfp_media(d: DataFrame) -> DataFrame:
     byte[i]*256 - 32768 for i < min(len, FPN), zero-padded to FPN —
     zero-PADDED (not cycled like _wav_media) so that two documents
     sharing a byte run share ALIGNED frames regardless of their total
-    lengths, which is what fingerprint matching needs."""
+    lengths, which is what fingerprint matching needs.
+
+    ASCII-only gate, mirrored in the oracle (LENGTH = octet_length):
+    the Spark side fingerprints UTF-8 BYTES while the SQL oracle can
+    only address CODE POINTS (ord/substr), so the two engines agree
+    exactly on docs where chars == bytes and would silently diverge on
+    any other. Excluding multi-byte docs identically in both engines
+    turns a future non-ASCII fixture into a visible row-set change
+    instead of a value-hash mismatch (advisor note, round 7)."""
     import numpy as np
 
     from flink_stream_spark.operators.wav import encode_wav
 
-    src = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1838,7 +1855,8 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
     "multimodal_audio_fingerprint_pairs",
     f"""
     WITH p AS (SELECT doc_id, text, LEAST(LENGTH(text), {FPN}) AS n
-               FROM documents),
+               FROM documents
+               WHERE LENGTH(text) = strlen(text)),
     sm AS (
       SELECT doc_id,
              i // {FP_NFFT} AS t, i % {FP_NFFT} AS nn,

@@ -63,7 +63,11 @@ def packbits_decode(data: bytes, expected: int) -> "bytes | None":
                 return None
             out += bytes([data[i]]) * (257 - n)
             i += 1
-    return bytes(out) if len(out) == expected else None
+    # Real-world PackBits writers may pad the final strip's packets to
+    # an even count, so the last literal/run can legally overshoot
+    # `expected`; truncate rather than reject (advisor note, round 7).
+    # Undershoot is still an error — the strip genuinely lacks data.
+    return bytes(out[:expected]) if len(out) >= expected else None
 
 
 def packbits_encode(data: bytes) -> bytes:

@@ -68,8 +68,17 @@ def test_headline_within_2x_of_committed_sf1_record():
         f"bench.py failed (rc={res.returncode}); stderr tail: "
         f"{res.stderr[-2000:]}"
     )
-    line = res.stdout.strip().splitlines()[-1]
-    measured = json.loads(line)["queries"]
+    # bench.py prints the full-detail "headline_full" line before the
+    # size-budgeted official CORE line; the gate wants every headline
+    # query, so parse the full line.
+    parsed = [
+        json.loads(ln)
+        for ln in res.stdout.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    full = [p for p in parsed if p.get("metric") == "headline_full"]
+    assert full, f"no headline_full line in bench output: {res.stdout[-2000:]}"
+    measured = full[-1]["queries"]
     absent = [q for q in HEADLINE if q not in measured]
     assert not absent, f"bench.py output is missing headline queries: {absent}"
 
