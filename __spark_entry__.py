@@ -84,6 +84,10 @@ try:
     import flink_stream_spark.operators.graph  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.formats  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -51,6 +51,7 @@ import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
 import flink_stream_spark.operators.quality  # noqa: F401,E402
 import flink_stream_spark.operators.pipeline  # noqa: F401,E402
 import flink_stream_spark.operators.graph  # noqa: F401,E402
+import flink_stream_spark.operators.formats  # noqa: F401,E402
 
 # The driver records bench output by keeping the LAST 2000 characters
 # of stdout and json-parsing the final line (verified empirically:
@@ -132,6 +133,9 @@ CORE = [
     "embedding_jl_project",
     "agg_kmv_distinct_sketch",
     "agg_kmv_set_ops",
+    # round-8 additions
+    "dedup_jaccard_prefix_filter",
+    "text_normalize_nfc",
 ]
 
 # Timed and gated identically to CORE, but reported on the
@@ -155,6 +159,13 @@ EXTENDED = [
     "multimodal_jpeg_progressive_roundtrip",
     "multimodal_audio_fingerprint_pairs",
     "multimodal_tiff_roundtrip_dhash",
+    # round-8 additions: the EXIF round-trip is encode-dominated like
+    # its siblings; the format round-trips time a write+read cycle
+    # whose fixed I/O overhead would drown the CORE signal
+    "multimodal_exif_orientation_dhash",
+    "scan_csv_roundtrip",
+    "scan_orc_roundtrip",
+    "multimodal_video_scene_cuts",
 ]
 
 HEADLINE = CORE + EXTENDED
@@ -203,10 +214,12 @@ def main() -> None:
             separators=(",", ":"),
         )
     )
-    # ... then the official line LAST, restricted to CORE and
-    # compact-separated so it always fits the driver's 2000-char
-    # stdout tail window (see the comment above CORE).
-    core_timings = {name: timings[name] for name in CORE}
+    # ... then the official line LAST, restricted to CORE,
+    # compact-separated, and at 2-decimal precision (the cross-round
+    # noise band is ±0.05 s, so the third decimal carries no signal —
+    # but it costs one char per query against the driver's 2000-char
+    # stdout tail window; headline_full above keeps 3 decimals).
+    core_timings = {name: round(timings[name], 2) for name in CORE}
     line = json.dumps(
         {
             "metric": "headline_total",

@@ -597,29 +597,74 @@ JPF_TAU_NUM, JPF_TAU_DEN = 3, 5
     "are never scored) this join provably nominates EVERY qualifying "
     "pair. Hot stop-shingles sort LAST in the global order and so "
     "almost never enter a prefix — the hot-key quadratic is avoided "
-    "by ordering, not by dropping recall. Candidates then pass the "
-    "length filter tau*|larger| <= |smaller| before the exact "
-    "verify recounts the FULL shingle overlap; accept is the integer "
-    "test 5*shared >= 3*union (no float threshold, engines agree "
-    "bit-exactly). Scale: prefix explode is ~0.4n+1 rows per doc; "
-    "candidate cost is sum over prefix tokens of bucket^2 — bounded "
-    "by token rarity, never corpus^2; verify is two equi-joins per "
-    "surviving candidate. Completeness is property-tested against a "
-    "brute-force all-pairs oracle (tests/test_jaccard_prefix.py).",
+    "by ordering, not by dropping recall. Scale (see the builder "
+    "docstring for the measured sf1 numbers): exact-dup groups "
+    "collapse to one representative before the join (J is a pure "
+    "function of text, so rep verdicts expand losslessly to member "
+    "pairs — candidate work scales with DISTINCT content), the "
+    "length filter tau*|larger| <= |smaller| AND PPJoin's positional "
+    "filter (remaining-overlap bound vs the tau floor, recall-safe "
+    "via the first-shared-token argument) ride the join condition, "
+    "and the verify is a JVM-side array_intersect over per-doc "
+    "sorted shingle arrays. Accept is the integer test 5*shared >= "
+    "3*union (no float threshold, engines agree bit-exactly). "
+    "Completeness is property-tested against a brute-force all-pairs "
+    "oracle incl. a replicated-corpus case "
+    "(tests/test_jaccard_prefix.py).",
 )
 def dedup_jaccard_prefix_filter(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    """Three scale levers beyond the naive prefix join (each measured
+    at sf1 on the replicated probe corpus, where the naive shape
+    produced 29.1M candidate pairs from 2.65M shingle rows):
+
+    1. EXACT-DUP COLLAPSE first: group docs by content hash and run
+       the entire similarity join on ONE representative per distinct
+       text — J(a,b) is a pure function of the texts, so every
+       rep-level verdict expands losslessly to all member pairs.
+       Candidate work scales with DISTINCT content; the part that
+       stays quadratic in cluster size is the output itself. This is
+       what production crawls do (exact-dedup before near-dup mining).
+    2. PPJoin POSITIONAL filter in the join condition (Xiao et al.
+       WWW'08): a match on prefix positions (ra, rb) can reach overlap
+       at most min(na-ra, nb-rb)+1, so require that to clear the
+       tau-overlap floor ceil(tau/(1+tau)*(na+nb)) — recall-safe (for
+       a qualifying pair, its FIRST shared token in the global order
+       satisfies the bound), kills deep-prefix coincidences before
+       the distinct. The length filter rides the same join condition.
+    3. Verify by per-doc sorted shingle ARRAYS + array_intersect
+       (JVM-side, exact distinct-set intersection) instead of a
+       double explode-join — one row per candidate pair instead of
+       ~|shingles| rows per pair.
+    """
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = d.repartition(par, "doc_id").select(
+        "doc_id", F.md5(F.encode("text", "utf-8")).alias("gkey"), "text"
+    )
+    members = docs.select("gkey", "doc_id").persist()
+    # one representative per distinct text: min doc_id carries the text
+    reps = (
+        docs.groupBy("gkey")
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
+        .select(
+            F.col("s.doc_id").alias("doc_id"), F.col("s.text").alias("text")
+        )
+    )
     sh = (
-        shingled_docs(d)
+        shingled_docs(reps)
         .select("doc_id", F.explode_outer("shingles").alias("shingle"))
         .filter(F.col("shingle").isNotNull())
+        .persist()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # rank + set size in ONE window shuffle (count over the same
+    # partition spec rides the row_number sort)
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    wn = Window.partitionBy("doc_id")
     prefix_len = (
         F.col("n")
         - F.expr(
@@ -627,50 +672,121 @@ def dedup_jaccard_prefix_filter(
         )
         + F.lit(1)
     )
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
     prefix = (
         sh.join(dfreq, "shingle")
-        .join(sizes, "doc_id")
         .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "shingle")
+        .select("doc_id", "shingle", "rk", "n")
     )
-    pa = prefix.alias("pa")
-    pb = prefix.alias("pb")
+    pa = prefix.select(
+        F.col("doc_id").alias("rep_a"),
+        F.col("shingle").alias("sh_a"),
+        F.col("rk").alias("ra"),
+        F.col("n").alias("na"),
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("rep_b"),
+        F.col("shingle").alias("sh_b"),
+        F.col("rk").alias("rb"),
+        F.col("n").alias("nb"),
+    )
+    # overlap floor for J >= tau: ceil(tau/(1+tau) * (na+nb))
+    alpha = F.expr(
+        f"({JPF_TAU_NUM} * (na + nb) + {JPF_TAU_NUM + JPF_TAU_DEN - 1}) "
+        f"div {JPF_TAU_NUM + JPF_TAU_DEN}"
+    )
     cand = (
         pa.join(
             pb,
-            (F.col("pa.shingle") == F.col("pb.shingle"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+            (F.col("sh_a") == F.col("sh_b"))
+            & (F.col("rep_a") < F.col("rep_b"))
+            & (
+                F.lit(JPF_TAU_DEN) * F.least("na", "nb")
+                >= F.lit(JPF_TAU_NUM) * F.greatest("na", "nb")
+            )
+            & (
+                F.least(
+                    F.col("na") - F.col("ra"), F.col("nb") - F.col("rb")
+                )
+                + 1
+                >= alpha
+            ),
         )
-        .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
-        )
+        .select("rep_a", "rep_b")
         .distinct()
     )
-    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    sized = (
-        cand.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(
-            F.lit(JPF_TAU_DEN) * F.least("na", "nb")
-            >= F.lit(JPF_TAU_NUM) * F.greatest("na", "nb")
+    docarr = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    aa = docarr.select(
+        F.col("doc_id").alias("rep_a"),
+        F.col("arr").alias("arr_a"),
+        F.col("n").alias("na"),
+    )
+    ab = docarr.select(
+        F.col("doc_id").alias("rep_b"),
+        F.col("arr").alias("arr_b"),
+        F.col("n").alias("nb"),
+    )
+    shared = F.size(F.array_intersect("arr_a", "arr_b"))
+    union = F.col("na") + F.col("nb") - F.col("shared")
+    rep_pairs = (
+        cand.join(aa, "rep_a")
+        .join(ab, "rep_b")
+        .withColumn("shared", shared)
+        .filter(F.lit(JPF_TAU_DEN) * F.col("shared") >= F.lit(JPF_TAU_NUM) * union)
+        .select("rep_a", "rep_b", "shared", union.alias("union_n"))
+    )
+    # expansion: rep verdicts -> all member pairs
+    rep2g = docs.groupBy("gkey").agg(F.min("doc_id").alias("rep_id"))
+    ga = rep2g.select(
+        F.col("rep_id").alias("rep_a"), F.col("gkey").alias("gk_a")
+    )
+    gb = rep2g.select(
+        F.col("rep_id").alias("rep_b"), F.col("gkey").alias("gk_b")
+    )
+    ma = members.select(F.col("gkey").alias("gk_a"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("gkey").alias("gk_b"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ga, "rep_a")
+        .join(gb, "rep_b")
+        .join(ma, "gk_a")
+        .join(mb, "gk_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "shared",
+            "union_n",
         )
     )
-    ov = _exact_pair_overlap(sized.select("doc_a", "doc_b"), sh)
-    union = F.col("na") + F.col("nb") - F.col("shared")
+    # within-group pairs: identical texts, J = 1 (groups whose text
+    # yields zero shingles are excluded — Jaccard is undefined there)
+    gsize = docarr.select(
+        F.col("doc_id").alias("rep_id"), F.col("n").alias("gn")
+    ).join(rep2g, "rep_id")
+    m1 = members.select("gkey", F.col("doc_id").alias("doc_a"))
+    m2 = members.select("gkey", F.col("doc_id").alias("doc_b"))
+    within = (
+        gsize.join(m1, "gkey")
+        .join(m2, "gkey")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("gn").alias("shared"),
+            F.col("gn").alias("union_n"),
+        )
+    )
     return (
-        ov.join(za, "doc_a")
-        .join(zb, "doc_b")
-        .filter(F.lit(JPF_TAU_DEN) * F.col("shared") >= F.lit(JPF_TAU_NUM) * union)
+        cross.unionAll(within)
         .select(
             "doc_a",
             "doc_b",
             F.col("shared").cast("bigint").alias("shared"),
-            union.cast("bigint").alias("union_n"),
-            round6_ratio(F.col("shared"), union).alias("jaccard"),
+            F.col("union_n").cast("bigint").alias("union_n"),
+            round6_ratio(F.col("shared"), F.col("union_n")).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )

@@ -282,6 +282,21 @@ def _copurchase_oriented(spark: SparkSession, sf_dir: str) -> tuple:
     return pairs, deg, oriented
 
 
+# Wedge-stage width constants, A/B-probed at sf3 in one session
+# (PLANS.md round 8): width 32 = 563 s with GCLocker retry warnings
+# (the round-7 thrash), width 75 (8M rows/task) = 429 s, width 300
+# (2M rows/task) = 499 s — so the optimum is a FEW WAVES OF CORES,
+# not a fixed rows-per-task: too few tasks spill, too many pay
+# per-task shuffle-stream overhead. The rule below targets
+# ~3 waves of the session's parallelism, but never lets a task hold
+# more than WEDGE_ROWS_PER_TASK_MAX wedge rows (the memory bound that
+# matters on a real executor) and never splits finer than
+# WEDGE_ROWS_PER_TASK_TARGET is worth.
+WEDGE_ROWS_PER_TASK_MAX = 8_000_000
+WEDGE_ROWS_PER_TASK_TARGET = 2_000_000
+WEDGE_WAVES = 3
+
+
 def _wedge_parallelism(oriented: DataFrame) -> int:
     """Shuffle width for the wedge-join stage, derived from the EXACT
     wedge cardinality sum(outdeg * (outdeg - 1)) — one bounded scalar
@@ -291,8 +306,10 @@ def _wedge_parallelism(oriented: DataFrame) -> int:
     sf3 the ~600M-row wedge intermediate used to land on 32 partitions
     (~19M rows each) and the round-7 probes recorded GCLocker thrash
     and super-linear wall (sf1->sf3 ratio 3.5-4.8x for exactly-linear
-    true work). Targeting ~2M wedge rows per task restores the
-    cluster-shaped plan: width grows with the data, capped at 2048,
+    true work). The width targets ~WEDGE_WAVES waves of the session's
+    cores, bounded below by the per-task memory cap
+    (WEDGE_ROWS_PER_TASK_MAX) and above by the no-point-splitting
+    target (see the A/B numbers at the constants), capped at 2048,
     floored at the session's configured shuffle width so small-scale
     oracle runs keep their exact plans. Results are invariant to the
     repartition — only task granularity changes."""
@@ -305,7 +322,13 @@ def _wedge_parallelism(oriented: DataFrame) -> int:
     )
     wedges = int(row["w"] or 0)
     floor = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return max(floor, min(2048, -(-wedges // 2_000_000)))
+    cores = spark.sparkContext.defaultParallelism
+    want = min(
+        WEDGE_WAVES * cores,
+        -(-wedges // WEDGE_ROWS_PER_TASK_TARGET),  # don't over-split
+    )
+    need = -(-wedges // WEDGE_ROWS_PER_TASK_MAX)  # per-task memory bound
+    return max(floor, min(2048, max(want, need)))
 
 
 @register(

@@ -1231,3 +1231,118 @@ def _emit_dc(bw, dc, pred, c, ah, al, dct) -> None:
         pred[c] = t
     else:
         bw.write((dc >> al) & 1, 1)
+
+
+# --- EXIF orientation --------------------------------------------------
+#
+# Cameras and phones usually record rotation as an EXIF Orientation tag
+# (APP1 segment, embedded TIFF IFD0, tag 274) instead of rotating the
+# pixels, so a flag-rotated re-upload of the same photo has a completely
+# different pixel layout on disk. Near-dup hashing must normalize to the
+# DISPLAYED image or every such pair is missed. Values per EXIF 2.3
+# (interchangeable with TIFF 6.0 orientation): 1 = as-stored, 2 = mirror
+# horizontal, 3 = rotate 180, 4 = mirror vertical, 5 = transpose,
+# 6 = rotate 90 CW, 7 = anti-transpose, 8 = rotate 90 CCW.
+
+# inverse under composition: storing apply(x, INV[o]) and displaying
+# with orientation o reproduces x
+EXIF_INVERSE = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
+
+def apply_exif_orientation(a: "np.ndarray", o: int) -> "np.ndarray":
+    """Stored pixel array -> displayed pixel array for orientation o
+    (views, no copies): displayed[r, c] is where a viewer puts each
+    stored pixel per EXIF 2.3 / TIFF 6.0 tag 274."""
+    if o == 2:
+        return a[:, ::-1]
+    if o == 3:
+        return a[::-1, ::-1]
+    if o == 4:
+        return a[::-1, :]
+    if o == 5:
+        return a.T
+    if o == 6:  # rotate 90 CW: displayed[r, c] = stored[H-1-c, r]
+        return a.T[:, ::-1]
+    if o == 7:  # anti-transpose
+        return a[::-1, ::-1].T
+    if o == 8:  # rotate 90 CCW: displayed[r, c] = stored[c, W-1-r]
+        return a.T[::-1, :]
+    return a
+
+
+def exif_app1_segment(orientation: int) -> bytes:
+    """Minimal spec-correct EXIF APP1 segment: 'Exif\\0\\0' + a
+    little-endian TIFF holding one IFD0 entry (tag 274, SHORT,
+    count 1)."""
+    tiff = b"II*\x00" + struct.pack("<I", 8)
+    tiff += struct.pack("<H", 1)  # one tag
+    tiff += struct.pack("<HHIHH", 274, 3, 1, orientation, 0)
+    tiff += struct.pack("<I", 0)  # no next IFD
+    body = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(body) + 2) + body
+
+
+def insert_exif_orientation(jpg: bytes, orientation: int) -> bytes:
+    """Splice an EXIF orientation APP1 right after SOI — how a typical
+    writer lays out the file (APP segments precede DQT/SOF)."""
+    if jpg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    return jpg[:2] + exif_app1_segment(orientation) + jpg[2:]
+
+
+def parse_exif_orientation(b: bytes) -> int:
+    """EXIF orientation (1..8) from the first APP1 'Exif' segment's
+    IFD0 tag 274; 1 (as-stored) when absent or malformed. Walks only
+    the header segment chain (stops at SOS/EOI), tolerates T.81 fill
+    bytes, honors the TIFF byte-order mark, and requires SHORT/count 1
+    exactly — an offset-valued tag is never misread as an
+    orientation."""
+    if b[:2] != b"\xff\xd8":
+        return 1
+    i = 2
+    while i + 2 <= len(b):
+        if b[i] != 0xFF:
+            return 1
+        while i + 2 <= len(b) and b[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > len(b):
+            return 1
+        marker = b[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+            if marker in (0xDA, 0xD9):
+                return 1  # reached scan data / EOI without an APP1
+            i += 2
+            continue
+        if marker == 0xDA:
+            return 1
+        if i + 4 > len(b):
+            return 1
+        (seg_len,) = struct.unpack_from(">H", b, i + 2)
+        if seg_len < 2:
+            return 1
+        seg = b[i + 4 : i + 2 + seg_len]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            t = seg[6:]
+            if len(t) < 8:
+                return 1
+            if t[:4] == b"II*\x00":
+                e = "<"
+            elif t[:4] == b"MM\x00*":
+                e = ">"
+            else:
+                return 1
+            (ifd,) = struct.unpack_from(e + "I", t, 4)
+            if ifd + 2 > len(t):
+                return 1
+            (ntags,) = struct.unpack_from(e + "H", t, ifd)
+            for k in range(ntags):
+                base = ifd + 2 + 12 * k
+                if base + 12 > len(t):
+                    return 1
+                tag, typ, cnt = struct.unpack_from(e + "HHI", t, base)
+                if tag == 274 and typ == 3 and cnt == 1:
+                    (o,) = struct.unpack_from(e + "H", t, base + 8)
+                    return o if 1 <= o <= 8 else 1
+            return 1
+        i += 2 + seg_len
+    return 1

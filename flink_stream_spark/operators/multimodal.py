@@ -526,7 +526,11 @@ def dhash_bands(media: DataFrame) -> DataFrame:
 
     from flink_stream_spark.operators.bmp import decode_bmp_gray
     from flink_stream_spark.operators.gif import decode_gif_gray
-    from flink_stream_spark.operators.jpeg import decode_jpeg_gray
+    from flink_stream_spark.operators.jpeg import (
+        apply_exif_orientation,
+        decode_jpeg_gray,
+        parse_exif_orientation,
+    )
     from flink_stream_spark.operators.png import decode_png_gray, gray_grid
     from flink_stream_spark.operators.tiff import decode_tiff_gray
 
@@ -547,6 +551,11 @@ def dhash_bands(media: DataFrame) -> DataFrame:
             elif b[:2] == b"\xff\xd8":  # JPEG SOI (0xFF: never UTF-8 text)
                 gray = decode_jpeg_gray(b)
                 if gray is not None:
+                    # normalize to the DISPLAYED image: flag-rotated
+                    # re-uploads (EXIF tag 274) must hash identically
+                    o = parse_exif_orientation(b)
+                    if o > 1:
+                        gray = apply_exif_orientation(gray, o)
                     px = gray_grid(gray, DHASH_ROWS, 9)
             elif b[:2] == b"BM":
                 # 'BM' alone is printable text; decode_bmp_gray's
@@ -1108,6 +1117,90 @@ def multimodal_jpeg_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFra
     return dhash_bands(media).orderBy("doc_id")
 
 
+@register(
+    "multimodal_exif_orientation_dhash",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
+          i -> CASE WHEN n = 0 THEN 0
+               ELSE ord(substr(text, (i % n) + 1, 1)) END) AS px
+      FROM p),
+    b AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {DHASH_ROWS - 1}),
+          r -> CAST(list_aggregate(list_transform(generate_series(0, 7),
+                 c -> CASE WHEN px[r*9 + c + 1] < px[r*9 + c + 2]
+                      THEN 1 << c ELSE 0 END), 'sum') AS INTEGER)) AS bands
+      FROM s)
+    SELECT doc_id, bands FROM b ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="EXIF-orientation normalization under the oracle: cameras "
+    "record rotation as APP1/IFD0 tag 274 instead of rotating pixels, "
+    "so a flag-rotated re-upload has a totally different stored pixel "
+    "layout — near-dup hashing must normalize to the DISPLAYED image "
+    "(dhash_bands' JPEG branch now parses the tag and applies the "
+    "transform). This round-trip stores each document's grid "
+    "INVERSE-transformed for orientation (doc_id % 8) + 1 — all eight "
+    "EXIF values, including the transposing ones that swap image "
+    "dimensions — splices a spec-correct EXIF APP1, and hashes "
+    "through the full parse→decode→normalize ladder. The oracle "
+    "derives the grid straight from the text with NO orientation "
+    "term, so a hash match proves the normalization exactly undid "
+    "every stored transform; any parse or transform bug shuffles the "
+    "grid and breaks the hash corpus-wide. Constant 8x8 blocks keep "
+    "quality-100 JPEG pixel-exact (blocks stay block-aligned under "
+    "all eight transforms since both dimensions are multiples of 8). "
+    "Narrow Arrow-batched stages, no shuffle.",
+)
+def multimodal_exif_orientation_dhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.jpeg import (
+        EXIF_INVERSE,
+        apply_exif_orientation,
+        encode_jpeg,
+        insert_exif_orientation,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    src = d.repartition(par, "doc_id").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gidx = np.arange(DHASH_ROWS * 9, dtype=np.int64)
+        for pdf in batches:
+            jpgs = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                grid = (
+                    np.zeros(DHASH_ROWS * 9, dtype=np.uint8)
+                    if n == 0
+                    else arr[gidx % n]
+                ).reshape(DHASH_ROWS, 9)
+                displayed = np.repeat(np.repeat(grid, 8, 0), 8, 1)  # 64x72
+                o = int(doc_id) % 8 + 1
+                stored = np.ascontiguousarray(
+                    apply_exif_orientation(displayed, EXIF_INVERSE[o])
+                )
+                jpgs.append(
+                    insert_exif_orientation(
+                        encode_jpeg([stored], quality=100), o
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": jpgs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return dhash_bands(media).orderBy("doc_id")
+
+
 # --- audio: WAV codec round-trip + envelope near-dup ----------------------
 #
 # The second REAL modality codec (operators/wav.py — RIFF/PCM is pure
@@ -1637,6 +1730,144 @@ def multimodal_video_dedup_motion(spark: SparkSession, sf_dir: str) -> DataFrame
         .persist()
     )
     return video_near_dup_pairs(stats).orderBy("doc_a", "doc_b")
+
+
+# --- video scene-cut detection --------------------------------------------
+
+VID_SCENE_LEN = 3  # frames per planted scene (scene of frame f = f//3)
+VID_CUT_THRESH = 8  # block-delta threshold: a cut is a frame whose
+# summed per-strip |block-mean delta| vs the previous frame reaches
+# this; frames inside a static scene delta to exactly 0, so any
+# genuine content change clears it while codec-exact decode noise
+# (there is none — the codec is lossless) cannot false-positive
+_VID_SCENE_CS = ["mono", "420", "422", "444"]
+
+
+def _y4m_scene_media(d: DataFrame) -> DataFrame:
+    """documents -> (doc_id, payload): a REAL Y4M clip with PLANTED
+    scene structure — frames 0-2 render text segment 0, frames 3-5
+    segment 1, frames 6-7 segment 2 (segment s = bytes
+    [s*128, s*128+128) of the text, head-indexed like _y4m_media, the
+    same x37 mod 256 luma bijection). Frames within a scene are
+    IDENTICAL, so the inter-frame delta is exactly zero except at the
+    two scene boundaries — ground truth for cut detection lives in
+    the text itself. Colorspace cycles doc_id % 4 over
+    mono/420/422/444 — one more than the round-trip query covers, so
+    C422 chroma framing is exercised corpus-wide here."""
+    import numpy as np
+
+    from flink_stream_spark.operators.y4m import encode_y4m
+
+    src = d.repartition(
+        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    seg_px = VID_H * VID_W
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                segs = []
+                for s in range(VID_FRAMES // VID_SCENE_LEN + 1):
+                    chunk = arr[s * seg_px : (s + 1) * seg_px]
+                    px = np.zeros(seg_px, dtype=np.uint8)
+                    px[: len(chunk)] = (chunk.astype(np.int64) * 37) % 256
+                    segs.append(px.reshape(VID_H, VID_W))
+                frames = np.stack(
+                    [segs[f // VID_SCENE_LEN] for f in range(VID_FRAMES)]
+                )
+                vids.append(
+                    encode_y4m(
+                        frames, colorspace=_VID_SCENE_CS[int(doc_id) % 4]
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": vids})
+
+    return src.mapInPandas(_encode, "doc_id bigint, payload binary")
+
+
+@register(
+    "multimodal_video_scene_cuts",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {VID_FRAMES * VID_BLOCKS - 1}),
+          j -> list_aggregate(list_transform(generate_series(0, {_VID_STRIP_PX - 1}),
+                 t -> CASE WHEN ((j // {VID_BLOCKS}) // {VID_SCENE_LEN})
+                              * {_VID_FRAME_PX}
+                         + (t // {_VID_STRIP_W}) * {VID_W}
+                         + (j % {VID_BLOCKS}) * {_VID_STRIP_W}
+                         + (t % {_VID_STRIP_W}) < n THEN
+                      (ord(substr(text,
+                        ((j // {VID_BLOCKS}) // {VID_SCENE_LEN})
+                              * {_VID_FRAME_PX}
+                         + (t // {_VID_STRIP_W}) * {VID_W}
+                         + (j % {VID_BLOCKS}) * {_VID_STRIP_W}
+                         + (t % {_VID_STRIP_W}) + 1, 1)) * 37) % 256
+                      ELSE 0 END),
+                 'sum') // {_VID_STRIP_PX}) AS bm
+      FROM p),
+    c AS (
+      SELECT doc_id, f,
+             list_aggregate(list_transform(generate_series(1, {VID_BLOCKS}),
+               k -> abs(bm[f * {VID_BLOCKS} + k]
+                        - bm[(f - 1) * {VID_BLOCKS} + k])), 'sum') AS delta
+      FROM s, unnest(generate_series(1, {VID_FRAMES - 1})) AS u(f))
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(delta AS BIGINT) AS delta
+    FROM c
+    WHERE delta >= {VID_CUT_THRESH}
+    ORDER BY doc_id, frame_idx
+    """,
+    group="multimodal",
+    doc="Scene-cut / keyframe detection over DECODED video: clips with "
+    f"planted scene structure ({VID_SCENE_LEN} identical frames per "
+    "scene, segments drawn from consecutive text regions) encode "
+    "through the REAL Y4M codec with the colorspace cycling "
+    "mono/420/422/444 by doc_id % 4 (C422 framing exercised corpus-"
+    "wide — the one layout the round-trip query's %3 cycle skips), "
+    "decode back, and a cut is any frame whose summed per-strip "
+    f"|block-mean delta| vs the previous frame reaches "
+    f"{VID_CUT_THRESH} — the keyframe selector a frame-sampling "
+    "training pipeline runs before extracting frames. Within-scene "
+    "deltas are exactly 0 (the codec is lossless), so detection "
+    "equals ground truth; the oracle derives every block mean "
+    "straight from the text with the scene mapping applied, proving "
+    "decode + detection exact corpus-wide. Integer arithmetic "
+    "end-to-end; one narrow Arrow decode stage, detection is 28 "
+    "codegen'd abs-diff terms, no shuffle before the final sort.",
+)
+def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stats = video_motion_stats(
+        _y4m_scene_media(load_table(spark, sf_dir, "documents"))
+    )
+    bm = F.col("block_means")
+    deltas = F.array(
+        *[
+            F.struct(
+                F.lit(f).cast("bigint").alias("frame_idx"),
+                sum(
+                    F.abs(
+                        F.element_at(bm, f * VID_BLOCKS + k + 1)
+                        - F.element_at(bm, (f - 1) * VID_BLOCKS + k + 1)
+                    )
+                    for k in range(VID_BLOCKS)
+                )
+                .cast("bigint")
+                .alias("delta"),
+            )
+            for f in range(1, VID_FRAMES)
+        ]
+    )
+    return (
+        stats.filter(F.col("n_frames") > 0)
+        .select("doc_id", F.explode(deltas).alias("c"))
+        .select("doc_id", F.col("c.frame_idx"), F.col("c.delta"))
+        .filter(F.col("delta") >= VID_CUT_THRESH)
+        .orderBy("doc_id", "frame_idx")
+    )
 
 
 def video_band_vals(bm_col: str = "block_means"):

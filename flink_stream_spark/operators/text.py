@@ -337,3 +337,77 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_normalize_nfc",
+    """
+    WITH pre AS (
+      SELECT doc_id,
+             replace(text, 'a', 'a' || chr(769)) AS raw
+      FROM documents),
+    norm AS (
+      SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM pre)
+    SELECT doc_id,
+           CAST(LENGTH(raw) AS BIGINT) AS raw_len,
+           CAST(LENGTH(nfc) AS BIGINT) AS nfc_len,
+           CAST(LENGTH(raw) - LENGTH(nfc) AS BIGINT) AS composed,
+           md5(nfc) AS nfc_md5
+    FROM norm
+    ORDER BY doc_id
+    """,
+    group="text",
+    doc="Unicode NFC normalization — the first stage of every text "
+    "curation pipeline (mixed crawls carry the same grapheme as "
+    "precomposed code points in one document and base+combining-mark "
+    "sequences in another; dedup, shingling, and tokenization all "
+    "break unless canonically-equivalent text is byte-identical). "
+    "The fixture corpus is ASCII, where NFC is the identity, so the "
+    "query first INJECTS decomposed sequences deterministically "
+    "(every 'a' gains U+0301 COMBINING ACUTE) in both engines, then "
+    "normalizes: Spark through an Arrow-batched mapInPandas over "
+    "Python's unicodedata (the stdlib implements Unicode TR15 "
+    "exactly), DuckDB through its built-in nfc_normalize (utf8proc) "
+    "— two INDEPENDENT TR15 implementations whose agreement the "
+    "md5 over the normalized text proves per document. Returned "
+    "lengths are code points; `composed` counts the combining marks "
+    "absorbed into precomposed forms. Scale: one narrow Python "
+    "stage, no shuffle; everything after (lengths, md5) is JVM-side.",
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import unicodedata
+    from typing import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    pre = d.repartition(par, "doc_id").select(
+        "doc_id",
+        # explicit escape: the DECOMPOSED sequence a + U+0301; a raw
+        # literal here would be one editor-renormalization away from
+        # silently becoming the precomposed form and hollowing out
+        # the injection
+        F.regexp_replace("text", "a", "a\u0301").alias("raw"),
+    )
+
+    def _nfc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw": pdf["raw"],
+                    "nfc": pdf["raw"].map(
+                        lambda s: unicodedata.normalize("NFC", s)
+                    ),
+                }
+            )
+
+    norm = pre.mapInPandas(_nfc, "doc_id bigint, raw string, nfc string")
+    return norm.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("raw_len"),
+        F.length("nfc").cast("bigint").alias("nfc_len"),
+        (F.length("raw") - F.length("nfc")).cast("bigint").alias("composed"),
+        F.md5(F.encode("nfc", "utf-8")).alias("nfc_md5"),
+    ).orderBy("doc_id")

@@ -28,7 +28,7 @@ def test_official_line_fits_driver_window_worst_case():
             "metric": "headline_total",
             "value": 99999.999,
             "unit": "sec",
-            "queries": {name: 999.999 for name in CORE},
+            "queries": {name: 999.99 for name in CORE},
             "sf": 0.1,
         },
         separators=(",", ":"),

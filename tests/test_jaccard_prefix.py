@@ -101,6 +101,43 @@ def test_hot_shingle_cluster_recovered(spark, tmp_path):
     assert not (capped_pairs & hot_pairs)
 
 
+def test_replicated_corpus_expansion(spark, tmp_path):
+    """The exact-dup-collapse path: many byte-identical replicas per
+    distinct text (the shape of the scaled probe corpora and of real
+    crawls) — rep-level verdicts must expand to EVERY member pair,
+    within-group (J=1) and cross-group (near-dup texts) alike."""
+    rng = np.random.RandomState(11)
+    base = ["w%d" % w for w in rng.randint(0, 400, size=40)]
+    texts = [" ".join(base)]
+    # near-dup variants of the base (small suffix edits: J >= 0.6)
+    for k in (1, 2):
+        texts.append(" ".join(base[:-k] + ["z%d" % k]))
+    # unrelated texts
+    for k in range(4):
+        texts.append(
+            " ".join("u%d_%d" % (k, w) for w in rng.randint(0, 400, 30))
+        )
+    # a group with too-short text (zero shingles): never paired
+    texts.append("tiny doc")
+    docs = {}
+    i = 0
+    for t in texts:
+        for _ in range(5):  # 5 replicas each
+            docs[i] = t
+            i += 1
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        [(k, v) for k, v in sorted(docs.items())], "doc_id bigint, text string"
+    ).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = _run(spark, sf_dir)
+    want = _brute_pairs(docs)
+    # sanity on the shape: the base group pairs with both variants
+    assert any(
+        docs[a] != docs[b] for (a, b) in want
+    ), "fixture must contain cross-group qualifying pairs"
+    assert got == want
+
+
 @pytest.mark.parametrize("n", [1, 2, 3, 4, 5, 7, 10, 50, 101])
 def test_prefix_length_formula(n):
     # n - ceil(tau*n) + 1 must stay in [1, n]: every non-empty set has

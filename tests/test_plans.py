@@ -240,6 +240,15 @@ _PYTHON_EVAL_OK = {
     #                                    surface, same rationale
     "multimodal_video_dedup_motion",  # decode stage only; banding +
     #                                   L1 verify are JVM
+    "multimodal_exif_orientation_dhash",  # JPEG encode + EXIF splice +
+    #                                       decode/normalize: codec
+    #                                       surface, same rationale
+    "multimodal_video_scene_cuts",  # Y4M scene encode + decode: codec
+    #                                 surface; the 28-term delta
+    #                                 detector is JVM
+    "text_normalize_nfc",  # unicodedata NFC is the operator itself
+    #                        (stdlib TR15, Arrow-batched, narrow);
+    #                        lengths + md5 are JVM
     "dedup_exact_substr_sa",  # per-doc suffix-array build is inherently
     #                           procedural (narrow Arrow-batched pass,
     #                           bounded by tokens-per-doc, no shuffle)
