@@ -166,6 +166,7 @@ EXTENDED = [
     "scan_csv_roundtrip",
     "scan_orc_roundtrip",
     "multimodal_video_scene_cuts",
+    "multimodal_aiff_roundtrip_stats",
 ]
 
 HEADLINE = CORE + EXTENDED

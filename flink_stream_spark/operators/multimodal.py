@@ -1226,16 +1226,37 @@ AUDIO_STATS_SCHEMA = (
 )
 
 
+def decode_audio(payload: bytes) -> "dict | None":
+    """Container-agnostic audio decode ladder: RIFF/WAVE, then
+    FORM/AIFF (operators/aiff.py — big-endian words, signed 8-bit,
+    80-bit extended-float rate). Both decoders return the same dict
+    contract, so every consumer — envelope stats, constellation
+    fingerprints, the streaming dedup index — is container-BLIND: a
+    clip re-encoded WAV->AIFF decodes to the identical sample array
+    and dedups against its original (cross-codec tests pin it).
+    Neither magic ('RIFF', 'FORM' followed by structural u32s and a
+    second magic) can false-positive on UTF-8 fixture text."""
+    from flink_stream_spark.operators.aiff import decode_aiff
+    from flink_stream_spark.operators.wav import decode_wav
+
+    b = bytes(payload)
+    if b[:4] == b"RIFF":
+        return decode_wav(b)
+    if b[:4] == b"FORM":
+        return decode_aiff(b)
+    return None
+
+
 def wav_envelope_stats(media: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> decoded-PCM statistics via the REAL
-    WAV codec: frame count, peak/sum |amplitude|, and the
-    ENV_WINDOWS-point integer energy envelope. Payloads that are not
-    integer-PCM WAVs yield the zero row (n_frames=0) rather than
-    failing — the decode-ladder discipline. Arrow-batched, narrow."""
+    audio codecs (WAV or AIFF — ``decode_audio``): frame count,
+    peak/sum |amplitude|, and the ENV_WINDOWS-point integer energy
+    envelope. Payloads that are not integer-PCM audio yield the zero
+    row (n_frames=0) rather than failing — the decode-ladder
+    discipline. Arrow-batched, narrow."""
     import numpy as np
 
     from flink_stream_spark.operators.wav import (
-        decode_wav,
         envelope_from_abs,
         mono_abs,
     )
@@ -1244,7 +1265,7 @@ def wav_envelope_stats(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "n_frames": [], "peak_abs": [], "sum_abs": [], "env": []}
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_wav(bytes(b))
+                d = decode_audio(bytes(b))
                 if d is None or len(d["samples"]) == 0:
                     out["doc_id"].append(doc_id)
                     out["n_frames"].append(0)
@@ -1351,6 +1372,67 @@ _WAV_ENV_DUCK = f"""
 def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return wav_envelope_stats(_wav_media(d)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_aiff_roundtrip_stats",
+    _WAV_ENV_DUCK
+    + f"""
+    SELECT doc_id,
+           CAST({WAVRT_N} AS BIGINT) AS n_frames,
+           CAST(list_aggregate(list_transform(sm, x -> abs(x)), 'max') AS BIGINT)
+             AS peak_abs,
+           CAST(list_aggregate(list_transform(sm, x -> abs(x)), 'sum') AS BIGINT)
+             AS sum_abs,
+           list_transform(env, x -> CAST(x AS BIGINT)) AS env
+    FROM e
+    ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="AIFF codec round-trip under the oracle: the SAME int16 "
+    "samples as the WAV round-trip, encoded into the OTHER "
+    "uncompressed-PCM container (operators/aiff.py — IFF FORM/AIFF "
+    "framing, BIG-endian words, 80-bit extended-float sample rate, "
+    "container width cycling 16/24/32-bit by doc_id % 3), decoded "
+    "through the container-agnostic ladder, reduced to the identical "
+    "envelope statistics. The oracle is byte-for-byte the WAV "
+    "round-trip's oracle — same samples, different container — so a "
+    "hash match simultaneously proves the AIFF decoder reproduced "
+    "every sample at every width AND that the two containers are "
+    "interchangeable to every downstream consumer (the cross-codec "
+    "dedup property). Narrow Arrow-batched stages, no shuffle.",
+)
+def multimodal_aiff_roundtrip_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.aiff import encode_aiff
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(WAVRT_N, dtype=np.int64)
+        for pdf in batches:
+            outs = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    samples = np.zeros(WAVRT_N, dtype=np.int64)
+                else:
+                    samples = arr[idx % n].astype(np.int64) * 256 - 32768
+                bits = (16, 24, 32)[int(doc_id) % 3]
+                outs.append(
+                    encode_aiff(samples, rate=WAVRT_RATE, bits=bits)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return wav_envelope_stats(media).orderBy("doc_id")
 
 
 def audio_band_vals(env_col: str = "env"):
@@ -2033,14 +2115,13 @@ def _wavfp_media(d: DataFrame) -> DataFrame:
 
 def audio_fingerprints(media: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> (doc_id, fp): the DISTINCT spectral
-    constellation fingerprints of each clip, via the REAL WAV codec.
+    constellation fingerprints of each clip, via the REAL audio codecs
+    (WAV or AIFF — ``decode_audio``, container-blind).
     A frame is fingerprint-eligible iff any sample is nonzero (zero
     frames are padding); fp(t) packs the peak bins of frames
     t..t+3 base-8 and requires all four frames eligible. Undecodable
     payloads emit nothing (kept, never matched). Arrow-batched, narrow."""
     import numpy as np
-
-    from flink_stream_spark.operators.wav import decode_wav
 
     CT = np.array(_FP_COS, dtype=np.int64).T  # (NFFT, BINS)
     ST = np.array(_FP_SIN, dtype=np.int64).T
@@ -2049,7 +2130,7 @@ def audio_fingerprints(media: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, fps = [], []
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_wav(bytes(b))
+                d = decode_audio(bytes(b))
                 if d is None or len(d["samples"]) < FPN:
                     continue
                 x = d["samples"][:FPN, 0].astype(np.int64).reshape(
