@@ -229,6 +229,8 @@ _PYTHON_EVAL_OK = {
     #                                     decode: same codec rationale
     "multimodal_wav_roundtrip_stats",  # WAV encode + RIFF/PCM decode:
     #                                    same codec-surface rationale
+    "multimodal_aiff_roundtrip_stats",  # AIFF encode + IFF/big-endian
+    #                                     decode: same codec rationale
     "multimodal_audio_dedup_envelope",  # envelope stage decodes WAV;
     #                                     banding + L1 verify are JVM
     "multimodal_audio_fingerprint_pairs",  # WAV decode + integer
