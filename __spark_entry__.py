@@ -86,6 +86,8 @@ except ImportError:
     pass
 try:
     import flink_stream_spark.operators.formats  # noqa: F401
+    import flink_stream_spark.operators.warc  # noqa: F401
+    import flink_stream_spark.operators.html_extract  # noqa: F401
 except ImportError:
     pass
 

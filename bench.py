@@ -2,8 +2,16 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line:
-  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+  {"metric": "headline_core_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+
+Metric name history: rounds 1-7 printed "headline_total" = sum of the
+FULL headline set at 3 decimals; round 8 restricted the official line
+to CORE (2 decimals) without renaming, so the r7->r8 'value' drop of
+~40 s is a reporting-scope change, not a speedup. The metric is named
+"headline_core_total" from round 9 on so cross-round tooling never
+compares the two populations as one series (advisor note, round 8).
+The full-set total still rides the "headline_full" line.
 
 Each headline plan is built once, run once untimed, then timed over
 five runs and the minimum is recorded. The untimed first run absorbs
@@ -52,6 +60,8 @@ import flink_stream_spark.operators.quality  # noqa: F401,E402
 import flink_stream_spark.operators.pipeline  # noqa: F401,E402
 import flink_stream_spark.operators.graph  # noqa: F401,E402
 import flink_stream_spark.operators.formats  # noqa: F401,E402
+import flink_stream_spark.operators.warc  # noqa: F401,E402
+import flink_stream_spark.operators.html_extract  # noqa: F401,E402
 
 # The driver records bench output by keeping the LAST 2000 characters
 # of stdout and json-parsing the final line (verified empirically:
@@ -183,9 +193,26 @@ HEADLINE = CORE + EXTENDED
 # about the production sketch path this set showcases.
 
 
+def _pretouch(sf_dir: str) -> None:
+    """Read every fixture byte once (untimed) so the first timed query
+    doesn't eat the page-cache cold start. PLANS.md documents q1
+    absorbing the whole dataset's first-touch I/O — it inflated q1
+    1.9x in the round-8 judge's gate run and failed the builder's own
+    first sf1 gate attempt. A long-running cluster's scans are warm;
+    the cold start is a property of the harness, not the plan
+    (round-8 verdict, Next #5)."""
+    for root, _dirs, files in os.walk(sf_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                with open(os.path.join(root, fn), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _pretouch(sf_dir)
     spark = get_spark("flink_stream_spark-bench")
 
     def materialize(df) -> None:
@@ -223,7 +250,7 @@ def main() -> None:
     core_timings = {name: round(timings[name], 2) for name in CORE}
     line = json.dumps(
         {
-            "metric": "headline_total",
+            "metric": "headline_core_total",
             "value": round(sum(core_timings.values()), 3),
             "unit": "sec",
             "queries": core_timings,

@@ -84,8 +84,11 @@ def decode_aiff(payload: bytes) -> "dict | None":
         return None
     pos = 12
     comm = None
-    data = None
-    while pos + 8 <= len(b):
+    ssnd = None
+    # IFF does NOT mandate chunk order — SSND may legally precede COMM
+    # (advisor note, round 8), so buffer the SSND body during the walk
+    # and resolve offset/payload only after both chunks are in hand.
+    while pos + 8 <= len(b) and (comm is None or ssnd is None):
         cid = b[pos : pos + 4]
         (clen,) = struct.unpack_from(">I", b, pos + 4)
         body = b[pos + 8 : pos + 8 + clen]
@@ -100,16 +103,14 @@ def decode_aiff(payload: bytes) -> "dict | None":
                 return None
             comm = (ch, n_frames, bits, rate)
         elif cid == b"SSND":
-            if comm is None:
-                return None  # sound data before COMM: malformed
             if clen < 8:
                 return None
-            offset, block = struct.unpack_from(">II", body, 0)
-            data = body[8 + offset :]
-            break
+            ssnd = body
         pos += 8 + clen + (clen & 1)  # IFF chunks are word-aligned
-    if comm is None or data is None:
+    if comm is None or ssnd is None:
         return None
+    offset, block = struct.unpack_from(">II", ssnd, 0)
+    data = ssnd[8 + offset :]
     ch, n_frames, bits, rate = comm
     balign = ch * (bits // 8)
     if len(data) < n_frames * balign:

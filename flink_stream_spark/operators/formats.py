@@ -36,9 +36,17 @@ from flink_stream_spark.operators.registry import register
 _WORK = "/tmp/flink_stream_spark/formats"
 
 
-def _work_dir(sf_dir: str, what: str) -> str:
+def _work_dir(spark: SparkSession, sf_dir: str, what: str) -> str:
+    """Scratch path for the round-trip's on-disk intermediate, keyed by
+    scale AND the Spark applicationId: two concurrent runs at the same
+    scale (bench + correctness, or two sessions) would otherwise race
+    on one directory — a mode=overwrite mid-delete in one process while
+    the other reads yields flaky wrong results (advisor note, round 8).
+    Not deleted after read-back: the returned DataFrame is lazy and the
+    driver/bench materialize it repeatedly; app-scoped dirs under /tmp
+    are reclaimed by the OS tmp policy."""
     tag = os.path.basename(sf_dir.rstrip("/")) or "root"
-    return os.path.join(_WORK, tag, what)
+    return os.path.join(_WORK, spark.sparkContext.applicationId, tag, what)
 
 
 @register(
@@ -88,7 +96,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("tricky"),
         "n_chars",
     )
-    path = _work_dir(sf_dir, "documents_csv")
+    path = _work_dir(spark, sf_dir, "documents_csv")
     opts = {
         "header": "true",
         "quoteAll": "true",
@@ -147,7 +155,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linestatus",
         "l_shipdate",
     )
-    path = _work_dir(sf_dir, "lineitem_orc")
+    path = _work_dir(spark, sf_dir, "lineitem_orc")
     li.repartition(8, "l_orderkey").write.mode("overwrite").orc(path)
     back = spark.read.schema(
         "l_orderkey bigint, l_quantity double, l_extendedprice double, "

@@ -1120,7 +1120,8 @@ def multimodal_jpeg_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFra
 @register(
     "multimodal_exif_orientation_dhash",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
@@ -1169,8 +1170,13 @@ def multimodal_exif_orientation_dhash(
 
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    src = d.repartition(par, "doc_id").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    # ASCII gate: the oracle addresses code points (ord/substr) while
+    # this side reads UTF-8 bytes — exclude multi-byte docs in both
+    # engines identically (advisor note, round 8)
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(par, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1229,14 +1235,18 @@ AUDIO_STATS_SCHEMA = (
 def decode_audio(payload: bytes) -> "dict | None":
     """Container-agnostic audio decode ladder: RIFF/WAVE, then
     FORM/AIFF (operators/aiff.py — big-endian words, signed 8-bit,
-    80-bit extended-float rate). Both decoders return the same dict
+    80-bit extended-float rate), then FLAC (operators/flac.py — the
+    compressed rung: Rice-coded fixed/LPC prediction, lossless, so
+    samples come back bit-exact). All decoders return the same dict
     contract, so every consumer — envelope stats, constellation
     fingerprints, the streaming dedup index — is container-BLIND: a
-    clip re-encoded WAV->AIFF decodes to the identical sample array
-    and dedups against its original (cross-codec tests pin it).
-    Neither magic ('RIFF', 'FORM' followed by structural u32s and a
-    second magic) can false-positive on UTF-8 fixture text."""
+    clip re-encoded WAV->AIFF->FLAC decodes to the identical sample
+    array and dedups against its original (cross-codec tests pin
+    it). None of the magics ('RIFF'/'FORM' followed by structural
+    u32s and a second magic; 'fLaC' followed by a checked STREAMINFO
+    block) can false-positive on UTF-8 fixture text."""
     from flink_stream_spark.operators.aiff import decode_aiff
+    from flink_stream_spark.operators.flac import decode_flac
     from flink_stream_spark.operators.wav import decode_wav
 
     b = bytes(payload)
@@ -1244,6 +1254,8 @@ def decode_audio(payload: bytes) -> "dict | None":
         return decode_wav(b)
     if b[:4] == b"FORM":
         return decode_aiff(b)
+    if b[:4] == b"fLaC":
+        return decode_flac(b)
     return None
 
 
@@ -1294,7 +1306,14 @@ def _wav_media(d: DataFrame) -> DataFrame:
     """documents -> (doc_id, payload): a REAL int16 mono WAV per doc,
     samples synthesized from the text bytes (sample[i] =
     byte[i mod n]·256 − 32768), so the oracle can derive everything
-    downstream of the codec straight from the text."""
+    downstream of the codec straight from the text.
+
+    ASCII-only gate mirrored in _WAV_ENV_DUCK's p CTE: Spark
+    synthesizes samples from UTF-8 BYTES while the oracle can only
+    address CODE POINTS (ord/substr), so both engines exclude
+    multi-byte docs identically — a future non-ASCII fixture becomes
+    a visible row-set change, not a silent hash mismatch (advisor
+    note, round 8; same discipline as _wavfp_media)."""
     import numpy as np
 
     from flink_stream_spark.operators.wav import encode_wav
@@ -1302,9 +1321,11 @@ def _wav_media(d: DataFrame) -> DataFrame:
     # spread the per-doc container encode/decode across the cluster
     # (the fixture parquet is 1-2 splits; the codec stage is the rare
     # CPU-bound Python work — same posture as the JPEG round-trip)
-    src = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(WAVRT_N, dtype=np.int64)
@@ -1324,7 +1345,8 @@ def _wav_media(d: DataFrame) -> DataFrame:
 
 
 _WAV_ENV_DUCK = f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {WAVRT_N - 1}),
@@ -1410,9 +1432,12 @@ def multimodal_aiff_roundtrip_stats(
     from flink_stream_spark.operators.aiff import encode_aiff
 
     d = load_table(spark, sf_dir, "documents")
-    src = d.repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # ASCII gate: mirrored in _WAV_ENV_DUCK (advisor note, round 8)
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(WAVRT_N, dtype=np.int64)
@@ -1428,6 +1453,71 @@ def multimodal_aiff_roundtrip_stats(
                 bits = (16, 24, 32)[int(doc_id) % 3]
                 outs.append(
                     encode_aiff(samples, rate=WAVRT_RATE, bits=bits)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return wav_envelope_stats(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_flac_roundtrip_stats",
+    _WAV_ENV_DUCK
+    + f"""
+    SELECT doc_id,
+           CAST({WAVRT_N} AS BIGINT) AS n_frames,
+           CAST(list_aggregate(list_transform(sm, x -> abs(x)), 'max') AS BIGINT)
+             AS peak_abs,
+           CAST(list_aggregate(list_transform(sm, x -> abs(x)), 'sum') AS BIGINT)
+             AS sum_abs,
+           list_transform(env, x -> CAST(x AS BIGINT)) AS env
+    FROM e
+    ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="FLAC codec round-trip under the oracle: the SAME int16 "
+    "samples as the WAV/AIFF round-trips, encoded through the "
+    "COMPRESSED container (operators/flac.py — STREAMINFO with "
+    "stream MD5, CRC-8/CRC-16-checked frames, fixed polynomial "
+    "predictors with Rice-coded residuals; sample width cycling "
+    "16/20/24-bit by doc_id % 3 so NON-BYTE-ALIGNED bit packing is "
+    "exercised corpus-wide), decoded through the container-agnostic "
+    "ladder, reduced to the identical envelope statistics. The "
+    "oracle is byte-for-byte the WAV round-trip's oracle — so a "
+    "hash match proves lossless compression reproduced every sample "
+    "at every width AND that all three containers are "
+    "interchangeable to every downstream consumer (cross-codec "
+    "dedup property). Narrow Arrow-batched stages, no shuffle.",
+)
+def multimodal_flac_roundtrip_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.flac import encode_flac
+
+    d = load_table(spark, sf_dir, "documents")
+    # ASCII gate: mirrored in _WAV_ENV_DUCK (advisor note, round 8)
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(WAVRT_N, dtype=np.int64)
+        for pdf in batches:
+            outs = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                if n == 0:
+                    samples = np.zeros(WAVRT_N, dtype=np.int64)
+                else:
+                    samples = arr[idx % n].astype(np.int64) * 256 - 32768
+                bits = (16, 20, 24)[int(doc_id) % 3]
+                outs.append(
+                    encode_flac(samples, rate=WAVRT_RATE, bits=bits)
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
 
@@ -1840,9 +1930,14 @@ def _y4m_scene_media(d: DataFrame) -> DataFrame:
 
     from flink_stream_spark.operators.y4m import encode_y4m
 
-    src = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # ASCII gate: the scene-cut oracle addresses code points
+    # (ord/substr); exclude multi-byte docs identically in both
+    # engines (advisor note, round 8)
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     seg_px = VID_H * VID_W
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1872,7 +1967,8 @@ def _y4m_scene_media(d: DataFrame) -> DataFrame:
 @register(
     "multimodal_video_scene_cuts",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {VID_FRAMES * VID_BLOCKS - 1}),

@@ -63,11 +63,18 @@ def packbits_decode(data: bytes, expected: int) -> "bytes | None":
                 return None
             out += bytes([data[i]]) * (257 - n)
             i += 1
+    if len(out) < expected:
+        return None  # the strip genuinely lacks data
     # Real-world PackBits writers may pad the final strip's packets to
-    # an even count, so the last literal/run can legally overshoot
-    # `expected`; truncate rather than reject (advisor note, round 7).
-    # Undershoot is still an error — the strip genuinely lacks data.
-    return bytes(out[:expected]) if len(out) >= expected else None
+    # an even count, so the LAST literal/run can legally overshoot
+    # `expected` (by at most 127 bytes — one packet) and leave at most
+    # one alignment pad byte unconsumed. Anything beyond that — more
+    # packets after the strip is full — is a corrupt stream, not
+    # padding, and is rejected (advisor note, round 8: bound the
+    # tolerance instead of silently truncating arbitrary overrun).
+    if ln - i > 1:
+        return None
+    return bytes(out[:expected])
 
 
 def packbits_encode(data: bytes) -> bytes:

@@ -60,7 +60,7 @@ def test_malformed_rejected():
     assert decode_aiff(b"FORMxxxxAIFF") is None  # no chunks
     assert decode_aiff(b"RIFF" + good[4:]) is None  # wrong magic
     assert decode_aiff(good[:20]) is None  # truncated
-    # SSND before COMM
+    # SSND but no COMM anywhere in the file
     assert decode_aiff(b"FORM" + struct.pack(">I", 12) + b"AIFF"
                        + b"SSND" + struct.pack(">I", 8) + b"\x00" * 8) is None
     # COMM frame count exceeding the data
@@ -70,6 +70,27 @@ def test_malformed_rejected():
     assert decode_aiff(bytes(bad)) is None
     # UTF-8 text can never decode
     assert decode_aiff(b"FORMat this nicely, AIFF-style prose") is None
+
+
+def test_ssnd_before_comm_is_legal():
+    # IFF mandates no chunk order: a writer that emits SSND first is
+    # spec-legal and must decode identically (advisor note, round 8)
+    arr = np.arange(64, dtype=np.int64) * 7 - 200
+    enc = encode_aiff(arr, rate=22050, bits=16)
+    i = enc.find(b"COMM")
+    (clen,) = struct.unpack_from(">I", enc, i + 4)
+    comm_chunk = enc[i : i + 8 + clen]
+    rest = enc[i + 8 + clen :]  # SSND chunk (+ any pad)
+    reordered = enc[:8] + b"AIFF" + rest + comm_chunk
+    reordered = (
+        reordered[:4]
+        + struct.pack(">I", len(reordered) - 8)
+        + reordered[8:]
+    )
+    d = decode_aiff(reordered)
+    assert d is not None
+    assert d["rate"] == 22050 and d["bits"] == 16
+    assert (d["samples"].ravel() == arr).all()
 
 
 def test_signed_8bit_differs_from_wav_convention():

@@ -26,7 +26,7 @@ def test_bench_json_contract():
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     doc = json.loads(line)
-    assert doc["metric"] == "headline_total"
+    assert doc["metric"] == "headline_core_total"
     assert doc["unit"] == "sec"
     assert isinstance(doc["value"], (int, float)) and doc["value"] > 0
     assert doc["sf"] == 0.001

@@ -56,11 +56,19 @@ def test_headline_within_2x_of_committed_sf1_record():
     )
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF1_DIR)
+    # Subprocess ceiling sized to the gate's own contract, not the
+    # builder's quietest run: the committed full-set total is ~1765 s
+    # and every query is allowed 2x + 0.75 s, so a box running at the
+    # per-query limit needs ~3650 s of wall. The old 1800 s ceiling had
+    # ~2% headroom and killed the harness before evaluating a single
+    # bound on any marginally slower box (round-8 verdict, wrong #2).
+    # The per-query 2x bounds below are the contract; this timeout is
+    # only a runaway backstop.
     res = subprocess.run(
         ["python", os.path.join(REPO, "bench.py")],
         capture_output=True,
         text=True,
-        timeout=1800,
+        timeout=4500,
         cwd=REPO,
         env=env,
     )

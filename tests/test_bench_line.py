@@ -25,7 +25,7 @@ from bench import CORE, EXTENDED, HEADLINE  # noqa: E402
 def test_official_line_fits_driver_window_worst_case():
     line = json.dumps(
         {
-            "metric": "headline_total",
+            "metric": "headline_core_total",
             "value": 99999.999,
             "unit": "sec",
             "queries": {name: 999.99 for name in CORE},

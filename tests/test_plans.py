@@ -268,6 +268,17 @@ _PYTHON_EVAL_OK = {
     "simsearch_ivf_topk",
     "simsearch_recall_at_k",
     "simsearch_ivfpq_topk",
+    # WARC ingest: the distributed .warc.gz+CDX write (applyInPandas
+    # per file group) and the indexed member seek+gunzip+record parse
+    # (mapInPandas over CDX slices) ARE the codec surface — RFC 1952
+    # framing and the ISO 28500 grammar cannot be expressed JVM-side
+    # without external jars; everything downstream (groupBy stats)
+    # is JVM
+    "scan_warc_roundtrip",
+    "scan_warc_wet_stats",
+    "text_html_extract",  # stdlib html.parser block extraction is the
+    #                       operator itself (Arrow-batched, narrow);
+    #                       the wrapper injection + md5 are JVM
 }
 
 _PYTHON_NODES = (
