@@ -177,6 +177,16 @@ EXTENDED = [
     "scan_orc_roundtrip",
     "multimodal_video_scene_cuts",
     "multimodal_aiff_roundtrip_stats",
+    # round-9 additions: the WARC scan and the FLAC round-trip are
+    # codec-surface queries like their siblings (per-record container
+    # work is the deliberate Python stand-in); the HTML extraction's
+    # wrapper stays JVM-side but the parse stage is the operator
+    "scan_warc_roundtrip",
+    "scan_warc_wet_stats",
+    "text_html_extract",
+    "multimodal_flac_roundtrip_stats",
+    "multimodal_avi_mjpeg_roundtrip",
+    "pipeline_crawl_extract",
 ]
 
 HEADLINE = CORE + EXTENDED

@@ -294,3 +294,82 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_boiler",
         F.md5(F.encode("main_text", "utf-8")).alias("text_md5"),
     ).orderBy("doc_id")
+
+
+@register(
+    "pipeline_crawl_extract",
+    """
+    SELECT doc_id,
+           lang,
+           CAST(LENGTH(text) AS BIGINT) AS content_chars,
+           CAST(4 + doc_id % 4 AS BIGINT) AS n_boiler,
+           md5(text) AS text_md5
+    FROM documents
+    ORDER BY doc_id
+    """,
+    group="pipeline",
+    doc="The crawl-to-corpus FRONT of the pipeline, composed "
+    "end-to-end: each document is wrapped in the deterministic HTML "
+    "page (JVM-side), written as a RAW-HTML WARC crawl — real "
+    "multi-member .warc.gz with CDX sidecars, WARC-Type response, "
+    "Content-Type text/html (operators/warc.py) — then scanned back "
+    "the splittable way (CDX slices spread across the cluster, "
+    "per-member seek+gunzip+record parse), and the recovered HTML "
+    "runs through the jusText-class extractor. Output: the language "
+    "parsed from the record header, the extracted text's length and "
+    "md5, and the boilerplate-block count. The oracle states all of "
+    "it straight from parquet — so one hash match proves the WARC "
+    "writer, member framing, index, record parser, entity handling, "
+    "and every boilerplate rule COMPOSED, exactly the path a 100 TB "
+    "crawl takes to become training text. Scale: write and scan "
+    "split per member; extraction is one narrow Arrow stage; no "
+    "shuffle before the final sort.",
+)
+def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from flink_stream_spark.operators.warc import (
+        _work_dir as _warc_work_dir,
+        warc_scan,
+        write_warc_gz,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    html_docs = d.select(
+        "doc_id", _wrapped_html_col().alias("text"), "lang"
+    )
+    out_dir = os.path.join(_warc_work_dir(spark, sf_dir), "html_crawl")
+    write_warc_gz(
+        html_docs, out_dir, warc_type="response", content_type="text/html"
+    )
+    crawl = warc_scan(spark, out_dir).select(
+        "doc_id", F.col("lang"), F.col("text").alias("html")
+    )
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, nbs = [], []
+            for h in pdf["html"]:
+                t, _nc, nb = extract_main_text(h)
+                texts.append(t)
+                nbs.append(nb)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang": pdf["lang"],
+                    "main_text": texts,
+                    "n_boiler": nbs,
+                }
+            )
+
+    out = crawl.mapInPandas(
+        _extract,
+        "doc_id bigint, lang string, main_text string, n_boiler bigint",
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.length("main_text").alias("content_chars"),
+        "n_boiler",
+        F.md5(F.encode("main_text", "utf-8")).alias("text_md5"),
+    ).orderBy("doc_id")

@@ -680,7 +680,8 @@ def dhash_near_dup_pairs(media: DataFrame, n_docs: "int | None" = None) -> DataF
 @register(
     "multimodal_image_dedup_dhash",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
@@ -754,7 +755,11 @@ def dhash_near_dup_pairs(media: DataFrame, n_docs: "int | None" = None) -> DataF
 )
 def multimodal_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # ASCII gate: the oracle byte-resamples via code points
+    # (ord/substr); exclude multi-byte docs identically in both engines
+    media = d.filter(F.length("text") == F.octet_length("text")).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
     return dhash_near_dup_pairs(media)
 
 
@@ -779,7 +784,8 @@ PNGRT_H, PNGRT_W = 16, 18  # 2x the 8x9 hash grid -> 2x2 block means
 @register(
     "multimodal_png_roundtrip_dhash",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
@@ -819,9 +825,13 @@ def multimodal_png_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
     # spread the per-doc container encode/decode across the cluster
     # (the fixture parquet is 1-2 splits; the codec stage is the rare
     # CPU-bound Python work — same posture as the JPEG round-trip)
-    src = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # ASCII gate: the oracle addresses code points (ord/substr);
+    # exclude multi-byte docs identically in both engines
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(PNGRT_H * PNGRT_W, dtype=np.int64)
@@ -845,7 +855,8 @@ def multimodal_png_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "multimodal_gif_roundtrip_dhash",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
@@ -887,9 +898,13 @@ def multimodal_gif_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
     # spread the per-doc container encode/decode across the cluster
     # (the fixture parquet is 1-2 splits; the codec stage is the rare
     # CPU-bound Python work — same posture as the JPEG round-trip)
-    src = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # ASCII gate: the oracle addresses code points (ord/substr);
+    # exclude multi-byte docs identically in both engines
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(PNGRT_H * PNGRT_W, dtype=np.int64)
@@ -915,7 +930,8 @@ def multimodal_gif_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "multimodal_bmp_roundtrip_dhash",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
@@ -959,9 +975,13 @@ def multimodal_bmp_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
     # spread the per-doc container encode/decode across the cluster
     # (the fixture parquet is 1-2 splits), same posture as the other
     # codec round-trips
-    src = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # ASCII gate: the oracle addresses code points (ord/substr);
+    # exclude multi-byte docs identically in both engines
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(PNGRT_H * PNGRT_W, dtype=np.int64)
@@ -1019,7 +1039,8 @@ JPGRT_LAYOUTS = [
 @register(
     "multimodal_jpeg_roundtrip_dhash",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
@@ -1061,8 +1082,12 @@ def multimodal_jpeg_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFra
     # is the rare genuinely CPU-bound Python stage (same posture as
     # dedup_exact_substr_sa)
     par = spark.sparkContext.defaultParallelism
-    src = d.repartition(par, "doc_id").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    # ASCII gate: the oracle addresses code points (ord/substr);
+    # exclude multi-byte docs identically in both engines
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(par, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1690,14 +1715,37 @@ VIDEO_STATS_SCHEMA = (
 )
 
 
+def decode_video(payload: bytes) -> "dict | None":
+    """Container-agnostic video decode ladder: YUV4MPEG2 (Y4M —
+    uncompressed planar), then RIFF/'AVI ' Motion-JPEG
+    (operators/avi.py — every frame a complete baseline JPEG through
+    the repo's own JPEG codec). Both return the same dict contract
+    ({"frames": (n,h,w) uint8 luma, fps}), so every video consumer —
+    motion stats, scene cuts, banded near-dup, the streaming video
+    index — is container-BLIND: a Y4M clip re-encoded as MJPEG-AVI
+    decodes to the identical luma stack (at quality 100 on
+    block-aligned content) and dedups against its original. The AVI
+    branch checks bytes 8:12 so RIFF/WAVE audio never reaches it."""
+    from flink_stream_spark.operators.avi import decode_avi_mjpeg
+    from flink_stream_spark.operators.y4m import decode_y4m
+
+    b = bytes(payload)
+    if b[:9] == b"YUV4MPEG2":
+        return decode_y4m(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return decode_avi_mjpeg(b)
+    return None
+
+
 def video_motion_stats(media: DataFrame) -> DataFrame:
     """(doc_id, payload binary) -> decoded-luma statistics via the
-    REAL Y4M codec: frame count, per-frame integer mean luma, the
-    flattened per-frame vertical-strip block means (VID_FRAMES x
-    VID_BLOCKS), and total motion Σ|mean[f]−mean[f−1]|. Payloads that
-    are not valid Y4M yield the zero row (n_frames=0) rather than
-    failing — the decode-ladder discipline. Arrow-batched, narrow."""
-    from flink_stream_spark.operators.y4m import decode_y4m, motion_profile
+    REAL video codecs (Y4M or MJPEG-AVI — ``decode_video``): frame
+    count, per-frame integer mean luma, the flattened per-frame
+    vertical-strip block means (VID_FRAMES x VID_BLOCKS), and total
+    motion Σ|mean[f]−mean[f−1]|. Payloads that are not valid video
+    yield the zero row (n_frames=0) rather than failing — the
+    decode-ladder discipline. Arrow-batched, narrow."""
+    from flink_stream_spark.operators.y4m import motion_profile
 
     zero_blocks = [0] * (VID_FRAMES * VID_BLOCKS)
 
@@ -1708,7 +1756,7 @@ def video_motion_stats(media: DataFrame) -> DataFrame:
                 "block_means": [], "motion": [],
             }
             for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
-                d = decode_y4m(bytes(b))
+                d = decode_video(bytes(b))
                 out["doc_id"].append(doc_id)
                 if d is None or len(d["frames"]) == 0:
                     out["n_frames"].append(0)
@@ -1754,9 +1802,13 @@ def _y4m_media(d: DataFrame) -> DataFrame:
     # spread the per-doc container encode/decode across the cluster
     # (the fixture parquet is 1-2 splits; the codec stage is the rare
     # CPU-bound Python work — same posture as the JPEG round-trip)
-    src = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # ASCII gate: the oracle addresses code points (ord/substr);
+    # exclude multi-byte docs identically in both engines
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
     total = VID_FRAMES * VID_H * VID_W
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1780,7 +1832,8 @@ _VID_STRIP_W = VID_W // VID_BLOCKS
 _VID_STRIP_PX = VID_H * _VID_STRIP_W
 
 _VID_STATS_DUCK = f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id, n,
         list_transform(generate_series(0, {VID_FRAMES - 1}),
@@ -1835,6 +1888,86 @@ _VID_STATS_DUCK = f"""
 def multimodal_y4m_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return video_motion_stats(_y4m_media(d)).orderBy("doc_id")
+
+
+@register(
+    "multimodal_avi_mjpeg_roundtrip",
+    f"""
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
+    s AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, {VID_FRAMES * 2 - 1}),
+          i -> CASE WHEN i < n
+               THEN (ord(substr(text, i + 1, 1)) * 37) % 256
+               ELSE 0 END) AS v
+      FROM p),
+    t AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, {VID_FRAMES}),
+          f -> (v[2*f - 1] + v[2*f]) // 2) AS fm,
+        list_transform(generate_series(0, {VID_FRAMES * VID_BLOCKS - 1}),
+          j -> CASE WHEN j % {VID_BLOCKS} < 2
+               THEN v[2*(j // {VID_BLOCKS}) + 1]
+               ELSE v[2*(j // {VID_BLOCKS}) + 2] END) AS bm
+      FROM s)
+    SELECT doc_id,
+           CAST({VID_FRAMES} AS BIGINT) AS n_frames,
+           list_transform(fm, x -> CAST(x AS BIGINT)) AS frame_means,
+           list_transform(bm, x -> CAST(x AS BIGINT)) AS block_means,
+           CAST(list_aggregate(list_transform(generate_series(2, {VID_FRAMES}),
+                  f -> abs(fm[f] - fm[f - 1])), 'sum') AS BIGINT) AS motion
+    FROM t
+    ORDER BY doc_id
+    """,
+    group="multimodal",
+    doc="MJPEG-AVI video container round-trip under the oracle — the "
+    "COMPRESSED video rung (operators/avi.py): text bytes plant two "
+    f"8x8-constant blocks per frame ({VID_FRAMES} frames of "
+    f"{VID_H}x{VID_W} luma; constant blocks keep quality-100 JPEG "
+    "pixel-exact, the established oracle-pinning trick), each frame "
+    "encodes as a complete baseline JPEG inside a real RIFF/AVI "
+    "container (avih/strh/strf headers, 00dc movi chunks, idx1 "
+    "keyframe index — all verified on decode), and the container-"
+    "agnostic decode_video ladder reduces the decoded luma to the "
+    "same frame/block/motion statistics as the Y4M round-trip. The "
+    "oracle derives every value straight from the text, so a hash "
+    "match proves RIFF framing + per-frame JPEG entropy decode + "
+    "index cross-check reproduced every pixel corpus-wide. Narrow "
+    "Arrow-batched stages, no shuffle.",
+)
+def multimodal_avi_mjpeg_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    from flink_stream_spark.operators.avi import encode_avi_mjpeg
+
+    d = load_table(spark, sf_dir, "documents")
+    # ASCII gate: the oracle addresses code points (ord/substr);
+    # exclude multi-byte docs identically in both engines
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(arr)
+                vals = np.zeros(VID_FRAMES * 2, dtype=np.int64)
+                take = min(n, VID_FRAMES * 2)
+                vals[:take] = (arr[:take].astype(np.int64) * 37) % 256
+                grid = vals.reshape(VID_FRAMES, 1, 2).astype(np.uint8)
+                frames = np.repeat(np.repeat(grid, VID_H, 1), VID_W // 2, 2)
+                outs.append(encode_avi_mjpeg(frames, fps=(30, 1)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
+
+    media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
+    return video_motion_stats(media).orderBy("doc_id")
 
 
 @register(
@@ -2388,7 +2521,8 @@ def multimodal_audio_fingerprint_pairs(
 @register(
     "multimodal_jpeg_progressive_roundtrip",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
@@ -2430,8 +2564,12 @@ def multimodal_jpeg_progressive_roundtrip(
 
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    src = d.repartition(par, "doc_id").select(
-        "doc_id", F.encode("text", "utf-8").alias("payload")
+    # ASCII gate: the oracle addresses code points (ord/substr);
+    # exclude multi-byte docs identically in both engines
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(par, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2485,7 +2623,8 @@ def multimodal_jpeg_progressive_roundtrip(
 @register(
     "multimodal_tiff_roundtrip_dhash",
     f"""
-    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents),
+    WITH p AS (SELECT doc_id, text, LENGTH(text) AS n FROM documents
+               WHERE LENGTH(text) = octet_length(CAST(text AS BLOB))),
     s AS (
       SELECT doc_id,
         list_transform(generate_series(0, {DHASH_ROWS * 9 - 1}),
@@ -2523,9 +2662,13 @@ def multimodal_tiff_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFra
     from flink_stream_spark.operators.tiff import encode_tiff_gray
 
     d = load_table(spark, sf_dir, "documents")
-    src = d.repartition(
-        d.sparkSession.sparkContext.defaultParallelism, "doc_id"
-    ).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    # ASCII gate: the oracle addresses code points (ord/substr);
+    # exclude multi-byte docs identically in both engines
+    src = (
+        d.filter(F.length("text") == F.octet_length("text"))
+        .repartition(d.sparkSession.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         idx = np.arange(DHASH_ROWS * 9, dtype=np.int64)

@@ -60,12 +60,6 @@ from flink_stream_spark.operators.registry import register
 CRLF = b"\r\n"
 _WARC_VERSION = b"WARC/1.0"
 
-# deterministic epoch for synthesized WARC-Date headers (arbitrary,
-# public, mirrored by the oracle)
-_EPOCH = "2020-01-01T00:00:00Z"
-_EPOCH_SECS = 1577836800  # 2020-01-01T00:00:00Z as unix seconds
-
-
 # --------------------------------------------------------------------------
 # WARC record grammar (ISO 28500)
 # --------------------------------------------------------------------------
@@ -222,18 +216,22 @@ def _warc_date(doc_id: int) -> str:
     return t.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
-def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """Synthesize a WET-style crawl from the documents table and
-    write it as real multi-member .warc.gz files + CDX sidecars, one
-    file per doc_id % _N_FILES group, from DISTRIBUTED tasks (the
-    write is applyInPandas per group; only the 8-row manifest ever
-    reaches the driver). Returns the directory. One record per
-    document: WARC-Type conversion (the WET convention for extracted
-    text), Target-URI/Date/Record-ID/Language derived from the row,
-    payload = the text's UTF-8 bytes."""
-    out_dir = _work_dir(spark, sf_dir)
+def write_warc_gz(
+    docs: DataFrame,
+    out_dir: str,
+    warc_type: str = "conversion",
+    content_type: str = "text/plain",
+) -> None:
+    """Write (doc_id, text, lang) rows as real multi-member .warc.gz
+    files + CDX sidecars, one file per doc_id % _N_FILES group, from
+    DISTRIBUTED tasks (applyInPandas per group; only the
+    _N_FILES-row manifest ever reaches the driver). One record per
+    row: Target-URI/Date/Record-ID/Language derived from the row,
+    payload = the text's UTF-8 bytes, record/content types as given
+    (conversion+text/plain = the WET shape; response-like
+    text/html = the raw-crawl shape the extraction pipeline eats)."""
     os.makedirs(out_dir, exist_ok=True)
-    d = load_table(spark, sf_dir, "documents").select(
+    d = docs.select(
         "doc_id", "text", "lang", (F.col("doc_id") % _N_FILES).alias("grp")
     )
 
@@ -250,7 +248,7 @@ def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
                 payload = str(text).encode("utf-8")
                 rec = encode_warc_record(
                     [
-                        ("WARC-Type", "conversion"),
+                        ("WARC-Type", warc_type),
                         ("WARC-Record-ID", f"<urn:fss:doc:{int(doc_id)}>"),
                         ("WARC-Date", _warc_date(int(doc_id))),
                         (
@@ -258,7 +256,7 @@ def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
                             f"http://crawl.example/doc/{int(doc_id)}",
                         ),
                         ("WARC-Identified-Content-Language", str(lang)),
-                        ("Content-Type", "text/plain"),
+                        ("Content-Type", content_type),
                     ],
                     payload,
                 )
@@ -280,6 +278,13 @@ def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     # distributed write so the returned scan DataFrame reads disk only
     n_files = manifest.count()
     assert 0 < n_files <= _N_FILES
+
+
+def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """WET-style crawl synthesized from the documents table (see
+    write_warc_gz). Returns the directory."""
+    out_dir = _work_dir(spark, sf_dir)
+    write_warc_gz(load_table(spark, sf_dir, "documents"), out_dir)
     return out_dir
 
 

@@ -231,6 +231,10 @@ _PYTHON_EVAL_OK = {
     #                                    same codec-surface rationale
     "multimodal_aiff_roundtrip_stats",  # AIFF encode + IFF/big-endian
     #                                     decode: same codec rationale
+    "multimodal_flac_roundtrip_stats",  # FLAC Rice/CRC encode+decode:
+    #                                     same codec-surface rationale
+    "multimodal_avi_mjpeg_roundtrip",  # RIFF/AVI container + per-frame
+    #                                    JPEG decode: same rationale
     "multimodal_audio_dedup_envelope",  # envelope stage decodes WAV;
     #                                     banding + L1 verify are JVM
     "multimodal_audio_fingerprint_pairs",  # WAV decode + integer
@@ -279,6 +283,8 @@ _PYTHON_EVAL_OK = {
     "text_html_extract",  # stdlib html.parser block extraction is the
     #                       operator itself (Arrow-batched, narrow);
     #                       the wrapper injection + md5 are JVM
+    "pipeline_crawl_extract",  # WARC write/scan + html.parser extract
+    #                            composed: same codec-surface rationale
 }
 
 _PYTHON_NODES = (
