@@ -219,6 +219,13 @@ def _write_residual(w: _BitWriter, res: "np.ndarray") -> None:
         w.write(int(u), k)
 
 
+def _rice_cost_bits(res: "np.ndarray") -> int:
+    """Exact bit cost of the partition-order-0 Rice encoding."""
+    k = _rice_param(res)
+    u = _zigzag(res)
+    return 2 + 4 + 4 + int((u >> k).sum()) + len(res) * (1 + k)
+
+
 def _write_subframe(w: _BitWriter, ch: "np.ndarray", bps: int) -> None:
     w.write(0, 1)  # zero pad
     if len(ch) and (ch == ch[0]).all():
@@ -227,11 +234,23 @@ def _write_subframe(w: _BitWriter, ch: "np.ndarray", bps: int) -> None:
         w.write(int(ch[0]), bps)
         return
     order = _best_fixed_order(ch)
+    res = _fixed_residual(ch, order)
+    # VERBATIM fallback: on noise-like input the Rice quotients blow
+    # up (the 4-bit parameter caps at 14 while a residual's zigzag
+    # can exceed 2^20, costing thousands of unary bits per sample);
+    # raw storage caps the subframe at bps bits/sample — the real
+    # FLAC encoder's selection surface (self-review, round 9)
+    if order * bps + _rice_cost_bits(res) > len(ch) * bps:
+        w.write(0b000001, 6)
+        w.write(0, 1)  # no wasted bits
+        for s in ch:
+            w.write(int(s), bps)
+        return
     w.write(0b001000 | order, 6)
     w.write(0, 1)  # no wasted bits
     for s in ch[:order]:
         w.write(int(s), bps)
-    _write_residual(w, _fixed_residual(ch, order))
+    _write_residual(w, res)
 
 
 def _utf8_coded(n: int) -> bytes:

@@ -75,6 +75,8 @@ def encode_warc_record(headers: "list[tuple[str, str]]", payload: bytes) -> byte
     for k, v in headers:
         if "\r" in v or "\n" in v:
             raise ValueError(f"header value for {k!r} contains CR/LF")
+        if "\r" in k or "\n" in k or ":" in k:
+            raise ValueError(f"illegal header name {k!r}")
         out += f"{k}: {v}".encode("latin-1") + CRLF
     out += f"Content-Length: {len(payload)}".encode("ascii") + CRLF
     out += CRLF
@@ -158,15 +160,26 @@ def split_gzip_members(data: bytes) -> "list[tuple[int, int]] | None":
     None if any member is corrupt or the stream ends mid-member."""
     offsets: list[tuple[int, int]] = []
     pos, n = 0, len(data)
+    view = memoryview(data)
+    chunk_sz = 1 << 20
+    # feed each member in bounded chunks off a zero-copy memoryview:
+    # handing the decompressor the whole remaining stream per member
+    # costs O(members x stream_bytes) in slice + unused_data copies —
+    # quadratic on the multi-gigabyte archives this targets; chunked
+    # feeding caps the per-member overshoot copy at one chunk
     while pos < n:
         d = zlib.decompressobj(wbits=31)
+        fed = 0
         try:
-            d.decompress(data[pos:])
+            while not d.eof and pos + fed < n:
+                piece = view[pos + fed : pos + fed + chunk_sz]
+                d.decompress(piece)
+                fed += len(piece)
         except zlib.error:
             return None
         if not d.eof:
             return None  # truncated final member
-        consumed = (n - pos) - len(d.unused_data)
+        consumed = fed - len(d.unused_data)
         offsets.append((pos, consumed))
         pos += consumed
     return offsets if offsets else None
@@ -275,9 +288,13 @@ def write_warc_gz(
         _write_group, "file string, n_records bigint"
     )
     # eager, bounded action (at most _N_FILES rows): forces the
-    # distributed write so the returned scan DataFrame reads disk only
+    # distributed write so the returned scan DataFrame reads disk
+    # only. An empty input legitimately writes zero files (the scan
+    # over the empty dir returns zero rows); more than _N_FILES
+    # manifest rows means the grouping itself misbehaved.
     n_files = manifest.count()
-    assert 0 < n_files <= _N_FILES
+    if n_files > _N_FILES:
+        raise RuntimeError(f"warc write produced {n_files} file groups")
 
 
 def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:

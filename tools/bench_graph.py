@@ -60,12 +60,11 @@ print("GRAPH_SECS", time.perf_counter() - t0)
 
 
 def _pretouch(sf_dir: str) -> None:
-    for root, _dirs, files in os.walk(sf_dir):
-        for fn in files:
-            if fn.endswith(".parquet"):
-                with open(os.path.join(root, fn), "rb") as fh:
-                    while fh.read(1 << 24):
-                        pass
+    # single source of truth: bench.py owns the page-cache warm-up
+    sys.path.insert(0, REPO)
+    from bench import _pretouch as _bench_pretouch
+
+    _bench_pretouch(sf_dir)
 
 
 def run_one(name: str, sf_dir: str, timeout: int = 1200) -> float:
@@ -92,8 +91,17 @@ def main() -> None:
     _pretouch(sf_dir)
     timings = {}
     for name in GRAPH_QUERIES:
-        timings[name] = round(run_one(name, sf_dir), 2)
-        print(f"# {name}: {timings[name]} s", file=sys.stderr)
+        # min of 2: single-shot build-inclusive wall carries 25-35%
+        # JIT/GC jitter at the ~100 s scale (observed 215.0 vs
+        # 158.6 s) — the committed record's protocol, reproducible
+        # by re-running this tool (self-review, round 9)
+        runs = [run_one(name, sf_dir), run_one(name, sf_dir)]
+        timings[name] = round(min(runs), 2)
+        print(
+            f"# {name}: {timings[name]} s (runs: "
+            f"{[round(r, 1) for r in runs]})",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {
