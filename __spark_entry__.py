@@ -86,8 +86,34 @@ except ImportError:
     pass
 try:
     import flink_stream_spark.operators.formats  # noqa: F401
+except ImportError:
+    pass
+try:
     import flink_stream_spark.operators.warc  # noqa: F401
+except ImportError:
+    pass
+try:
     import flink_stream_spark.operators.html_extract  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.pdf  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.zip_archive  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.tar_webdataset  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.avro_ocf  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.url_canon  # noqa: F401
 except ImportError:
     pass
 

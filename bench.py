@@ -187,6 +187,16 @@ EXTENDED = [
     "multimodal_flac_roundtrip_stats",
     "multimodal_avi_mjpeg_roundtrip",
     "pipeline_crawl_extract",
+    # PDF extraction is encode-dominated like the other codec
+    # round-trips; the ZIP scan times a write+indexed-read cycle like
+    # the CSV/ORC/WARC format queries
+    "multimodal_pdf_text_extract",
+    "scan_zip_roundtrip",
+    "scan_tar_webdataset",
+    "scan_avro_roundtrip",
+    # JVM-only crawl-identity dedup: cheap, but CORE keys are frozen
+    # for driver-record compatibility, so it reports on the full line
+    "dedup_url_canonical",
 ]
 
 HEADLINE = CORE + EXTENDED

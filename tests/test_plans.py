@@ -285,6 +285,16 @@ _PYTHON_EVAL_OK = {
     #                       the wrapper injection + md5 are JVM
     "pipeline_crawl_extract",  # WARC write/scan + html.parser extract
     #                            composed: same codec-surface rationale
+    "multimodal_pdf_text_extract",  # PDF write + xref/FlateDecode/
+    #                                 content-stream extract: codec
+    #                                 surface, same rationale
+    "scan_zip_roundtrip",  # APPNOTE local/central/EOCD write + tail-
+    #                        indexed seek+inflate scan: codec surface
+    "scan_tar_webdataset",  # ustar shard write + shard-per-task header
+    #                         chain walk: codec surface, same rationale
+    "scan_avro_roundtrip",  # Avro OCF write + sync-marker ranged
+    #                         decode (replaces the jar-gated
+    #                         spark-avro module): codec surface
 }
 
 _PYTHON_NODES = (
