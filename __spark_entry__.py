@@ -116,6 +116,14 @@ try:
     import flink_stream_spark.operators.url_canon  # noqa: F401
 except ImportError:
     pass
+try:
+    import flink_stream_spark.operators.xml_dump  # noqa: F401
+except ImportError:
+    pass
+try:
+    import flink_stream_spark.operators.blocklist  # noqa: F401
+except ImportError:
+    pass
 
 
 def entry(spark: SparkSession) -> DataFrame:

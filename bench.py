@@ -194,6 +194,8 @@ EXTENDED = [
     "scan_zip_roundtrip",
     "scan_tar_webdataset",
     "scan_avro_roundtrip",
+    "scan_xml_dump_multistream",
+    "filter_blocklist_phrases",
     # JVM-only crawl-identity dedup: cheap, but CORE keys are frozen
     # for driver-record compatibility, so it reports on the full line
     "dedup_url_canonical",

@@ -305,20 +305,13 @@ def _write_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out_dir
 
 
-def warc_scan(spark: SparkSession, warc_dir: str) -> DataFrame:
-    """Scan a directory of multi-member .warc.gz + CDX sidecars into
-    a DataFrame of parsed conversion records — the splittable read:
-    the CDX index is read BY SPARK (splittable CSV), the (file,
-    offset, length) slices are spread across the cluster, and each
-    task seeks into only its own members. No task ever reads a whole
-    archive file; no list of members ever sits on the driver. At
-    crawl scale the CDX is itself TBs — which is why it must be a
-    Spark scan, not a driver glob."""
-    idx = (
-        spark.read.schema(_CDX_SCHEMA)
-        .csv(os.path.join(warc_dir, "*.cdx.csv"))
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+def read_members(idx: DataFrame, warc_dir: str) -> DataFrame:
+    """The distributed member-read stage: a DataFrame of CDX slices
+    (file, offset, length) — from a batch scan OR a streaming
+    micro-batch — becomes parsed records, each task seeking and
+    decompressing only its own byte ranges. Shared by `warc_scan`
+    and the continuous crawl-ingest twin
+    (streaming/crawl_ingest_stream.py)."""
 
     def _read_members(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         handles: dict[str, io.BufferedReader] = {}
@@ -373,6 +366,23 @@ def warc_scan(spark: SparkSession, warc_dir: str) -> DataFrame:
                 fh.close()
 
     return idx.mapInPandas(_read_members, _REC_SCHEMA)
+
+
+def warc_scan(spark: SparkSession, warc_dir: str) -> DataFrame:
+    """Scan a directory of multi-member .warc.gz + CDX sidecars into
+    a DataFrame of parsed conversion records — the splittable read:
+    the CDX index is read BY SPARK (splittable CSV), the (file,
+    offset, length) slices are spread across the cluster, and each
+    task seeks into only its own members. No task ever reads a whole
+    archive file; no list of members ever sits on the driver. At
+    crawl scale the CDX is itself TBs — which is why it must be a
+    Spark scan, not a driver glob."""
+    idx = (
+        spark.read.schema(_CDX_SCHEMA)
+        .csv(os.path.join(warc_dir, "*.cdx.csv"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return read_members(idx, warc_dir)
 
 
 @register(

@@ -37,6 +37,11 @@ pytestmark = pytest.mark.skipif(
 def test_graph_build_inclusive_within_2x_of_committed():
     if not os.path.isdir(SF1_DIR):
         pytest.skip(f"{SF1_DIR} missing: run tools/make_scaled_data.py first")
+    # box-sanity preflight (round 9): see testing/boxcheck.py —
+    # bounds are meaningless under host memory degradation
+    from flink_stream_spark.testing.boxcheck import require_healthy_box
+
+    require_healthy_box()
     import sys
 
     sys.path.insert(0, os.path.join(REPO, "tools"))

@@ -295,6 +295,13 @@ _PYTHON_EVAL_OK = {
     "scan_avro_roundtrip",  # Avro OCF write + sync-marker ranged
     #                         decode (replaces the jar-gated
     #                         spark-avro module): codec surface
+    "scan_xml_dump_multistream",  # multistream-bz2 write + indexed
+    #                               stream decompress/XML parse:
+    #                               codec surface, same rationale
+    "filter_blocklist_phrases",  # broadcast Aho-Corasick automaton
+    #                              pass IS the operator (O(doc_len)
+    #                              regardless of list size; the JVM
+    #                              alternative is O(N x doc_len))
 }
 
 _PYTHON_NODES = (
