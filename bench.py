@@ -42,26 +42,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from flink_stream_spark import get_spark  # noqa: E402
 from flink_stream_spark.operators import REGISTRY  # noqa: E402
-import flink_stream_spark.operators.relational  # noqa: F401,E402
-import flink_stream_spark.operators.events  # noqa: F401,E402
-import flink_stream_spark.operators.cdc  # noqa: F401,E402
-import flink_stream_spark.operators.text  # noqa: F401,E402
-import flink_stream_spark.operators.dedup  # noqa: F401,E402
-import flink_stream_spark.operators.similarity  # noqa: F401,E402
-import flink_stream_spark.operators.multimodal  # noqa: F401,E402
-import flink_stream_spark.operators.misc  # noqa: F401,E402
-import flink_stream_spark.operators.udfs  # noqa: F401,E402
-import flink_stream_spark.operators.tpch_extra  # noqa: F401,E402
-import flink_stream_spark.operators.text_rank  # noqa: F401,E402
-import flink_stream_spark.operators.sampling  # noqa: F401,E402
-import flink_stream_spark.operators.corpus_ops  # noqa: F401,E402
-import flink_stream_spark.operators.events_analytics  # noqa: F401,E402
-import flink_stream_spark.operators.quality  # noqa: F401,E402
-import flink_stream_spark.operators.pipeline  # noqa: F401,E402
-import flink_stream_spark.operators.graph  # noqa: F401,E402
-import flink_stream_spark.operators.formats  # noqa: F401,E402
-import flink_stream_spark.operators.warc  # noqa: F401,E402
-import flink_stream_spark.operators.html_extract  # noqa: F401,E402
+
+# single source of truth for operator-module registration: the driver
+# entry point imports every module (each in its own try/except), so a
+# new operator added there is automatically benchable — the round-9
+# sf1 gate run crashed 40 minutes in on a KeyError because this used
+# to be a second hand-maintained import list that had drifted
+import __spark_entry__  # noqa: F401,E402
 
 # The driver records bench output by keeping the LAST 2000 characters
 # of stdout and json-parsing the final line (verified empirically:
