@@ -46,6 +46,19 @@ def test_headline_partition_is_clean():
     assert len(set(HEADLINE)) == len(HEADLINE)
 
 
+def test_every_headline_query_is_registered():
+    """Importing bench must register every headline query — the
+    round-9 sf1 gate crashed with a KeyError 40 minutes in because
+    bench.py's (then hand-maintained) import list had drifted from
+    the entry point's. Pin the sync without spinning Spark."""
+    from flink_stream_spark.operators import REGISTRY
+
+    missing = [q for q in HEADLINE if q not in REGISTRY]
+    assert not missing, (
+        f"headline queries not registered by bench's imports: {missing}"
+    )
+
+
 def test_core_keeps_round6_record_keys():
     # Per-round comparability: every query name in the last
     # successfully parsed driver record must stay in CORE.
