@@ -880,13 +880,24 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_stream_spark.operators.text import _tok_hash_spark
 
     li = load_table(spark, sf_dir, "lineitem")
-    h = (
-        li.select(
-            F.col("l_returnflag").alias("g"),
-            _tok_hash_spark(F.col("l_partkey").cast("string")).alias("h"),
-        )
-        .distinct()
-    )
+    # ONE distinct pass over lineitem shared by the sketch AND both
+    # exact-distinct twins (round-9 optimization, guide §1.2 step 1 /
+    # §2.4): the previous form ran three full-table aggregations —
+    # distinct (g, hash), per-group count_distinct, global
+    # count_distinct. All three derive exactly from distinct
+    # (g, l_partkey): the hash table by projecting the md5 hash (with
+    # a distinct to preserve the original's hash-level dedup
+    # semantics — a no-op unless md5 collides), the per-group exact
+    # by COUNT(*), the global exact by a second distinct on the small
+    # table. Map-side partial dedup means the one shuffle carries
+    # ~|distinct| rows, and every downstream aggregate runs on the
+    # |distinct|-sized table, never lineitem.
+    dpk = li.select(
+        F.col("l_returnflag").alias("g"), "l_partkey"
+    ).distinct()
+    h = dpk.select(
+        "g", _tok_hash_spark(F.col("l_partkey").cast("string")).alias("h")
+    ).distinct()
     # level 1: K smallest per (g, salt) — bounded, skew-free windows
     lvl1 = (
         h.withColumn("salt", F.pmod("h", F.lit(_KMV_SALTS)))
@@ -930,12 +941,13 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     exact = (
-        li.groupBy(F.col("l_returnflag").alias("g"))
-        .agg(F.count_distinct("l_partkey").alias("exact_distinct"))
+        dpk.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("exact_distinct"))
         .unionAll(
-            li.agg(
-                F.count_distinct("l_partkey").alias("exact_distinct")
-            ).select(F.lit("*ALL*").alias("g"), "exact_distinct")
+            dpk.select("l_partkey")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("exact_distinct"))
+            .select(F.lit("*ALL*").alias("g"), "exact_distinct")
         )
     )
     return (

@@ -330,14 +330,23 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     big = dsir_bigram_buckets(d.repartition(par, "doc_id"))
     tf = big.groupBy("doc_id", "is_target", "b").agg(F.count(F.lit(1)).alias("tf"))
-    ct = tf.filter("is_target").groupBy("b").agg(F.sum("tf").alias("ct"))
-    cr = tf.filter("NOT is_target").groupBy("b").agg(F.sum("tf").alias("cr"))
-    tot = ct.agg(F.sum("ct").alias("nt")).crossJoin(
-        cr.agg(F.sum("cr").alias("nr"))
+    # Both bucket LMs in ONE aggregation over tf (round-9
+    # optimization, guide §2.3 "aggregate before you shuffle"): the
+    # previous form evaluated the tf subtree separately for ct, cr,
+    # and the two totals (4 passes + a crossJoin of two scalar
+    # aggregates). Conditional SUMs give exactly the old tables:
+    # ct(b) existed iff bucket b had target rows (here: ct IS NOT
+    # NULL, consumed through the same COALESCE), cr(b) iff raw rows
+    # (here: the filter below), and the totals are one more tiny
+    # aggregate over the <= DSIR_BUCKETS-row table.
+    ctcr = tf.groupBy("b").agg(
+        F.sum(F.when(F.col("is_target"), F.col("tf"))).alias("ct"),
+        F.sum(F.when(~F.col("is_target"), F.col("tf"))).alias("cr"),
     )
+    cr = ctcr.filter(F.col("cr").isNotNull())
+    tot = ctcr.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
     lr = (
-        cr.join(ct, "b", "left")
-        .crossJoin(F.broadcast(tot))
+        cr.crossJoin(F.broadcast(tot))
         .select(
             "b",
             F.floor(

@@ -609,6 +609,12 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
+    # posexplode + lag window, NOT an index-addressed struct-array
+    # explode: higher-order array lambdas are interpreted per element
+    # (the minhash_wide finding, ~5x slower than codegen) — an A/B at
+    # sf0.1/32cpus measured the HOF form 2.3-2.8 s vs 1.6-1.9 s for
+    # this form, so the window's per-doc sort is the cheaper way to
+    # derive prev.
     toks = (
         d.repartition(par, "doc_id")
         .select(
@@ -623,11 +629,24 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = seq.filter(
         F.substring("source", 4, 10).cast("int") < IDX_SOURCE_MAX
     )
-    uni = lm.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    tot = lm.agg(F.count(F.lit(1)).alias("t"))
-    grams = lm.filter(F.col("prev").isNotNull())
-    big = grams.groupBy("prev", "term").agg(F.count(F.lit(1)).alias("c2"))
-    ctx = grams.groupBy("prev").agg(F.count(F.lit(1)).alias("c1"))
+    # ONE aggregation pass over the LM token stream: group by
+    # (prev, term) INCLUDING the prev-null first-token rows, then
+    # derive the unigram, context, and total tables from the
+    # |bigram-vocab|-sized count table — the previous form re-ran the
+    # tokenize+window pipeline four times (uni, tot, big, ctx: four
+    # parquet scans in the physical plan). Counts are exact integers,
+    # so every derived table is bit-identical to its direct form:
+    # uni(term) = Σ_prev c (first tokens carry prev=null and are
+    # included, as before); ctx(prev) = Σ_term c over prev≠null;
+    # tot = Σ c. Guide §2.3 "aggregate before you shuffle" /
+    # §1.2 step 1 (fewer passes).
+    counts = lm.groupBy("prev", "term").agg(F.count(F.lit(1)).alias("c"))
+    uni = counts.groupBy("term").agg(F.sum("c").alias("c"))
+    tot = counts.agg(F.sum("c").alias("t"))
+    big = counts.filter(F.col("prev").isNotNull()).select(
+        "prev", "term", F.col("c").alias("c2")
+    )
+    ctx = big.groupBy("prev").agg(F.sum("c2").alias("c1"))
     nll = (
         F.when(
             F.col("prev").isNotNull() & F.col("c2").isNotNull(),
