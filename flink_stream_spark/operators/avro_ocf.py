@@ -414,4 +414,5 @@ def avro_scan(spark: SparkSession, avro_dir: str, n_splits_per_file: int = 4) ->
 def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(_work_dir(spark, sf_dir), "ocf")
     write_avro_files(load_table(spark, sf_dir, "documents"), out_dir)
-    return avro_scan(spark, out_dir).orderBy("doc_id")
+    # result-sized exchange before the sort (see operators/sortout.py)
+    return avro_scan(spark, out_dir).repartition("doc_id").orderBy("doc_id")

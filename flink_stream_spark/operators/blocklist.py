@@ -181,7 +181,8 @@ def filter_blocklist_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    # result-sized exchange before the sort (see operators/sortout.py)
     return src.mapInPandas(
         _scan,
         "doc_id bigint, n_hits bigint, n_phrases bigint, blocked boolean",
-    ).orderBy("doc_id")
+    ).repartition("doc_id").orderBy("doc_id")

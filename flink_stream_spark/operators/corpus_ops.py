@@ -721,7 +721,8 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(off + n_tokens - 1) div {PACK_WINDOW}")
             > F.expr(f"off div {PACK_WINDOW}")
         ).alias("spans_boundary"),
-    ).orderBy("doc_id")
+        # result-sized exchange before the sort (see operators/sortout.py)
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 LINE_TOKENS = 8  # pseudo-line width (fixture text has no newlines)
@@ -1067,6 +1068,8 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_tokens_raw"), F.col("n_tokens_bpe")
             ).alias("compression"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 

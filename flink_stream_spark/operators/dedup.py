@@ -428,6 +428,8 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", round6_ratio(shared, union).alias("jaccard"))
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("doc_a", "doc_b")
         .orderBy("doc_a", "doc_b")
     )
 
@@ -1510,7 +1512,9 @@ def dedup_exact_substr_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
     toked = d.repartition(par, "doc_id").select(
         "doc_id", F.split("text", " ").alias("ts")
     )
-    return suffix_array_span_stats(toked).orderBy("doc_id")
+    # result-sized exchange before the sort (see operators/sortout.py):
+    # without it the range sampler re-ran the Arrow suffix-array stage
+    return suffix_array_span_stats(toked).repartition("doc_id").orderBy("doc_id")
 
 
 # Incremental new-batch dedup: the index/incoming split is by source
@@ -1606,6 +1610,8 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_index_candidates"),
             (F.coalesce("n_index_candidates", F.lit(0)) > 0).alias("near_dup"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 
@@ -1762,5 +1768,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inc.join(confirmed, "doc_id", "left")
         .select("doc_id", F.coalesce("__dup", F.lit(False)).alias("exact_dup"))
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("doc_id")
         .orderBy("doc_id")
     )

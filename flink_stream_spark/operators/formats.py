@@ -114,7 +114,8 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .csv(path)
     )
-    return back.orderBy("doc_id")
+    # result-sized exchange before the sort (see operators/sortout.py)
+    return back.repartition("doc_id").orderBy("doc_id")
 
 
 @register(
@@ -192,5 +193,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_ship",
             F.col("n_orders").cast("bigint"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("l_returnflag", "l_linestatus")
         .orderBy("l_returnflag", "l_linestatus")
     )

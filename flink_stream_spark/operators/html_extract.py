@@ -303,7 +303,8 @@ def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_content",
         "n_boiler",
         F.md5(F.encode("main_text", "utf-8")).alias("text_md5"),
-    ).orderBy("doc_id")
+        # result-sized exchange before the sort (see operators/sortout.py)
+    ).repartition("doc_id").orderBy("doc_id")
 
 
 @register(
@@ -385,4 +386,5 @@ def pipeline_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("main_text").alias("content_chars"),
         "n_boiler",
         F.md5(F.encode("main_text", "utf-8")).alias("text_md5"),
-    ).orderBy("doc_id")
+        # result-sized exchange before the sort (see operators/sortout.py)
+    ).repartition("doc_id").orderBy("doc_id")

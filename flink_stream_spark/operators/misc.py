@@ -669,6 +669,8 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
             F.col("cms_est").cast("bigint").alias("cms_est"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("exact_cnt", "custkey")
         .orderBy(F.desc("exact_cnt"), F.asc("custkey"))
     )
 
@@ -957,6 +959,8 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_distinct",
             F.col("exact_distinct").cast("bigint"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("group_key")
         .orderBy("group_key")
     )
 

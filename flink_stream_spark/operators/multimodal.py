@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from flink_stream_spark.catalog import load_table
 from flink_stream_spark.operators.registry import register
+from flink_stream_spark.operators.sortout import sorted_result
 
 META_SCHEMA = (
     "doc_id bigint, n_bytes bigint, fake_width int, fake_height int, checksum string"
@@ -270,7 +271,7 @@ def multimodal_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a real 100 TB corpus arrives many-splits and parallelizes at
     # the scan (extract_media_metadata is a narrow op either way)
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return extract_media_metadata(media).orderBy("doc_id")
+    return sorted_result(extract_media_metadata(media), "doc_id")
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
@@ -348,7 +349,7 @@ def resize_media(media: DataFrame, factor: int = 4) -> DataFrame:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return resize_media(media).orderBy("doc_id")
+    return sorted_result(resize_media(media), "doc_id")
 
 
 FEATURE_BINS = 16
@@ -422,7 +423,7 @@ def extract_features(media: DataFrame) -> DataFrame:
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return extract_features(media).orderBy("doc_id")
+    return sorted_result(extract_features(media), "doc_id")
 
 
 @register(
@@ -849,7 +850,7 @@ def multimodal_png_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": pngs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return dhash_bands(media).orderBy("doc_id")
+    return sorted_result(dhash_bands(media), "doc_id")
 
 
 @register(
@@ -924,7 +925,7 @@ def multimodal_gif_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": gifs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return dhash_bands(media).orderBy("doc_id")
+    return sorted_result(dhash_bands(media), "doc_id")
 
 
 @register(
@@ -1006,7 +1007,7 @@ def multimodal_bmp_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFram
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": bmps})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return dhash_bands(media).orderBy("doc_id")
+    return sorted_result(dhash_bands(media), "doc_id")
 
 
 # --- JPEG round-trip: the baseline-JPEG decoder under the oracle ----------
@@ -1139,7 +1140,7 @@ def multimodal_jpeg_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFra
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": jpgs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return dhash_bands(media).orderBy("doc_id")
+    return sorted_result(dhash_bands(media), "doc_id")
 
 
 @register(
@@ -1229,7 +1230,7 @@ def multimodal_exif_orientation_dhash(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": jpgs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return dhash_bands(media).orderBy("doc_id")
+    return sorted_result(dhash_bands(media), "doc_id")
 
 
 # --- audio: WAV codec round-trip + envelope near-dup ----------------------
@@ -1418,7 +1419,7 @@ _WAV_ENV_DUCK = f"""
 )
 def multimodal_wav_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return wav_envelope_stats(_wav_media(d)).orderBy("doc_id")
+    return sorted_result(wav_envelope_stats(_wav_media(d)), "doc_id")
 
 
 @register(
@@ -1482,7 +1483,7 @@ def multimodal_aiff_roundtrip_stats(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return wav_envelope_stats(media).orderBy("doc_id")
+    return sorted_result(wav_envelope_stats(media), "doc_id")
 
 
 @register(
@@ -1547,7 +1548,7 @@ def multimodal_flac_roundtrip_stats(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return wav_envelope_stats(media).orderBy("doc_id")
+    return sorted_result(wav_envelope_stats(media), "doc_id")
 
 
 def audio_band_vals(env_col: str = "env"):
@@ -1887,7 +1888,7 @@ _VID_STATS_DUCK = f"""
 )
 def multimodal_y4m_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return video_motion_stats(_y4m_media(d)).orderBy("doc_id")
+    return sorted_result(video_motion_stats(_y4m_media(d)), "doc_id")
 
 
 @register(
@@ -1967,7 +1968,7 @@ def multimodal_avi_mjpeg_roundtrip(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": outs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return video_motion_stats(media).orderBy("doc_id")
+    return sorted_result(video_motion_stats(media), "doc_id")
 
 
 @register(
@@ -2177,6 +2178,7 @@ def multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(deltas).alias("c"))
         .select("doc_id", F.col("c.frame_idx"), F.col("c.delta"))
         .filter(F.col("delta") >= VID_CUT_THRESH)
+        .repartition("doc_id", "frame_idx")  # sorted_result (see sortout.py)
         .orderBy("doc_id", "frame_idx")
     )
 
@@ -2617,7 +2619,7 @@ def multimodal_jpeg_progressive_roundtrip(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": jpgs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return dhash_bands(media).orderBy("doc_id")
+    return sorted_result(dhash_bands(media), "doc_id")
 
 
 @register(
@@ -2695,4 +2697,4 @@ def multimodal_tiff_roundtrip_dhash(spark: SparkSession, sf_dir: str) -> DataFra
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": tiffs})
 
     media = src.mapInPandas(_encode, "doc_id bigint, payload binary")
-    return dhash_bands(media).orderBy("doc_id")
+    return sorted_result(dhash_bands(media), "doc_id")

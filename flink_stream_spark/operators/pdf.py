@@ -631,8 +631,9 @@ def multimodal_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
+    # result-sized exchange before the sort (see operators/sortout.py)
     return src.mapInPandas(
         _roundtrip,
         "doc_id bigint, n_pages bigint, n_objects bigint, "
         "n_lines bigint, text_md5 string",
-    ).orderBy("doc_id")
+    ).repartition("doc_id").orderBy("doc_id")

@@ -131,6 +131,8 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("text").cast("bigint").alias("chars"),
             F.size(F.split("text", " ")).cast("bigint").alias("tokens"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 

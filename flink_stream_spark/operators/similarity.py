@@ -724,6 +724,8 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("centroid"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("label", "dim")
         .orderBy("label", "dim")
     )
 
@@ -1186,6 +1188,8 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         assign(n, c1)
         .select("vec_id", F.col("cent_id").cast("bigint").alias("cluster"))
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("vec_id")
         .orderBy("vec_id")
     )
 
@@ -1555,6 +1559,8 @@ def dedup_semdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_lower",
             (F.col("n_dup_lower") == 0).alias("keep"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("vec_id")
         .orderBy("vec_id")
     )
 
@@ -1655,5 +1661,7 @@ def embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.array(*[f"p{j}" for j in range(JL_K)]).alias("proj"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("vec_id")
         .orderBy("vec_id")
     )

@@ -249,4 +249,5 @@ def scan_tar_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_webdataset_shards(
         load_table(spark, sf_dir, "documents"), out_dir
     )
-    return webdataset_scan(spark, out_dir).orderBy("doc_id")
+    # result-sized exchange before the sort (see operators/sortout.py)
+    return webdataset_scan(spark, out_dir).repartition("doc_id").orderBy("doc_id")

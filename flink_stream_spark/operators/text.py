@@ -335,6 +335,8 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_fingerprints"),
             "fingerprint_hash",
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("doc_id")
         .orderBy("doc_id")
     )
 
@@ -410,4 +412,6 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("nfc").cast("bigint").alias("nfc_len"),
         (F.length("raw") - F.length("nfc")).cast("bigint").alias("composed"),
         F.md5(F.encode("nfc", "utf-8")).alias("nfc_md5"),
-    ).orderBy("doc_id")
+        # result-sized exchange before the sort (see operators/sortout.py):
+        # without it the range sampler re-ran the Python NFC stage
+    ).repartition("doc_id").orderBy("doc_id")

@@ -94,6 +94,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("s", 6).cast("double").alias("tfidf"),
             F.col("rank").cast("int").alias("rank"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("doc_id", "rank")
         .orderBy("doc_id", "rank")
     )
 

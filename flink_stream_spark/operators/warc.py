@@ -420,7 +420,8 @@ def warc_scan(spark: SparkSession, warc_dir: str) -> DataFrame:
 )
 def scan_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     warc_dir = _write_warc_fixture(spark, sf_dir)
-    return warc_scan(spark, warc_dir).orderBy("doc_id")
+    # result-sized exchange before the sort (see operators/sortout.py)
+    return warc_scan(spark, warc_dir).repartition("doc_id").orderBy("doc_id")
 
 
 @register(
@@ -459,5 +460,7 @@ def scan_warc_wet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
             F.max("doc_id").alias("max_doc"),
         )
+        # result-sized exchange before the sort (see operators/sortout.py)
+        .repartition("lang")
         .orderBy("lang")
     )

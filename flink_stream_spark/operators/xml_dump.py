@@ -294,4 +294,5 @@ def scan_xml_dump(spark: SparkSession, dump_dir: str) -> DataFrame:
 def scan_xml_dump_multistream(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(_work_dir(spark, sf_dir), "dump")
     write_xml_dump(load_table(spark, sf_dir, "documents"), out_dir)
-    return scan_xml_dump(spark, out_dir).orderBy("doc_id")
+    # result-sized exchange before the sort (see operators/sortout.py)
+    return scan_xml_dump(spark, out_dir).repartition("doc_id").orderBy("doc_id")

@@ -359,4 +359,5 @@ def zip_scan(spark: SparkSession, zip_dir: str) -> DataFrame:
 def scan_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = os.path.join(_work_dir(spark, sf_dir), "roundtrip")
     write_zip_archives(load_table(spark, sf_dir, "documents"), out_dir)
-    return zip_scan(spark, out_dir).orderBy("doc_id")
+    # result-sized exchange before the sort (see operators/sortout.py)
+    return zip_scan(spark, out_dir).repartition("doc_id").orderBy("doc_id")
