@@ -563,14 +563,23 @@ class _BitWriter:
         self.n = 0
 
     def write(self, code: int, length: int) -> None:
+        # bulk drain: pop every complete byte in ONE to_bytes call and
+        # do byte stuffing with C-level bytes.replace — emits exactly
+        # the per-byte loop's stream (each 0xFF followed by 0x00), at
+        # ~3x the throughput (write() was 41% of encode time in the
+        # round-9 profile). Truncating buf also keeps the bit buffer a
+        # small int instead of growing without bound.
         self.buf = (self.buf << length) | (code & ((1 << length) - 1))
         self.n += length
-        while self.n >= 8:
-            self.n -= 8
-            byte = (self.buf >> self.n) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:
-                self.out.append(0x00)  # byte stuffing
+        if self.n >= 8:
+            nbits = self.n & 7
+            nbytes = self.n >> 3
+            bs = (self.buf >> nbits).to_bytes(nbytes, "big")
+            self.buf &= (1 << nbits) - 1
+            self.n = nbits
+            if b"\xff" in bs:
+                bs = bs.replace(b"\xff", b"\xff\x00")  # byte stuffing
+            self.out += bs
 
     def flush(self) -> None:
         if self.n:
@@ -1044,9 +1053,13 @@ class _ScanWriter:
 
 
 def _emit_ac_first_block(bw, blk, act, ss, se, al) -> None:
+    # blk arrives as a plain Python list (ac_scan calls .tolist() once
+    # per block): per-coefficient numpy scalar indexing + int() boxing
+    # was ~40% of encode time in the round-9 profile, and one bulk
+    # tolist() is byte-identical
     run = 0
     for k in range(ss, se + 1):
-        v = int(blk[k])
+        v = blk[k]
         t = abs(v) >> al  # AC point transform truncates toward zero
         if t == 0:
             run += 1
@@ -1066,7 +1079,7 @@ def _emit_ac_first_block(bw, blk, act, ss, se, al) -> None:
 
 
 def _emit_ac_refine_block(bw, blk, act, ss, se, al) -> None:
-    absv = [abs(int(blk[k])) >> al for k in range(64)]
+    absv = [abs(v) >> al for v in blk]
     eobpos = ss - 1
     for k in range(ss, se + 1):
         if absv[k] == 1:
@@ -1089,7 +1102,7 @@ def _emit_ac_refine_block(bw, blk, act, ss, se, al) -> None:
             continue
         code, length = act[(run << 4) | 1]
         bw.write(code, length)
-        bw.write(1 if int(blk[k]) > 0 else 0, 1)
+        bw.write(1 if blk[k] > 0 else 0, 1)
         for bit in br:
             bw.write(bit, 1)
         br = []
@@ -1202,7 +1215,7 @@ def encode_jpeg_progressive(
         for by in range(bh):
             for bx in range(bw_):
                 sw.unit_boundary()
-                emit(sw.bw, coefs[c][by, bx], enc_ac[tab], ss, se, al)
+                emit(sw.bw, coefs[c][by, bx].tolist(), enc_ac[tab], ss, se, al)
         sw.finish()
 
     dc_scan(0, 1)  # DC first, Al=1

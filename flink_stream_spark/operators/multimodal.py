@@ -1619,7 +1619,16 @@ def envelope_near_dup_pairs(stats: DataFrame, cap_hot: bool = True) -> DataFrame
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        # width-pinned dedup: a bare .distinct() exchange AQE-coalesces
+        # by bytes to 1-2 partitions, serializing the dedup AND the
+        # interpreted per-element L1 verify that rides above it
+        # (profiled 2x ~3 s cpu on TWO tasks at sf0.1). The explicit
+        # count pins candidate-proportional width; dropDuplicates on
+        # the same keys rides the pinned exchange without adding one.
+        .repartition(
+            stats.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+        .dropDuplicates()
     )
     ea = stats.select(F.col("doc_id").alias("doc_a"), F.col("env").alias("ea"))
     eb = stats.select(F.col("doc_id").alias("doc_b"), F.col("env").alias("eb"))
@@ -2244,7 +2253,11 @@ def video_near_dup_pairs(stats: DataFrame, cap_hot: bool = True) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        # width-pinned dedup — same rationale as envelope_near_dup_pairs
+        .repartition(
+            stats.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
+        .dropDuplicates()
     )
     sa = stats.select(F.col("doc_id").alias("doc_a"), F.col("block_means").alias("ba"))
     sb = stats.select(F.col("doc_id").alias("doc_b"), F.col("block_means").alias("bb"))
