@@ -221,6 +221,21 @@ def _pretouch(sf_dir: str) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Test-only subset knob: the JSON-contract test needs the line
+    # SHAPE, not 88 queries' worth of wall time (the full run at
+    # sf0.001/8cpus measures ~556 s, which blew the driver's pytest
+    # window in round 9). The driver never sets this, so the official
+    # invocation is unchanged; names must be HEADLINE members so the
+    # knob cannot smuggle in a different population.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        requested = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = sorted(requested - set(HEADLINE))
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {unknown}")
+        headline = [n for n in HEADLINE if n in requested]
+    else:
+        headline = HEADLINE
     _pretouch(sf_dir)
     spark = get_spark("flink_stream_spark-bench")
 
@@ -228,7 +243,7 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         df = REGISTRY[name].build(spark, sf_dir)
         materialize(df)  # warmup (untimed)
         best = float("inf")
@@ -256,7 +271,9 @@ def main() -> None:
     # noise band is ±0.05 s, so the third decimal carries no signal —
     # but it costs one char per query against the driver's 2000-char
     # stdout tail window; headline_full above keeps 3 decimals).
-    core_timings = {name: round(timings[name], 2) for name in CORE}
+    core_timings = {
+        name: round(timings[name], 2) for name in CORE if name in timings
+    }
     line = json.dumps(
         {
             "metric": "headline_core_total",

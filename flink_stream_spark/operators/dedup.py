@@ -428,8 +428,10 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", round6_ratio(shared, union).alias("jaccard"))
-        # result-sized exchange before the sort (see operators/sortout.py)
-        .repartition("doc_a", "doc_b")
+        # no pre-sort exchange here: the verify join's output is already
+        # hash-partitioned on (doc_a, doc_b)-compatible keys, so Catalyst
+        # elides a repartition on those keys (round-9 after-plan showed
+        # the inserted node missing — it was a documented no-op)
         .orderBy("doc_a", "doc_b")
     )
 
