@@ -71,17 +71,48 @@ def _crc8(data: bytes) -> int:
     return crc
 
 
+def _crc16_tables() -> "tuple[list, list, list]":
+    """Two-byte-step CRC-16/0x8005 tables (built once, vectorized).
+
+    By GF(2) linearity a two-byte update factors into
+    ``crc' = Z[crc] ^ C[word]`` where Z advances the 16-bit state by
+    two zero bytes and C is the CRC of the two data bytes from state
+    0 — two list lookups and one XOR per 16-bit word instead of 16
+    shift/xor Python steps per byte (the bit-at-a-time loop was the
+    single largest cost of FLAC encode AND decode in the round-10
+    profile: ~0.3 s of each ~0.9 s profiled run)."""
+    v = np.arange(256, dtype=np.uint32) << 8
+    for _ in range(8):
+        v = np.where(v & 0x8000, (v << 1) ^ 0x8005, v << 1) & 0xFFFF
+    t1 = v.astype(np.uint32)  # single-byte step from state 0
+    # C[w] = step(step(0, hi), lo) = ((t1[hi] << 8) ^ t1[(t1[hi] >> 8) ^ lo]
+    hi = np.arange(65536, dtype=np.uint32) >> 8
+    lo = np.arange(65536, dtype=np.uint32) & 0xFF
+    s1 = t1[hi]
+    c = ((s1 << 8) & 0xFFFF) ^ t1[(s1 >> 8) ^ lo]
+    # Z[s] = two zero-byte steps of state s
+    s = np.arange(65536, dtype=np.uint32)
+    z1 = ((s << 8) & 0xFFFF) ^ t1[s >> 8]
+    z = ((z1 << 8) & 0xFFFF) ^ t1[z1 >> 8]
+    return z.tolist(), c.tolist(), t1.tolist()
+
+
+_CRC16_Z, _CRC16_C, _CRC16_T1 = _crc16_tables()
+
+
 def _crc16(data: bytes) -> int:
     """CRC-16, poly x^16+x^15+x^2+1 (0x8005), init 0 (FLAC frame)."""
     crc = 0
-    for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+    z, c = _CRC16_Z, _CRC16_C
+    n = len(data)
+    even = n & ~1
+    if even:
+        words = np.frombuffer(data, dtype=">u2", count=even >> 1).tolist()
+        for w in words:
+            crc = z[crc] ^ c[w]
+    if n & 1:
+        b = data[-1]
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_T1[(crc >> 8) ^ b]
     return crc
 
 
@@ -92,14 +123,20 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, bits: int) -> None:
+        # bulk drain: pop every complete byte in ONE to_bytes call
+        # (identical stream to the per-byte loop; the same round-9
+        # JPEG _BitWriter optimization). Also the append path for the
+        # vectorized residual writer, which hands whole Rice segments
+        # to a single call.
         if bits == 0:
             return
         self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
         self.nbits += bits
-        while self.nbits >= 8:
-            self.nbits -= 8
-            self.buf.append((self.acc >> self.nbits) & 0xFF)
-        self.acc &= (1 << self.nbits) - 1
+        if self.nbits >= 8:
+            nb = self.nbits & 7
+            self.buf += (self.acc >> nb).to_bytes(self.nbits >> 3, "big")
+            self.acc &= (1 << nb) - 1
+            self.nbits = nb
 
     def write_unary(self, q: int) -> None:
         while q >= 32:
@@ -208,15 +245,53 @@ def _rice_param(res: "np.ndarray") -> int:
     return k
 
 
+def _write_packed(w: _BitWriter, vals: "np.ndarray", bps: int) -> None:
+    """Fixed-width bit-pack a whole sample vector in numpy and append
+    it as ONE write — bit-identical to the per-sample write loop
+    (round-10; VERBATIM subframes are 4096 writes each otherwise)."""
+    if len(vals) == 0:
+        return
+    u = (vals & ((1 << bps) - 1)).astype(">u4")
+    bits = np.unpackbits(u.view(np.uint8).reshape(-1, 4), axis=1)[
+        :, 32 - bps:
+    ]
+    packed = np.packbits(bits.ravel())
+    total = bps * len(vals)
+    value = int.from_bytes(packed.tobytes(), "big") >> (
+        8 * len(packed) - total
+    )
+    w.write(value, total)
+
+
 def _write_residual(w: _BitWriter, res: "np.ndarray") -> None:
-    """Rice method 0, partition order 0, one parameter."""
+    """Rice method 0, partition order 0, one parameter.
+
+    Vectorized (round-10, guide §4.2): each sample encodes as q zero
+    bits, a 1, then the k low bits of its zigzag value — so the whole
+    segment's 1-bits and remainder bits land at positions computable
+    from one cumsum of the per-sample lengths. Build the bit array in
+    numpy, packbits once, and hand the writer a single (value, nbits)
+    append. Bit-for-bit the per-sample loop's stream."""
     k = _rice_param(res)
-    w.write(0, 2)  # coding method: 4-bit rice
-    w.write(0, 4)  # partition order 0
-    w.write(k, 4)
-    for u in _zigzag(res):
-        w.write_unary(int(u) >> k)
-        w.write(int(u), k)
+    w.write(k, 10)  # method 00 + partition order 0000 + 4-bit k
+    if len(res) == 0:
+        return
+    u = _zigzag(res)
+    q = u >> k
+    lens = q + (1 + k)
+    ends = np.cumsum(lens)
+    total = int(ends[-1])
+    term = ends - (k + 1)  # bit index of each sample's terminating 1
+    bits = np.zeros(total, dtype=np.uint8)
+    bits[term] = 1
+    if k:
+        for j in range(k):
+            bits[term + 1 + j] = (u >> (k - 1 - j)) & 1
+    packed = np.packbits(bits)
+    value = int.from_bytes(packed.tobytes(), "big") >> (
+        8 * len(packed) - total
+    )
+    w.write(value, total)
 
 
 def _rice_cost_bits(res: "np.ndarray") -> int:
@@ -243,8 +318,7 @@ def _write_subframe(w: _BitWriter, ch: "np.ndarray", bps: int) -> None:
     if order * bps + _rice_cost_bits(res) > len(ch) * bps:
         w.write(0b000001, 6)
         w.write(0, 1)  # no wasted bits
-        for s in ch:
-            w.write(int(s), bps)
+        _write_packed(w, ch, bps)
         return
     w.write(0b001000 | order, 6)
     w.write(0, 1)  # no wasted bits
@@ -407,16 +481,50 @@ def _read_residual(
                 out[idx] = v
                 idx += 1
         else:
-            for i in range(cnt):
-                q = br.read_unary()
-                if q is None:
-                    return None
-                r = br.read(k) if k else 0
-                if r is None:
-                    return None
-                u = (q << k) | r
-                out[idx] = (u >> 1) if (u & 1) == 0 else -((u + 1) >> 1)
-                idx += 1
+            # read_unary/read INLINED with the bit cursor in locals —
+            # the per-sample method calls were ~40% of decode wall
+            # (round-10 profile; same pattern as the JPEG scan loops).
+            data = br.data
+            pos = br.pos
+            total = len(data) * 8
+            kmask = (1 << k) - 1
+            vals = []
+            for _ in range(cnt):
+                # --- unary quotient ---
+                q = 0
+                while True:
+                    if pos >= total:
+                        return None
+                    byte = data[pos >> 3]
+                    avail = 8 - (pos & 7)
+                    chunk = byte & ((1 << avail) - 1)
+                    if chunk == 0:
+                        q += avail
+                        pos += avail
+                        continue
+                    lead = avail - chunk.bit_length()
+                    q += lead
+                    pos += lead + 1
+                    break
+                # --- k remainder bits ---
+                if k:
+                    end = pos + k
+                    if end > total:
+                        return None
+                    r = (
+                        int.from_bytes(
+                            data[pos >> 3 : (end + 7) >> 3], "big"
+                        )
+                        >> (-end % 8)
+                    ) & kmask
+                    pos = end
+                    u = (q << k) | r
+                else:
+                    u = q
+                vals.append((u >> 1) if (u & 1) == 0 else -((u + 1) >> 1))
+            br.pos = pos
+            out[idx : idx + cnt] = vals
+            idx += cnt
     return out
 
 
@@ -465,12 +573,23 @@ def _read_subframe(br: _BitReader, bs: int, bps: int) -> "np.ndarray | None":
             return None
         out = np.empty(bs, dtype=np.int64)
         out[:order] = warm
-        coefs = _FIXED_COEFS[order]
-        for i in range(order, bs):
-            acc = res[i - order]
-            for j, cf in enumerate(coefs):
-                acc += cf * out[i - 1 - j]
-            out[i] = acc
+        # the FIXED predictor of order o is the o-th finite difference,
+        # so reconstruction is o successive cumulative sums seeded by
+        # the warmup's difference pyramid — exact int64, replaces the
+        # per-sample Python recurrence (round-10; 4096 iterations with
+        # an inner coefficient loop per frame)
+        if order == 0:
+            out[:] = res
+        elif bs > order:
+            lasts = []
+            cur = warm
+            for _ in range(order):
+                lasts.append(int(cur[-1]))
+                cur = np.diff(cur)
+            x = res
+            for j in range(order - 1, -1, -1):
+                x = lasts[j] + np.cumsum(x)
+            out[order:] = x
     elif t & 0b100000:  # LPC
         order = (t & 0x1F) + 1
         if order > bs:

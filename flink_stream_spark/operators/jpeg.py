@@ -463,23 +463,146 @@ def _decode_scan(
     pred = {c["id"]: 0 for c in comps}
     blocks: dict = {c["id"]: ([], []) for c in comps}  # (coeff list, (by,bx))
     n_mcus = mcus_x * mcus_y
+    # The entropy decode below is the _BitReader/decode_huff logic
+    # INLINED with the bit state (buf/n/rpos/marker) in locals: the
+    # round-10 profile showed ~65% of decode wall in the per-symbol
+    # decode_huff/read_bits/_refill METHOD CALLS (170k+ calls per two
+    # dozen images), not in the bit arithmetic. Semantics are
+    # bit-identical (same refill walk, same 16-bit table peek, same
+    # error conditions); the reader object is re-synced only at the
+    # rare RSTn boundaries. Guide §4.2 — shrink per-element Python.
+    d_ = reader.data
+    ln = len(d_)
+    buf = reader.buf
+    n = reader.n
+    rpos = reader.pos
+    marker = reader.marker
     for m in range(n_mcus):
         if restart_interval and m and m % restart_interval == 0:
+            reader.buf, reader.n, reader.pos, reader.marker = (
+                buf, n, rpos, marker,
+            )
             reader.align_past_rst()
+            buf, n, rpos, marker = (
+                reader.buf, reader.n, reader.pos, reader.marker,
+            )
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(m, mcus_x)
         for comp, td, ta in scan:
             dct, act = huff_dc[td], huff_ac[ta]
-            for v in range(comp["v"]):
-                for hh in range(comp["h"]):
+            cid = comp["id"]
+            cv = comp["v"]
+            ch_ = comp["h"]
+            lst, loc = blocks[cid]
+            dcpred = pred[cid]
+            for by_i in range(cv):
+                for bx_i in range(ch_):
                     zz = [0] * 64
-                    s = reader.decode_huff(dct)
-                    diff = _extend(reader.read_bits(s), s) if s else 0
-                    pred[comp["id"]] += diff
-                    zz[0] = pred[comp["id"]]
+                    # --- DC: decode_huff(dct) ---
+                    if n < 16:
+                        if marker is None and rpos + 6 <= ln:
+                            _c = d_[rpos:rpos + 6]
+                            if 0xFF not in _c:
+                                buf = (buf << 48) | int.from_bytes(_c, 'big')
+                                n += 48
+                                rpos += 6
+                        while n <= 48 and marker is None and rpos < ln:
+                            byte = d_[rpos]
+                            if byte == 0xFF:
+                                nxt = d_[rpos + 1] if rpos + 1 < ln else None
+                                if nxt == 0x00:
+                                    rpos += 2
+                                else:
+                                    marker = nxt
+                                    break
+                            else:
+                                rpos += 1
+                            buf = (buf << 8) | byte
+                            n += 8
+                    if n >= 16:
+                        window = (buf >> (n - 16)) & 0xFFFF
+                    else:
+                        window = (buf << (16 - n)) & 0xFFFF
+                    s, length = dct[window]
+                    if length == 0 or length > n:
+                        raise ValueError("jpeg: invalid Huffman code")
+                    n -= length
+                    buf &= (1 << n) - 1
+                    if s:
+                        # --- read_bits(s) + EXTEND ---
+                        if n < s:
+                            if marker is None and rpos + 6 <= ln:
+                                _c = d_[rpos:rpos + 6]
+                                if 0xFF not in _c:
+                                    buf = (buf << 48) | int.from_bytes(_c, 'big')
+                                    n += 48
+                                    rpos += 6
+                            while n <= 48 and marker is None and rpos < ln:
+                                byte = d_[rpos]
+                                if byte == 0xFF:
+                                    nxt = (
+                                        d_[rpos + 1]
+                                        if rpos + 1 < ln
+                                        else None
+                                    )
+                                    if nxt == 0x00:
+                                        rpos += 2
+                                    else:
+                                        marker = nxt
+                                        break
+                                else:
+                                    rpos += 1
+                                buf = (buf << 8) | byte
+                                n += 8
+                            if n < s:
+                                raise ValueError(
+                                    "jpeg: entropy data exhausted"
+                                )
+                        n -= s
+                        mag = (buf >> n) & ((1 << s) - 1)
+                        buf &= (1 << n) - 1
+                        dcpred += (
+                            mag - (1 << s) + 1
+                            if mag < (1 << (s - 1))
+                            else mag
+                        )
+                    zz[0] = dcpred
                     k = 1
                     while k < 64:
-                        rs = reader.decode_huff(act)
+                        # --- AC: decode_huff(act) ---
+                        if n < 16:
+                            if marker is None and rpos + 6 <= ln:
+                                _c = d_[rpos:rpos + 6]
+                                if 0xFF not in _c:
+                                    buf = (buf << 48) | int.from_bytes(_c, 'big')
+                                    n += 48
+                                    rpos += 6
+                            while n <= 48 and marker is None and rpos < ln:
+                                byte = d_[rpos]
+                                if byte == 0xFF:
+                                    nxt = (
+                                        d_[rpos + 1]
+                                        if rpos + 1 < ln
+                                        else None
+                                    )
+                                    if nxt == 0x00:
+                                        rpos += 2
+                                    else:
+                                        marker = nxt
+                                        break
+                                else:
+                                    rpos += 1
+                                buf = (buf << 8) | byte
+                                n += 8
+                        if n >= 16:
+                            window = (buf >> (n - 16)) & 0xFFFF
+                        else:
+                            window = (buf << (16 - n)) & 0xFFFF
+                        rs, length = act[window]
+                        if length == 0 or length > n:
+                            raise ValueError("jpeg: invalid Huffman code")
+                        n -= length
+                        buf &= (1 << n) - 1
                         r, size = rs >> 4, rs & 15
                         if size == 0:
                             if r == 15:  # ZRL: 16 zeros
@@ -489,13 +612,47 @@ def _decode_scan(
                         k += r
                         if k > 63:
                             raise ValueError("jpeg: AC index overflow")
-                        zz[k] = _extend(reader.read_bits(size), size)
+                        # --- read_bits(size) + EXTEND ---
+                        if n < size:
+                            if marker is None and rpos + 6 <= ln:
+                                _c = d_[rpos:rpos + 6]
+                                if 0xFF not in _c:
+                                    buf = (buf << 48) | int.from_bytes(_c, 'big')
+                                    n += 48
+                                    rpos += 6
+                            while n <= 48 and marker is None and rpos < ln:
+                                byte = d_[rpos]
+                                if byte == 0xFF:
+                                    nxt = (
+                                        d_[rpos + 1]
+                                        if rpos + 1 < ln
+                                        else None
+                                    )
+                                    if nxt == 0x00:
+                                        rpos += 2
+                                    else:
+                                        marker = nxt
+                                        break
+                                else:
+                                    rpos += 1
+                                buf = (buf << 8) | byte
+                                n += 8
+                            if n < size:
+                                raise ValueError(
+                                    "jpeg: entropy data exhausted"
+                                )
+                        n -= size
+                        mag = (buf >> n) & ((1 << size) - 1)
+                        buf &= (1 << n) - 1
+                        zz[k] = (
+                            mag - (1 << size) + 1
+                            if mag < (1 << (size - 1))
+                            else mag
+                        )
                         k += 1
-                    lst, loc = blocks[comp["id"]]
+                    pred[cid] = dcpred
                     lst.append(zz)
-                    loc.append(
-                        (my * comp["v"] + v, mx * comp["h"] + hh)
-                    )
+                    loc.append((my * cv + by_i, mx * ch_ + bx_i))
     # per component: ONE vectorized dequant + dezigzag over all its
     # blocks (zz and the DQT table are both in zigzag order), then the
     # batched deterministic IDCT and block placement
@@ -801,11 +958,17 @@ def _prog_mcu_grid(frame: dict) -> tuple:
 
 
 def _alloc_prog_coefs(frame: dict) -> dict:
+    # Nested Python lists, not numpy: the progressive scan units do
+    # per-coefficient reads/writes (blk[k]), and numpy scalar
+    # indexing costs ~10x a list index from interpreted Python
+    # (round-10 profile). _finish_progressive converts to an int64
+    # array in one bulk np.asarray.
     _, _, mcus_x, mcus_y = _prog_mcu_grid(frame)
     return {
-        c["id"]: np.zeros(
-            (c["v"] * mcus_y, c["h"] * mcus_x, 64), dtype=np.int32
-        )
+        c["id"]: [
+            [[0] * 64 for _ in range(c["h"] * mcus_x)]
+            for _ in range(c["v"] * mcus_y)
+        ]
         for c in frame["comps"]
     }
 
@@ -843,12 +1006,53 @@ def _dc_unit(reader, blk, dct, pred, cid, ah, al) -> None:
 
 
 def _ac_first_unit(reader, blk, act, ss, se, al, eobrun) -> None:
+    # Bit state inlined into locals, same rationale and identical
+    # semantics as the baseline _decode_scan hot loop (round-10: the
+    # per-coefficient decode_huff/read_bits METHOD CALLS were the
+    # cost, guide §4.2); state syncs back to the reader on every
+    # non-raising exit (raises abort the whole decode, so stale
+    # reader state is unreachable).
     if eobrun[0] > 0:
         eobrun[0] -= 1
         return
+    d_ = reader.data
+    ln = len(d_)
+    buf = reader.buf
+    n = reader.n
+    rpos = reader.pos
+    marker = reader.marker
     k = ss
     while k <= se:
-        rs = reader.decode_huff(act)
+        # --- decode_huff(act) ---
+        if n < 16:
+            if marker is None and rpos + 6 <= ln:
+                _c = d_[rpos:rpos + 6]
+                if 0xFF not in _c:
+                    buf = (buf << 48) | int.from_bytes(_c, 'big')
+                    n += 48
+                    rpos += 6
+            while n <= 48 and marker is None and rpos < ln:
+                byte = d_[rpos]
+                if byte == 0xFF:
+                    nxt = d_[rpos + 1] if rpos + 1 < ln else None
+                    if nxt == 0x00:
+                        rpos += 2
+                    else:
+                        marker = nxt
+                        break
+                else:
+                    rpos += 1
+                buf = (buf << 8) | byte
+                n += 8
+        if n >= 16:
+            window = (buf >> (n - 16)) & 0xFFFF
+        else:
+            window = (buf << (16 - n)) & 0xFFFF
+        rs, length = act[window]
+        if length == 0 or length > n:
+            raise ValueError("jpeg: invalid Huffman code")
+        n -= length
+        buf &= (1 << n) - 1
         r, s = rs >> 4, rs & 15
         if s == 0:
             if r == 15:  # ZRL
@@ -856,38 +1060,212 @@ def _ac_first_unit(reader, blk, act, ss, se, al, eobrun) -> None:
                 continue
             eobrun[0] = (1 << r) - 1
             if r:
-                eobrun[0] += reader.read_bits(r)
+                # --- read_bits(r) ---
+                if n < r:
+                    if marker is None and rpos + 6 <= ln:
+                        _c = d_[rpos:rpos + 6]
+                        if 0xFF not in _c:
+                            buf = (buf << 48) | int.from_bytes(_c, 'big')
+                            n += 48
+                            rpos += 6
+                    while n <= 48 and marker is None and rpos < ln:
+                        byte = d_[rpos]
+                        if byte == 0xFF:
+                            nxt = d_[rpos + 1] if rpos + 1 < ln else None
+                            if nxt == 0x00:
+                                rpos += 2
+                            else:
+                                marker = nxt
+                                break
+                        else:
+                            rpos += 1
+                        buf = (buf << 8) | byte
+                        n += 8
+                    if n < r:
+                        raise ValueError("jpeg: entropy data exhausted")
+                n -= r
+                eobrun[0] += (buf >> n) & ((1 << r) - 1)
+                buf &= (1 << n) - 1
             break
         k += r
         if k > se:
             raise ValueError("jpeg: AC band overflow")
-        blk[k] = _extend(reader.read_bits(s), s) << al
+        # --- read_bits(s) + EXTEND ---
+        if n < s:
+            if marker is None and rpos + 6 <= ln:
+                _c = d_[rpos:rpos + 6]
+                if 0xFF not in _c:
+                    buf = (buf << 48) | int.from_bytes(_c, 'big')
+                    n += 48
+                    rpos += 6
+            while n <= 48 and marker is None and rpos < ln:
+                byte = d_[rpos]
+                if byte == 0xFF:
+                    nxt = d_[rpos + 1] if rpos + 1 < ln else None
+                    if nxt == 0x00:
+                        rpos += 2
+                    else:
+                        marker = nxt
+                        break
+                else:
+                    rpos += 1
+                buf = (buf << 8) | byte
+                n += 8
+            if n < s:
+                raise ValueError("jpeg: entropy data exhausted")
+        n -= s
+        mag = (buf >> n) & ((1 << s) - 1)
+        buf &= (1 << n) - 1
+        blk[k] = (
+            mag - (1 << s) + 1 if mag < (1 << (s - 1)) else mag
+        ) << al
         k += 1
+    reader.buf, reader.n, reader.pos, reader.marker = buf, n, rpos, marker
 
 
 def _ac_refine_unit(reader, blk, act, ss, se, al, eobrun) -> None:
+    # Same inlined-bit-state pattern as _ac_first_unit (round-10).
     p1 = 1 << al
+    d_ = reader.data
+    ln = len(d_)
+    buf = reader.buf
+    n = reader.n
+    rpos = reader.pos
+    marker = reader.marker
     k = ss
     if eobrun[0] == 0:
         while k <= se:
-            rs = reader.decode_huff(act)
+            # --- decode_huff(act) ---
+            if n < 16:
+                if marker is None and rpos + 6 <= ln:
+                    _c = d_[rpos:rpos + 6]
+                    if 0xFF not in _c:
+                        buf = (buf << 48) | int.from_bytes(_c, 'big')
+                        n += 48
+                        rpos += 6
+                while n <= 48 and marker is None and rpos < ln:
+                    byte = d_[rpos]
+                    if byte == 0xFF:
+                        nxt = d_[rpos + 1] if rpos + 1 < ln else None
+                        if nxt == 0x00:
+                            rpos += 2
+                        else:
+                            marker = nxt
+                            break
+                    else:
+                        rpos += 1
+                    buf = (buf << 8) | byte
+                    n += 8
+            if n >= 16:
+                window = (buf >> (n - 16)) & 0xFFFF
+            else:
+                window = (buf << (16 - n)) & 0xFFFF
+            rs, length = act[window]
+            if length == 0 or length > n:
+                raise ValueError("jpeg: invalid Huffman code")
+            n -= length
+            buf &= (1 << n) - 1
             r, s = rs >> 4, rs & 15
             newval = 0
             if s == 0:
                 if r != 15:  # EOBn: current block's tail + (run-1) blocks
                     eobrun[0] = 1 << r
                     if r:
-                        eobrun[0] += reader.read_bits(r)
+                        # --- read_bits(r) ---
+                        if n < r:
+                            if marker is None and rpos + 6 <= ln:
+                                _c = d_[rpos:rpos + 6]
+                                if 0xFF not in _c:
+                                    buf = (buf << 48) | int.from_bytes(_c, 'big')
+                                    n += 48
+                                    rpos += 6
+                            while n <= 48 and marker is None and rpos < ln:
+                                byte = d_[rpos]
+                                if byte == 0xFF:
+                                    nxt = (
+                                        d_[rpos + 1]
+                                        if rpos + 1 < ln
+                                        else None
+                                    )
+                                    if nxt == 0x00:
+                                        rpos += 2
+                                    else:
+                                        marker = nxt
+                                        break
+                                else:
+                                    rpos += 1
+                                buf = (buf << 8) | byte
+                                n += 8
+                            if n < r:
+                                raise ValueError(
+                                    "jpeg: entropy data exhausted"
+                                )
+                        n -= r
+                        eobrun[0] += (buf >> n) & ((1 << r) - 1)
+                        buf &= (1 << n) - 1
                     break
                 # ZRL: skip 16 zero-history positions, no insertion
             else:
                 if s != 1:
                     raise ValueError("jpeg: refine size != 1")
-                newval = p1 if reader.read_bits(1) else -p1
+                # --- read_bits(1) ---
+                if n < 1:
+                    if marker is None and rpos + 6 <= ln:
+                        _c = d_[rpos:rpos + 6]
+                        if 0xFF not in _c:
+                            buf = (buf << 48) | int.from_bytes(_c, 'big')
+                            n += 48
+                            rpos += 6
+                    while n <= 48 and marker is None and rpos < ln:
+                        byte = d_[rpos]
+                        if byte == 0xFF:
+                            nxt = d_[rpos + 1] if rpos + 1 < ln else None
+                            if nxt == 0x00:
+                                rpos += 2
+                            else:
+                                marker = nxt
+                                break
+                        else:
+                            rpos += 1
+                        buf = (buf << 8) | byte
+                        n += 8
+                    if n < 1:
+                        raise ValueError("jpeg: entropy data exhausted")
+                n -= 1
+                newval = p1 if (buf >> n) & 1 else -p1
+                buf &= (1 << n) - 1
             while k <= se:  # advance r zero-history slots w/ corrections
-                v = int(blk[k])
+                v = blk[k]
                 if v != 0:
-                    if reader.read_bits(1) and (v & p1) == 0:
+                    # --- read_bits(1) ---
+                    if n < 1:
+                        if marker is None and rpos + 6 <= ln:
+                            _c = d_[rpos:rpos + 6]
+                            if 0xFF not in _c:
+                                buf = (buf << 48) | int.from_bytes(_c, 'big')
+                                n += 48
+                                rpos += 6
+                        while n <= 48 and marker is None and rpos < ln:
+                            byte = d_[rpos]
+                            if byte == 0xFF:
+                                nxt = (
+                                    d_[rpos + 1] if rpos + 1 < ln else None
+                                )
+                                if nxt == 0x00:
+                                    rpos += 2
+                                else:
+                                    marker = nxt
+                                    break
+                            else:
+                                rpos += 1
+                            buf = (buf << 8) | byte
+                            n += 8
+                        if n < 1:
+                            raise ValueError("jpeg: entropy data exhausted")
+                    n -= 1
+                    bit = (buf >> n) & 1
+                    buf &= (1 << n) - 1
+                    if bit and (v & p1) == 0:
                         blk[k] = v + (p1 if v > 0 else -p1)
                 else:
                     if r == 0:
@@ -899,11 +1277,39 @@ def _ac_refine_unit(reader, blk, act, ss, se, al, eobrun) -> None:
             k += 1
     if eobrun[0] > 0:  # EOB run covers this block's remainder
         while k <= se:
-            v = int(blk[k])
-            if v != 0 and reader.read_bits(1) and (v & p1) == 0:
-                blk[k] = v + (p1 if v > 0 else -p1)
+            v = blk[k]
+            if v != 0:
+                # --- read_bits(1) ---
+                if n < 1:
+                    if marker is None and rpos + 6 <= ln:
+                        _c = d_[rpos:rpos + 6]
+                        if 0xFF not in _c:
+                            buf = (buf << 48) | int.from_bytes(_c, 'big')
+                            n += 48
+                            rpos += 6
+                    while n <= 48 and marker is None and rpos < ln:
+                        byte = d_[rpos]
+                        if byte == 0xFF:
+                            nxt = d_[rpos + 1] if rpos + 1 < ln else None
+                            if nxt == 0x00:
+                                rpos += 2
+                            else:
+                                marker = nxt
+                                break
+                        else:
+                            rpos += 1
+                        buf = (buf << 8) | byte
+                        n += 8
+                    if n < 1:
+                        raise ValueError("jpeg: entropy data exhausted")
+                n -= 1
+                bit = (buf >> n) & 1
+                buf &= (1 << n) - 1
+                if bit and (v & p1) == 0:
+                    blk[k] = v + (p1 if v > 0 else -p1)
             k += 1
         eobrun[0] -= 1
+    reader.buf, reader.n, reader.pos, reader.marker = buf, n, rpos, marker
 
 
 def _decode_scan_prog(
@@ -929,7 +1335,7 @@ def _decode_scan_prog(
                         for hh in range(comp["h"]):
                             _dc_unit(
                                 reader,
-                                cb[my * comp["v"] + v, mx * comp["h"] + hh],
+                                cb[my * comp["v"] + v][mx * comp["h"] + hh],
                                 huff_dc.get(td), pred, comp["id"], ah, al,
                             )
         else:
@@ -942,7 +1348,7 @@ def _decode_scan_prog(
                     if ri and cnt and cnt % ri == 0:
                         reader.align_past_rst()
                         pred = {comp["id"]: 0}
-                    _dc_unit(reader, cb[by, bx], huff_dc.get(td), pred,
+                    _dc_unit(reader, cb[by][bx], huff_dc.get(td), pred,
                              comp["id"], ah, al)
                     cnt += 1
     else:  # AC scan: T.81 forbids interleaving
@@ -960,7 +1366,7 @@ def _decode_scan_prog(
                 if ri and cnt and cnt % ri == 0:
                     reader.align_past_rst()
                     eobrun[0] = 0
-                unit(reader, cb[by, bx], act, ss, se, al, eobrun)
+                unit(reader, cb[by][bx], act, ss, se, al, eobrun)
                 cnt += 1
     return _skip_to_marker(b, reader.pos)
 
@@ -975,8 +1381,11 @@ def _finish_progressive(frame: dict, coefs: dict, qts: dict) -> dict:
     out_planes, sampling = [], []
     for c in comps:
         cb = coefs[c["id"]]
-        nby, nbx, _ = cb.shape
-        zarr = cb.reshape(-1, 64).astype(np.int64) * qts[c["tq"]][None, :]
+        nby, nbx = len(cb), len(cb[0])
+        zarr = (
+            np.asarray(cb, dtype=np.int64).reshape(-1, 64)
+            * qts[c["tq"]][None, :]
+        )
         coeff = np.zeros((nby * nbx, 64), dtype=np.int64)
         coeff[:, zig] = zarr
         pix = idct2d_blocks(coeff.reshape(-1, 8, 8))
