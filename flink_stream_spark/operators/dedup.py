@@ -676,12 +676,25 @@ def dedup_jaccard_prefix_filter(
         )
         + F.lit(1)
     )
+    # The nomination join carries the 60-bit md5-prefix hash instead
+    # of the raw 3-gram string (round-10): equal shingles always hash
+    # equal, so no qualifying pair is ever lost, and a (vanishingly
+    # unlikely) collision only NOMINATES an extra pair that the exact
+    # verify below rejects — the result is provably identical under
+    # ANY hash behavior, while the four nomination-join exchanges
+    # shuffle 8-byte longs instead of ~25-byte strings (guide §2.3
+    # narrower types). Ranking (df, shingle) stays on the raw string.
+    from flink_stream_spark.operators.text import _tok_hash_spark
+
     prefix = (
         sh.join(dfreq, "shingle")
         .withColumn("rk", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(wn))
         .filter(F.col("rk") <= prefix_len)
-        .select("doc_id", "shingle", "rk", "n")
+        .select(
+            "doc_id", _tok_hash_spark(F.col("shingle")).alias("shingle"),
+            "rk", "n",
+        )
     )
     pa = prefix.select(
         F.col("doc_id").alias("rep_a"),
@@ -720,8 +733,18 @@ def dedup_jaccard_prefix_filter(
         .select("rep_a", "rep_b")
         .distinct()
     )
+    # Verify arrays carry the same 60-bit hash: the exact-intersect
+    # count over hashed elements equals the string-set count under
+    # the md5-collision-freedom assumption this file already relies
+    # on for gkey exact-dup groups (md5(text) defines group identity
+    # above). At sf1 the verify's pair-side shuffle was 1.5 GB of
+    # string arrays (the round-10 stage profile's dominant stage,
+    # 3628 s task time); 8-byte elements cut the bytes ~3-4x and turn
+    # the per-pair array_intersect into long comparisons.
     docarr = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("shingle")).alias("arr"),
+        F.sort_array(
+            F.collect_list(_tok_hash_spark(F.col("shingle")))
+        ).alias("arr"),
         F.count(F.lit(1)).alias("n"),
     )
     aa = docarr.select(

@@ -897,6 +897,17 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     dpk = li.select(
         F.col("l_returnflag").alias("g"), "l_partkey"
     ).distinct()
+    # One repartition of the |distinct|-sized table right after the
+    # distinct, and EVERY consumer (hash sketch, per-group exact,
+    # global exact) derives from it (round-10): the exchange's child
+    # is byte-identical for all three, so AQE reuses it and lineitem
+    # is scanned+aggregated ONCE — previously each consumer's
+    # aggregate collapsed onto the scan (RemoveRedundantAggregates)
+    # or pruned differently, and the sf1 stage profile showed FOUR
+    # full-table aggregation stages. The repartition keys reference
+    # both columns so column pruning cannot narrow any consumer's
+    # copy of the subtree; it shuffles only distinct rows.
+    dpk = dpk.repartition("l_partkey", "g")
     h = dpk.select(
         "g", _tok_hash_spark(F.col("l_partkey").cast("string")).alias("h")
     ).distinct()
@@ -917,16 +928,31 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KMV_K)
         .drop("rn")
     )
-    # merged '*ALL*' sketch from the per-group sketches (mergeability)
-    merged = (
-        kept.select("h")
-        .distinct()
-        .orderBy("h")
-        .limit(KMV_K)
-        .select(F.lit("*ALL*").alias("g"), "h")
-    )
+    # merged '*ALL*' sketch from the per-group sketches
+    # (mergeability). Derived IN the kept lineage via explode rather
+    # than a second kept-consuming union branch: the union form
+    # re-ran the whole distinct-hash pipeline (scan + aggregation +
+    # both window levels) a second time at runtime — consumers of a
+    # DataFrame duplicate its plan, and differential pruning kept AQE
+    # from reusing the exchanges (round-10 sf1 stage profile: two
+    # identical 32-task scan stages). Here each kept row explodes
+    # into its own group plus, for exactly one representative row of
+    # each of the K smallest distinct h values, the '*ALL*' group:
+    # dense_rank over h picks the K smallest DISTINCT values
+    # (== the old distinct().orderBy(h).limit(K)), row_number==1
+    # keeps one copy when the same h sits in several group sketches.
+    # Both windows run over the K*salts*|groups|-bounded kept table.
+    rn_all = F.dense_rank().over(W.orderBy("h"))
+    rn_dup = F.row_number().over(W.partitionBy("h").orderBy("g"))
     est = (
-        kept.unionAll(merged)
+        kept.withColumn(
+            "gs",
+            F.when(
+                (rn_all <= KMV_K) & (rn_dup == 1),
+                F.array(F.col("g"), F.lit("*ALL*")),
+            ).otherwise(F.array(F.col("g"))),
+        )
+        .select(F.explode("gs").alias("g"), "h")
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("cnt"), F.max("h").alias("hk"))
         .select(
@@ -942,6 +968,10 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("est_distinct"),
         )
     )
+    # both twins consume the pinned dpk exchange; the repartition
+    # node between the two aggregates also keeps Catalyst's
+    # RemoveRedundantAggregates from collapsing distinct(partkey)
+    # over distinct(g, partkey) back onto a lineitem scan
     exact = (
         dpk.groupBy("g")
         .agg(F.count(F.lit(1)).alias("exact_distinct"))
@@ -953,7 +983,13 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        est.join(exact, "g")
+        # shuffle-hash, not broadcast: both sides are <= |groups|+1
+        # rows, but a broadcast build side becomes an INDEPENDENT
+        # subquery execution that re-runs the whole dpk pipeline
+        # (second full lineitem scan at runtime); a shuffle join
+        # keeps both sides in one plan so the pinned dpk exchange is
+        # genuinely computed once, and the shuffled data is 4 rows.
+        est.join(exact.hint("shuffle_hash"), "g")
         .select(
             F.col("g").alias("group_key"),
             "est_distinct",

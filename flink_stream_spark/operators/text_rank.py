@@ -610,45 +610,91 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_stream_spark.operators.dedup import IDX_SOURCE_MAX
 
     d = load_table(spark, sf_dir, "documents")
+    # prev is derived array-side BEFORE the explode: zip the token
+    # array with itself shifted one right (null head) and posexplode
+    # the pairs. arrays_zip/slice/concat are codegen expressions (NOT
+    # interpreted higher-order lambdas — the minhash_wide finding
+    # concerned transform() with an index lambda, which measured
+    # 2.3-2.8 s vs 1.6-1.9 s; this form has no per-element lambda).
+    # The round-9 lag-window form shuffled every document by doc_id
+    # and then SORTED the token stream twice — the window subtree sat
+    # above the shared exchange and ran once per consuming branch
+    # (counts + scoring), which is also why 8 cores beat 32 on it
+    # (PERF_r09 scaling 0.34). Now neither branch sorts anything, the
+    # only stream-sized shuffle is the map-side-combined final per-doc
+    # aggregate, and the LM count tables build from an explode with no
+    # window. Row-identical: prev[i] = ts[i-1] with a null first token
+    # is exactly lag(term) over (doc_id ORDER BY pos). The doc_id
+    # repartition stays: it is the shared materialization point that
+    # the scoring branch, the counts branch and the broadcast LM
+    # subtrees all reuse (single-row-group parquet fixtures scan as
+    # ONE task — without the exchange each consumer re-runs the scan
+    # and explode serially).
     par = spark.sparkContext.defaultParallelism
-    # posexplode + lag window, NOT an index-addressed struct-array
-    # explode: higher-order array lambdas are interpreted per element
-    # (the minhash_wide finding, ~5x slower than codegen) — an A/B at
-    # sf0.1/32cpus measured the HOF form 2.3-2.8 s vs 1.6-1.9 s for
-    # this form, so the window's per-doc sort is the cheaper way to
-    # derive prev.
-    toks = (
-        d.repartition(par, "doc_id")
-        .select(
-            "doc_id",
-            "source",
-            F.posexplode(F.split("text", " ")).alias("pos", "term"),
-        )
+    ts = d.repartition(par, "doc_id").select(
+        "doc_id", "source", F.split("text", " ").alias("ts")
     )
-    seq = toks.withColumn(
-        "prev", F.lag("term").over(W.partitionBy("doc_id").orderBy("pos"))
+    seq = ts.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("ts"),
+                F.expr(
+                    "concat(array(CAST(NULL AS STRING)), "
+                    "slice(ts, 1, size(ts) - 1))"
+                ),
+            )
+        ).alias("pos", "z"),
+    ).select(
+        "doc_id",
+        "source",
+        "pos",
+        F.col("z.ts").alias("term"),
+        F.col("z.1").alias("prev"),
     )
-    lm = seq.filter(
-        F.substring("source", 4, 10).cast("int") < IDX_SOURCE_MAX
+    # ONE pair-level aggregation pass over the token stream feeds
+    # EVERYTHING (round-10; guide §1.2 step 1 / §2.3): the round-9
+    # form derived uni/big/ctx/tot from a (prev, term) count of the
+    # LM subset, but each table fed its own broadcast-exchange
+    # subquery, and broadcast subqueries are planned independently —
+    # the sf1 stage profile showed the tokenize+count pipeline
+    # executed FOUR times (32-task stages of 13-31 s run time each)
+    # plus twice more for the scoring branch. Now one aggregate
+    # counts every distinct (prev, term, is_lm) triple; the LM count
+    # tables AND the complete (prev, term) pair list derive from that
+    # tiny table; per-pair nll quantizes to nm once; and the stream
+    # is touched exactly twice (the pair count + the scoring join,
+    # one broadcast hash join on the pair key). Counts are exact
+    # integers and the nll/floor expressions are unchanged, so every
+    # value is bit-identical to the multi-join form.
+    src_is_lm = F.substring("source", 4, 10).cast("int") < IDX_SOURCE_MAX
+    pc = seq.groupBy("prev", "term", src_is_lm.alias("is_lm")).agg(
+        F.count(F.lit(1)).alias("c")
     )
-    # ONE aggregation pass over the LM token stream: group by
-    # (prev, term) INCLUDING the prev-null first-token rows, then
-    # derive the unigram, context, and total tables from the
-    # |bigram-vocab|-sized count table — the previous form re-ran the
-    # tokenize+window pipeline four times (uni, tot, big, ctx: four
-    # parquet scans in the physical plan). Counts are exact integers,
-    # so every derived table is bit-identical to its direct form:
-    # uni(term) = Σ_prev c (first tokens carry prev=null and are
-    # included, as before); ctx(prev) = Σ_term c over prev≠null;
-    # tot = Σ c. Guide §2.3 "aggregate before you shuffle" /
-    # §1.2 step 1 (fewer passes).
-    counts = lm.groupBy("prev", "term").agg(F.count(F.lit(1)).alias("c"))
-    uni = counts.groupBy("term").agg(F.sum("c").alias("c"))
-    tot = counts.agg(F.sum("c").alias("t"))
-    big = counts.filter(F.col("prev").isNotNull()).select(
-        "prev", "term", F.col("c").alias("c2")
+    # LM tables: pc rows are unique per (prev, term, is_lm), so the
+    # is_lm slice is already unique per (prev, term)
+    # Collapse to ONE pair table, then derive uni/ctx/tot as WINDOW
+    # sums over it instead of self-joins: every join of a
+    # counts-derived small table spawns its own broadcast subquery
+    # (or, with join hints, its own pruned — hence non-reusable —
+    # copy of the pc exchange), and the sf1 stage profile showed each
+    # such subtree re-running the 32-task stream aggregation. Window
+    # sums share one lineage, so the stream is aggregated exactly
+    # once. The pair table is |bigram vocab|-bounded at any corpus
+    # size, so the term/prev/global window shuffles are tiny; the
+    # single-partition window for t is over that bounded table, never
+    # the stream.
+    pairs = pc.groupBy("prev", "term").agg(
+        F.sum(F.when(F.col("is_lm"), F.col("c"))).alias("c_lm")
     )
-    ctx = big.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    c2 = F.when(F.col("prev").isNotNull(), F.col("c_lm"))
+    stats = (
+        pairs.withColumn("c", F.sum("c_lm").over(W.partitionBy("term")))
+        .withColumn("c2", c2)
+        .withColumn("c1", F.sum("c2").over(W.partitionBy("prev")))
+        .withColumn("t", F.sum("c_lm").over(W.partitionBy()))
+    )
     nll = (
         F.when(
             F.col("prev").isNotNull() & F.col("c2").isNotNull(),
@@ -668,18 +714,18 @@ def text_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    scored = (
-        seq.join(uni, "term", "left")
-        .join(big, ["prev", "term"], "left")
-        .join(ctx, "prev", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            F.floor(nll * F.lit(1000000.0) + F.lit(0.5))
-            .cast("bigint")
-            .alias("nm"),
-        )
+    pair_nm = stats.select(
+        F.col("prev").alias("p_prev"),
+        F.col("term").alias("p_term"),
+        F.floor(nll * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("nm"),
     )
+    scored = seq.join(
+        F.broadcast(pair_nm),
+        (F.col("term") == F.col("p_term"))
+        & F.col("prev").eqNullSafe(F.col("p_prev")),
+    ).select("doc_id", "nm")
     return (
         scored.groupBy("doc_id")
         .agg(

@@ -45,7 +45,9 @@ def plan_counts(text: str) -> dict:
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r09")
+    out_dir = os.environ.get(
+        "SPARK_GRAFT_PLANS_DIR", os.path.join(REPO, "plans", "r10")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     if len(sys.argv) > 2:
