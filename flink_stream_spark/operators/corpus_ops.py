@@ -1069,7 +1069,8 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("compression"),
         )
         # result-sized exchange before the sort (see operators/sortout.py)
-        .repartition("doc_id")
+        # (compound key — plain doc_id is elided, see text.py winnowing)
+        .repartition("doc_id", "n_tokens_raw")
         .orderBy("doc_id")
     )
 

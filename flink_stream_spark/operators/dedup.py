@@ -1332,6 +1332,16 @@ def dedup_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("dup_tokens", F.lit(0)), F.col("n_tokens")
             ).alias("dup_frac"),
         )
+        # result-sized exchange before the sort (operators/sortout.py).
+        # Round 9 reverted this site on sf0.1 noise; the round-10 sf1
+        # stage profile shows the range-sort sampling re-running the
+        # whole explode+hash+window final stage (31 s task time,
+        # shuffleWrite=0) — the exchange carries one row per doc.
+        # Two-column key on purpose: the pipeline is already
+        # hash-partitioned on doc_id, so a plain repartition("doc_id")
+        # is elided by Catalyst and nothing materializes (the
+        # dedup_minhash_lsh_pairs round-9 lesson).
+        .repartition("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
 
@@ -1636,7 +1646,8 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_index_candidates", F.lit(0)) > 0).alias("near_dup"),
         )
         # result-sized exchange before the sort (see operators/sortout.py)
-        .repartition("doc_id")
+        # (compound key — plain doc_id is elided, see text.py winnowing)
+        .repartition("doc_id", "exact_dup")
         .orderBy("doc_id")
     )
 
@@ -1794,6 +1805,7 @@ def dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.join(confirmed, "doc_id", "left")
         .select("doc_id", F.coalesce("__dup", F.lit(False)).alias("exact_dup"))
         # result-sized exchange before the sort (see operators/sortout.py)
-        .repartition("doc_id")
+        # (compound key — plain doc_id is elided, see text.py winnowing)
+        .repartition("doc_id", "exact_dup")
         .orderBy("doc_id")
     )

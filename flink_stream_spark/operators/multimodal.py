@@ -633,7 +633,13 @@ def dhash_near_dup_pairs(media: DataFrame, n_docs: "int | None" = None) -> DataF
     # dedupes 16-byte rows and the array joins broadcast/AQE-plan,
     # whereas carrying both arrays through the candidate exchange
     # measured ~2x slower at sf0.1.
-    bands = dhash_bands(media).persist()
+    # spread the payload before the Arrow-batched decode+hash stage:
+    # a single-row-group parquet fixture arrives as 1-2 input splits,
+    # which would serialize the whole Python stage onto 1-2 cores
+    # (round-10 sf1 profile: the hash stage ran as 2 tasks on 32
+    # cores); elided automatically when a caller already partitioned
+    par = media.sparkSession.sparkContext.defaultParallelism
+    bands = dhash_bands(media.repartition(par, "doc_id")).persist()
     # adaptive band width from ONE scalar count (see dhash_num_bands);
     # wider bands are algebraic merges of adjacent byte-bands, so the
     # hash stage and the Hamming verify are tier-independent

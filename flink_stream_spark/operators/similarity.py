@@ -1189,7 +1189,8 @@ def embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign(n, c1)
         .select("vec_id", F.col("cent_id").cast("bigint").alias("cluster"))
         # result-sized exchange before the sort (see operators/sortout.py)
-        .repartition("vec_id")
+        # (compound key — plain vec_id is elided, see text.py winnowing)
+        .repartition("vec_id", "cluster")
         .orderBy("vec_id")
     )
 

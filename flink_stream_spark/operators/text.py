@@ -326,7 +326,13 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fingerprint_hash"),
     )
     return (
-        stats.join(agg, "doc_id", "left")
+        # shuffle-hash, not broadcast: both sides derive from the same
+        # doc_id-partitioned toked exchange, so this join is
+        # shuffle-free either way — but a broadcast build side becomes
+        # an independent subquery that re-runs the whole
+        # window+distinct fingerprint pipeline (40 s shuffle-less
+        # stage in the round-10 sf1 profile)
+        stats.join(agg.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "n_grams",
@@ -336,7 +342,10 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fingerprint_hash",
         )
         # result-sized exchange before the sort (see operators/sortout.py)
-        .repartition("doc_id")
+        # (compound key: the child is already doc_id-partitioned, so a
+        # plain doc_id repartition is elided and the range sampler
+        # re-ran the heavy final stage — round-10 sf1 stage profile)
+        .repartition("doc_id", "n_grams")
         .orderBy("doc_id")
     )
 
